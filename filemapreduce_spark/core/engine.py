@@ -1,0 +1,192 @@
+"""Job API + shared-scan engine: the reference's query lifecycle, Spark-first.
+
+Reference lifecycle (/root/reference/mapreduce.go:12, SURVEY §3): N Jobs
+— each ``{Filter, DirectoryFiles, Mapper, Sorter, Reducer, Finalizer}``
+(jobs.go:9-20) — run over ONE filesystem traversal, every file opened
+and parsed once regardless of how many jobs consume it (jobs.go:3-5,
+mapreduce.go:176-184).
+
+Spark-native translation:
+
+- The traversal/IO/worker-pool machinery (mapreduce.go:39-93,
+  142-205, 258-342) is Spark's scheduler + datasource layer — we write
+  none of it.
+- SCAN SHARING, the reference's one real optimization that Spark does
+  NOT do automatically across actions, is implemented by persisting the
+  canonical files DataFrame once and running every job's (lazy)
+  pipeline against it; each job is one action.
+- Per-job routing is keyed by job identity (dict name → pipeline),
+  which deliberately fixes the reference's aggregator wiring bug
+  (mapreduce.go:162-171 routes by position in the filtered subset —
+  SURVEY §2 quirk 1).
+- Map = a declarative DataFrame transform (preferred — stays in
+  whole-stage codegen) or a Pandas-batched ``mapInPandas`` for
+  imperative mappers (the reference's ``Map`` fn, interfaces.go:17-27).
+- Sorted reduce (interfaces.go:31-48, mapreduce.go:356-399): Spark
+  aggregations are order-insensitive, so a sort only matters for
+  order-SENSITIVE reducers; for those we produce a deterministic
+  global order (the reference only ever sorted per-batch and left the
+  tail unsorted — quirk 2 — our semantics are the intended ones).
+- Map-only jobs (Reducer==nil, mapreduce.go:344-354) return/write the
+  mapped frame directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from filemapreduce_spark.core.parents import attach_parents
+from filemapreduce_spark.globs import Filter, as_filter
+from filemapreduce_spark.sources.files import files_from_memory, read_files
+
+# A loader turns the raw content column into the typed ``data`` column
+# (the reference's LoaderFunc, /root/reference/filesystem.go:12 — parse
+# once per file, shared by all consumers via the persisted files DF).
+LoaderSpec = Callable[[Column], Column] | str | None
+
+
+def _loader_column(loader: LoaderSpec) -> Column:
+    content = F.col("content")
+    if loader is None or loader == "bytes":
+        return content
+    if loader == "text":
+        return F.decode(content, "UTF-8")
+    if isinstance(loader, str) and loader.startswith("json:"):
+        schema_ddl = loader[len("json:"):]
+        return F.from_json(F.decode(content, "UTF-8"), schema_ddl)
+    if callable(loader):
+        return loader(content)
+    raise ValueError(f"unknown loader spec: {loader!r}")
+
+
+@dataclass
+class Job:
+    """Declarative job spec (parity: /root/reference/jobs.go:9-20).
+
+    - name: unique id; results are routed by it.
+    - path_filter: glob/Filter choosing this job's data files.
+    - mapper: DataFrame → DataFrame over columns
+      (path, data[, parents]) — 0..n output rows per file (flatMap
+      semantics, interfaces.go:17-27). None = identity.
+    - directory_files: glob/Filter for hierarchical metadata files;
+      adds a root-first ``parents`` array column (interfaces.go:13-18).
+    - loader: how to parse content → data ("bytes" | "text" |
+      "json:<ddl>" | Column fn). Directory files reuse it unless
+      ``dir_loader`` overrides.
+    - sort_key: column name(s)/Column(s); establishes a deterministic
+      global order before an order-sensitive reducer (Sorter,
+      interfaces.go:31-48).
+    - reducer: DataFrame → DataFrame aggregation. None = map-only job
+      (mapreduce.go:344-354).
+    - finalizer: DataFrame → Any action (sink). None = return the
+      (lazy) DataFrame (Finalizer, interfaces.go:68-78).
+    """
+
+    name: str
+    path_filter: Filter | str = "**"
+    mapper: Callable[[DataFrame], DataFrame] | None = None
+    directory_files: Filter | str | None = None
+    loader: LoaderSpec = "bytes"
+    dir_loader: LoaderSpec = None
+    sort_key: Any = None
+    reducer: Callable[[DataFrame], DataFrame] | None = None
+    finalizer: Callable[[DataFrame], Any] | None = None
+
+
+@dataclass
+class FileEngine:
+    """Shared-scan executor for N jobs over one files DataFrame.
+
+    Construct from a root directory (disk/HDFS/S3 — anything the Hadoop
+    FS layer reaches) or an explicit files DF (e.g. the in-memory VFS).
+    """
+
+    spark: SparkSession
+    root: str | None = None
+    files_df: DataFrame | None = None
+    persist_level: StorageLevel = field(
+        default_factory=lambda: StorageLevel.MEMORY_AND_DISK
+    )
+
+    @classmethod
+    def from_memory(
+        cls, spark: SparkSession, files: dict[str, str | bytes]
+    ) -> "FileEngine":
+        return cls(spark, files_df=files_from_memory(spark, files))
+
+    def _files(self) -> DataFrame:
+        if self.files_df is not None:
+            return self.files_df
+        if self.root is None:
+            raise ValueError("FileEngine needs either root or files_df")
+        return read_files(self.spark, self.root)
+
+    def plan(self, job: Job, files: DataFrame | None = None) -> DataFrame:
+        """Build one job's (lazy) DataFrame pipeline."""
+        files = files if files is not None else self._files()
+        flt = as_filter(job.path_filter)
+        data = files.filter(F.col("path").rlike(flt.to_regex()))
+        data = data.withColumn("data", _loader_column(job.loader))
+
+        if job.directory_files is not None:
+            payload = _loader_column(job.dir_loader or job.loader)
+            data = attach_parents(
+                files, data, job.directory_files, payload
+            )
+
+        mapped = job.mapper(data) if job.mapper is not None else data
+
+        if job.reducer is not None:
+            if job.sort_key is not None:
+                # Deterministic order for order-sensitive reducers: the
+                # reference funnels everything into ONE reducer
+                # goroutine (mapreduce.go:401-431); the Spark analog is
+                # a single sorted partition. Order-INSENSITIVE reducers
+                # should leave sort_key unset — aggregation then runs
+                # partial+final fully distributed.
+                keys = job.sort_key
+                if not isinstance(keys, (list, tuple)):
+                    keys = [keys]
+                mapped = mapped.repartition(1).sortWithinPartitions(*keys)
+            return job.reducer(mapped)
+        return mapped
+
+    def run(self, jobs: list[Job]) -> dict[str, Any]:
+        """Execute all jobs over a single shared scan.
+
+        The files DF is persisted so each file is read and parsed once
+        no matter how many jobs consume it (the reference's scan
+        sharing, jobs.go:3-5); each job then triggers exactly one
+        action (its finalizer, or nothing if it stays lazy).
+        """
+        if not jobs:
+            return {}
+        names = [j.name for j in jobs]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate job names: {names}")
+
+        files = self._files()
+        shared = len(jobs) > 1
+        if shared:
+            files = files.persist(self.persist_level)
+        try:
+            results: dict[str, Any] = {}
+            for job in jobs:
+                out = self.plan(job, files)
+                if job.finalizer is not None:
+                    results[job.name] = job.finalizer(out)
+                else:
+                    results[job.name] = out
+            return results
+        finally:
+            if shared:
+                # lazily-returned DataFrames still benefit while the
+                # session lives; unpersist only frees the cache eagerly
+                # when every job had a finalizer (i.e. already ran).
+                if all(j.finalizer is not None for j in jobs):
+                    files.unpersist()

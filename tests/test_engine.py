@@ -1,0 +1,351 @@
+"""Golden E2E ports of the reference's test suite (FIXTURES.md §A).
+
+Each test reproduces a hard-coded golden value from
+/root/reference/mapreduce_test.go on the same fixture data, executed
+through the Spark-native engine.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filemapreduce_spark import FileEngine, Job
+from filemapreduce_spark.sources.files import files_from_memory, with_text
+
+# FIXTURES.md §A2 — numbers_tree (testFixtures/a, trailing newlines as
+# in the reference files)
+NUMBERS_TREE = {
+    "a/b/d.txt": "1\n23\n4\n",
+    "a/b/e.txt": "23\n4\n5\n8\n",
+    "a/c/f.txt": "123\n4\n",
+}
+
+# FIXTURES.md §A3 — json docs example (mapreduce_test.go:553-603)
+JSON_DOC_TREE = {
+    "parent.json": '{"value": 2}',
+    "folder/child.json": '{"value": 3}',
+    "folder/child2.json": '{"value": 4}',
+    "folder/file.txt": "not json",
+}
+
+# FIXTURES.md §A4 — deep_tree (mapreduce_test.go:431-503)
+DEEP_TREE = {
+    "file.txt": "even more content",
+    "folder/file.txt": "more content",
+    "folder/folder/file.txt": "content",
+    "folder/folder/folder/map.txt": "map content",
+}
+
+
+def _lines(df):
+    """flatMap: one row per newline-terminated line (non-empty)."""
+    return df.select(
+        F.explode(F.split(F.col("data"), "\n")).alias("line")
+    ).filter(F.col("line") != "")
+
+
+def test_map_only_path_selection(spark):
+    """Glob */c/*.txt maps only a/c/f.txt (mapreduce_test.go:56-79)."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    out = eng.run(
+        [
+            Job(
+                name="select",
+                path_filter="*/c/*.txt",
+                loader="text",
+                finalizer=lambda df: sorted(r.path for r in df.select("path").collect()),
+            )
+        ]
+    )
+    assert out["select"] == ["a/c/f.txt"]
+
+
+def test_line_count_9(spark):
+    """Newline count over **/*.txt == 9 (mapreduce_test.go:106-137)."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    out = eng.run(
+        [
+            Job(
+                name="lines",
+                path_filter="**/*.txt",
+                loader="text",
+                mapper=_lines,
+                reducer=lambda df: df.agg(F.count("*").alias("n")),
+                finalizer=lambda df: df.collect()[0]["n"],
+            )
+        ]
+    )
+    assert out["lines"] == 9
+
+
+def test_sum_195(spark):
+    """Sum of all integers == 195 (mapreduce_test.go:139-183)."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    out = eng.run(
+        [
+            Job(
+                name="sum",
+                path_filter="**/*.txt",
+                loader="text",
+                mapper=lambda df: _lines(df).select(
+                    F.col("line").cast("long").alias("v")
+                ),
+                reducer=lambda df: df.agg(F.sum("v").alias("s")),
+                finalizer=lambda df: df.collect()[0]["s"],
+            )
+        ]
+    )
+    assert out["sum"] == 195
+
+
+def test_multi_job_shared_scan(spark):
+    """N jobs, one scan, per-job routing by identity — including the
+    differing-filters case that trips the reference's aggregator wiring
+    bug (SURVEY §2 quirk 1; mapreduce.go:162-171)."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    out = eng.run(
+        [
+            Job(
+                name="count_b",
+                path_filter="a/b/*.txt",
+                loader="text",
+                mapper=_lines,
+                reducer=lambda df: df.agg(F.count("*").alias("n")),
+                finalizer=lambda df: df.collect()[0]["n"],
+            ),
+            Job(
+                name="sum_all",
+                path_filter="**/*.txt",
+                loader="text",
+                mapper=lambda df: _lines(df).select(
+                    F.col("line").cast("long").alias("v")
+                ),
+                reducer=lambda df: df.agg(F.sum("v").alias("s")),
+                finalizer=lambda df: df.collect()[0]["s"],
+            ),
+            Job(
+                name="files_c",
+                path_filter="*/c/*",
+                finalizer=lambda df: df.count(),
+            ),
+        ]
+    )
+    assert out["count_b"] == 7
+    assert out["sum_all"] == 195
+    assert out["files_c"] == 1
+
+
+def test_directory_files_child_times_parent(spark):
+    """child.value × parent.value == 6 (mapreduce_test.go:403-429)."""
+    eng = FileEngine.from_memory(
+        spark,
+        {
+            "parent.json": '{"value": 2}',
+            "subfolder/child.json": '{"value": 3}',
+        },
+    )
+    out = eng.run(
+        [
+            Job(
+                name="mul",
+                path_filter="*/*.json",
+                directory_files="*.json",
+                loader="json:value INT",
+                mapper=lambda df: df.select(
+                    (
+                        F.col("data.value")
+                        * F.col("parents")[0]["value"]
+                    ).alias("product")
+                ),
+                finalizer=lambda df: [r.product for r in df.collect()],
+            )
+        ]
+    )
+    assert out["mul"] == [6]
+
+
+def test_doc_example_sum_14(spark):
+    """sum(child×parent) == 14 over the doc-example tree
+    (mapreduce_test.go:553-603)."""
+    eng = FileEngine.from_memory(spark, JSON_DOC_TREE)
+    out = eng.run(
+        [
+            Job(
+                name="docsum",
+                path_filter="*/*.json",
+                directory_files="*.json",
+                loader="json:value INT",
+                mapper=lambda df: df.select(
+                    (
+                        F.col("data.value")
+                        * F.col("parents")[0]["value"]
+                    ).alias("product")
+                ),
+                reducer=lambda df: df.agg(F.sum("product").alias("s")),
+                finalizer=lambda df: df.collect()[0]["s"],
+            )
+        ]
+    )
+    assert out["docsum"] == 14
+
+
+def test_parents_depth_and_root_first_order(spark):
+    """map.txt sees 3 parents root-first (mapreduce_test.go:431-471)."""
+    eng = FileEngine.from_memory(spark, DEEP_TREE)
+    out = eng.run(
+        [
+            Job(
+                name="deep",
+                path_filter="**/map.txt",
+                directory_files="**",  # every file is a potential dir file
+                loader="text",
+                dir_loader="text",
+                mapper=lambda df: df.select("path", "parents"),
+                finalizer=lambda df: df.collect(),
+            )
+        ]
+    )
+    rows = out["deep"]
+    assert len(rows) == 1
+    assert rows[0].path == "folder/folder/folder/map.txt"
+    # root-first: depth ascending
+    assert rows[0].parents == ["even more content", "more content", "content"]
+
+
+def test_parents_per_job_scoping(spark):
+    """DirectoryFiles='file.txt' sees 1 parent; '**/file.txt' sees 2 —
+    per-job stacks, subfolders-only scope (mapreduce_test.go:472-503)."""
+    eng = FileEngine.from_memory(spark, DEEP_TREE)
+    out = eng.run(
+        [
+            Job(
+                name="root_only",
+                path_filter="**/map.txt",
+                directory_files="file.txt",
+                loader="text",
+                mapper=lambda df: df.select("parents"),
+                finalizer=lambda df: df.collect()[0].parents,
+            ),
+            Job(
+                name="nested_only",
+                path_filter="**/map.txt",
+                directory_files="**/file.txt",
+                loader="text",
+                mapper=lambda df: df.select("parents"),
+                finalizer=lambda df: df.collect()[0].parents,
+            ),
+        ]
+    )
+    assert out["root_only"] == ["even more content"]
+    assert out["nested_only"] == ["more content", "content"]
+
+
+def test_directory_file_not_visible_to_siblings(spark):
+    """A directory file scopes to subfolders only — sibling files see an
+    empty stack (work.go:68-100)."""
+    eng = FileEngine.from_memory(
+        spark,
+        {"folder/meta.json": '{"value": 1}', "folder/data.json": '{"value": 9}'},
+    )
+    out = eng.run(
+        [
+            Job(
+                name="sib",
+                path_filter="*/data.json",
+                directory_files="*/meta.json",
+                loader="json:value INT",
+                mapper=lambda df: df.select("path", "parents"),
+                finalizer=lambda df: df.collect(),
+            )
+        ]
+    )
+    assert out["sib"][0].parents == []
+
+
+def test_scale_smoke_1000_files(spark):
+    """1,000-file VFS, map-only '**' job completes
+    (mapreduce_test.go:505-531)."""
+    files = {str(i): "filecontent" for i in range(1000)}
+    eng = FileEngine.from_memory(spark, files)
+    out = eng.run(
+        [Job(name="all", path_filter="**", finalizer=lambda df: df.count())]
+    )
+    assert out["all"] == 1000
+
+
+def test_mapper_error_propagates(spark):
+    """A failing mapper surfaces as the job's error
+    (mapreduce_test.go:185-274)."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+
+    def bad_mapper(df):
+        return df.select(
+            F.assert_true(F.lit(False), F.lit("mapper failed")).alias("x")
+        )
+
+    with pytest.raises(Exception):
+        eng.run(
+            [
+                Job(
+                    name="bad",
+                    path_filter="**/*.txt",
+                    mapper=bad_mapper,
+                    finalizer=lambda df: df.collect(),
+                )
+            ]
+        )
+
+
+def test_disk_filesystem_roundtrip(spark, tmp_path):
+    """Disk FS: same goldens through spark.read binaryFile
+    (mapreduce_test.go:16-54 + :106-183)."""
+    for rel, content in NUMBERS_TREE.items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+
+    eng = FileEngine(spark, root=str(tmp_path))
+    out = eng.run(
+        [
+            Job(
+                name="sum",
+                path_filter="**/*.txt",
+                loader="text",
+                mapper=lambda df: _lines(df).select(
+                    F.col("line").cast("long").alias("v")
+                ),
+                reducer=lambda df: df.agg(F.sum("v").alias("s")),
+                finalizer=lambda df: df.collect()[0]["s"],
+            )
+        ]
+    )
+    assert out["sum"] == 195
+
+
+def test_sorted_reduce_deterministic_order(spark):
+    """sort_key yields a deterministic, globally-sorted stream into an
+    order-sensitive reducer (intended Sorter semantics — the reference
+    only sorted per-batch, quirk 2)."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    out = eng.run(
+        [
+            Job(
+                name="sorted",
+                path_filter="**/*.txt",
+                loader="text",
+                mapper=lambda df: _lines(df).select(
+                    F.col("line").cast("long").alias("v")
+                ),
+                sort_key="v",
+                reducer=lambda df: df.agg(
+                    F.collect_list("v").alias("vs")
+                ),
+                finalizer=lambda df: df.collect()[0]["vs"],
+            )
+        ]
+    )
+    assert out["sorted"] == sorted([1, 23, 4, 23, 4, 5, 8, 123, 4])
+
+
+def test_with_text_helper(spark):
+    df = with_text(files_from_memory(spark, {"x.txt": "héllo"}))
+    assert df.collect()[0].text == "héllo"
