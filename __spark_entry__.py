@@ -3,36 +3,62 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All queries live in ``filemapreduce_spark.queries`` (one QuerySpec per
+operator from SURVEY.md §2 — Spark fn + DuckDB oracle twin); this file
+just re-exposes the registry.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from filemapreduce_spark.queries import load_all  # noqa: E402
+
+_REGISTRY = load_all()
+
+
+def _ensure_conf(spark: SparkSession) -> None:
+    """Confs the queries rely on when the driver built the session."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); read nanos as long
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # non-fatal: session may forbid runtime conf changes
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ensure_conf(spark)
+    return _REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(spec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_conf(spark)
+            return spec.fn(spark, sf_dir)
+
+        run.__name__ = spec.name
+        run.__doc__ = spec.doc
+        return run
+
+    return {name: wrap(spec) for name, spec in sorted(_REGISTRY.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for every SQL-expressible query."""
+    return {
+        name: spec.oracle
+        for name, spec in sorted(_REGISTRY.items())
+        if spec.oracle is not None
+    }

@@ -1,0 +1,92 @@
+"""Distributed as-of join (a temporal operator Spark lacks natively).
+
+Semantics: for each left row, attach the single latest right row with
+the same key and ``right.time <= left.time`` (inclusive), or nulls if
+none exists.
+
+Implementation — the UNION + WINDOW strategy, not a fan-out join:
+tag both sides, union them, and for each key take a running
+``last(right payload, ignorenulls)`` ordered by (time, side, tiebreak).
+Cost is ONE shuffle by key + a sort within partitions — no (left ×
+matching-rights) intermediate blow-up, no skew amplification on hot
+keys, and it scales to arbitrarily many right rows per key. This is
+the standard large-scale formulation (cf. pandas merge_asof semantics,
+Flink temporal joins); at 100 TB the alternative join+filter+max plan
+materializes every (order, earlier-event) pair first, which is
+quadratic in the per-key history length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join; right payload columns arrive as ``prefix+name``.
+
+    - ``on``: equality key column (same name both sides).
+    - ``tiebreak``: right column breaking equal-timestamp ties
+      (highest wins); defaults to the first payload column.
+    """
+    tiebreak = tiebreak or right_payload[0]
+    payload_struct = F.struct(
+        F.col(right_time).alias("_t"),
+        F.col(tiebreak).alias("_tb"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
+
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_time", F.col(left_time)
+    ).withColumn("_payload", F.lit(None).cast("string"))
+    # carry the right payload through the union as one struct column
+    r_tagged = (
+        right.select(
+            F.col(on),
+            F.col(right_time).alias("_time"),
+            F.lit(0).alias("_side"),
+            payload_struct.alias("_rp"),
+        )
+    )
+    l_cols = [F.col(c) for c in left.columns]
+    l_u = l_tagged.select(
+        F.col(on).alias("_key"),
+        F.col("_time"),
+        F.col("_side"),
+        F.lit(None).cast(r_tagged.schema["_rp"].dataType).alias("_rp"),
+        F.struct(*l_cols).alias("_lrow"),
+    )
+    r_u = r_tagged.select(
+        F.col(on).alias("_key"),
+        F.col("_time"),
+        F.col("_side"),
+        F.col("_rp"),
+        F.lit(None).cast(l_u.schema["_lrow"].dataType).alias("_lrow"),
+    )
+
+    # right rows sort BEFORE left rows at equal time (inclusive <=);
+    # among equal-time right rows the tiebreak orders them.
+    w = (
+        Window.partitionBy("_key")
+        .orderBy(F.col("_time").asc(), F.col("_side").asc(), F.col("_rp._tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        l_u.unionByName(r_u)
+        .withColumn("_match", F.last("_rp", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_payload
+    ]
+    return joined.select(*out_cols)

@@ -1,0 +1,135 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All built from JVM-side ``pyspark.sql.functions`` (no Python in the row
+path): tokenization, n-gram shingling, MinHash signatures, SimHash,
+token counting, quality stats, language-ID heuristic, fingerprints.
+
+Determinism: every hash is MD5 over explicit UTF-8 strings (identical
+in Spark and DuckDB), so each operator has an exact SQL oracle twin.
+
+Scale design: everything is per-row expressions or groupBy/explode over
+shingles — fully distributed, no driver-side state. MinHash-LSH dedup
+does its candidate generation via banded bucket self-join (shuffle on
+(band, bucket-key), small buckets) instead of an O(N²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A tiny function-word table per language for the lang-id heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "una"),
+    "fr": ("le", "la", "les", "des", "une"),
+    "de": ("der", "die", "das", "und", "ein"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+
+def words(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(t), r"\s+"), lambda w: w != ""
+    )
+
+
+def word_shingles(ws: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined) from a words array."""
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count_regex(text_col: str) -> Column:
+    """BPE-ish token count: word / number / punct-char runs."""
+    return F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")
+    ).cast("long")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """Array of ``num_hashes`` MinHash values: for seed j, the lexical
+    min of md5(j || ':' || shingle). Empty shingle set → nulls."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)),
+                )
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def simhash16(ws: Column) -> Column:
+    """16-bit SimHash over distinct words.
+
+    Bit i is set iff sum over words of ±1 (sign = bit i of the first
+    16 bits of md5(word)) is positive. Pure integer arithmetic on hex
+    digits so the SQL oracle twin is exact.
+    """
+    uniq = F.array_distinct(ws)
+    # value of md5's first 4 hex digits as an int (16 bits)
+    h16 = lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long")
+    bit = lambda h, i: F.shiftright(h, i).bitwiseAND(F.lit(1))
+    terms = [
+        F.aggregate(
+            uniq,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + (bit(h16(w), i) * 2 - 1),
+        )
+        for i in range(16)
+    ]
+    return sum(
+        (F.when(t > 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i, t in enumerate(terms)),
+        F.lit(0),
+    ).cast("long")
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality stats: token/char counts, ratios."""
+    ws = words(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(ws).cast("long"),
+            "n_chars_calc": F.length(text_col).cast("long"),
+            "avg_token_len": (
+                F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+                / F.greatest(F.size(ws), F.lit(1))
+            ).cast("double"),
+            "stopword_ratio": (
+                F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+                / F.greatest(F.size(ws), F.lit(1))
+            ).cast("double"),
+            "uniq_token_ratio": (
+                F.size(F.array_distinct(ws)) / F.greatest(F.size(ws), F.lit(1))
+            ).cast("double"),
+        }
+    )
+
+
+def lang_scores(ws: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language."""
+    return {
+        lang: F.size(F.filter(ws, lambda w: w.isin(*markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def fingerprint(shingles: Column) -> Column:
+    """Document fingerprint: lexical-min md5 over its shingle set
+    (winnowing-style representative hash); null for tiny docs."""
+    return F.array_min(F.transform(shingles, lambda s: F.md5(s)))

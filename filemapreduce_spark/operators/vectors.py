@@ -1,0 +1,117 @@
+"""Vector similarity operators over ``array<float>`` embedding columns.
+
+Everything is built on Spark's higher-order array functions
+(``zip_with`` + ``aggregate``) — JVM-side sequential folds, no Python
+in the row path. The fold order is the array index order, which both
+Spark and DuckDB's list functions preserve, so rounded similarity
+values hash-match an SQL oracle.
+
+Scale design:
+- ``cosine_topk`` (brute force) broadcasts the QUERY side and streams
+  the corpus — right shape when |queries| is small and the corpus is
+  huge; top-k per query via window over a (query, corpus-partition)
+  partial-topk is handled by AQE.
+- ``ivf_topk`` is the scale path: corpus is pre-partitioned into
+  coarse cells (here: the precomputed ``label`` column; in a real
+  pipeline k-means centroids), the query probes only its nearest
+  cell(s) — a partition-pruned join instead of a full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """float vector → double vector (do all math in float64)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (index order — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, cos, rank).
+
+    Excludes self-matches. Ties break on neighbor id (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: search only the query's own coarse cell.
+
+    Here the corpus comes pre-assigned to cells (``cell_col``); the
+    equi-join on cell is the partition-pruning step that replaces the
+    full scan. Output shape matches ``cosine_topk`` plus the cell.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(cell_col).alias("cell"),
+        to_double(F.col(vec_col)).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        to_double(F.col(vec_col)).alias("_cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,55 @@
+"""Declared-query registry: the oracle-testable operator inventory.
+
+Each entry pairs a Spark implementation ``fn(spark, sf_dir) →
+DataFrame`` with an equivalent ANSI-SQL ``oracle`` string DuckDB can
+run on the same parquet tables (SURVEY.md §2 Part B). Column names are
+aliased identically on both sides; computed aggregates use the exact
+integer-cents arithmetic from ``operators.money`` so value hashes
+match bit-for-bit.
+
+Queries whose semantics aren't SQL-expressible (streaming state,
+binary decode stubs) set ``oracle=None`` → rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""
+):
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all query modules (side effect: fills REGISTRY)."""
+    from filemapreduce_spark.queries import (  # noqa: F401
+        fileops,
+        llm,
+        relational,
+        streaming,
+    )
+
+    return REGISTRY

@@ -1,0 +1,656 @@
+"""LLM training-data pipeline queries (SURVEY.md §2 Part B, north-star
+extensions): deduplication (exact, MinHash-LSH, SimHash, n-gram
+Jaccard), similarity search (brute-force + IVF), text analysis
+(tokens, quality, language-ID, fingerprints), multimodal columns.
+
+All hashing is MD5 over explicit strings so every operator has an
+exact DuckDB oracle twin; similarity values are rounded to 6 decimals
+(both engines fold element-wise in index order — verified empirically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.textops import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint,
+    minhash_signature,
+    simhash16,
+    token_count_regex,
+    word_shingles,
+    words,
+)
+from filemapreduce_spark.operators.vectors import cosine_topk, ivf_topk
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.queries.relational import t
+
+# DuckDB fragments mirroring operators.textops
+_SQL_WORDS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+_SQL_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, len(ws)-1),"
+    " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+)
+_SQL_SHINGLES2 = (
+    "list_distinct(list_transform(range(1, len(ws)),"
+    " i -> ws[i] || ' ' || ws[i+1]))"
+)
+
+
+# --------------------------------------------------------------------
+# Exact deduplication.
+# --------------------------------------------------------------------
+@register(
+    "dedup_exact_by_source",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(lower(text))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(lower(text))) AS n_dups
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash) dedup accounting per source — the groupBy-on-digest
+    pattern that scales to any corpus (shuffle on a 128-bit key)."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.lower("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(h).alias("n_unique"),
+            (F.count("*") - F.countDistinct(h)).alias("n_dups"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_keep_first_by_key",
+    """
+    SELECT lang, n_chars // 100 AS size_bucket,
+           MIN(doc_id) AS kept_doc_id, COUNT(*) AS group_size
+    FROM documents GROUP BY lang, n_chars // 100
+    ORDER BY lang, size_bucket
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup over a derived key (min-id winner per group) —
+    the deterministic representative-selection pattern."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang", F.expr("n_chars div 100").alias("size_bucket")
+        )
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+        .orderBy("lang", "size_bucket")
+    )
+
+
+# --------------------------------------------------------------------
+# MinHash + LSH near-dedup.
+# --------------------------------------------------------------------
+_MINHASH_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, {words} AS ws FROM documents
+    ), d2 AS (
+      SELECT doc_id, {shingles} AS shingles FROM d WHERE len(ws) >= 2
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM d2
+    ), sig AS (
+      SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || s)) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j)
+      GROUP BY doc_id, j
+    ), bandkeys AS (
+      SELECT doc_id, j AS band, h AS key FROM sig
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandkeys a JOIN bandkeys b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+""".format(words=_SQL_WORDS, shingles=_SQL_SHINGLES2)
+
+
+@register(
+    "neardup_minhash_lsh",
+    _MINHASH_ORACLE,
+    tags=("dedup", "minhash", "lsh", "llm"),
+)
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH near-dup: shingle → minhash → band-bucket
+    self-join → exact-Jaccard verify (≥ 0.2).
+
+    Scale shape: candidate generation is a shuffle on (band, minhash)
+    — never an O(N²) cross join; the exact verify only touches
+    candidate pairs.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("ws")
+    )
+    d2 = d.filter(F.size("ws") >= 2).select(
+        "doc_id", word_shingles(F.col("ws"), 2).alias("shingles")
+    )
+    sh = d2.select("doc_id", F.explode("shingles").alias("s"))
+    sig = d2.select(
+        "doc_id", F.posexplode(minhash_signature(F.col("shingles"), 8))
+    ).select("doc_id", F.col("pos").alias("band"), F.col("col").alias("key"))
+
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shx = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sx"))
+    shy = sh.select(F.col("doc_id").alias("_doc_y"), F.col("s").alias("sy"))
+    inter = (
+        cand.join(shx, "doc_a")
+        .join(
+            shy,
+            (F.col("doc_b") == F.col("_doc_y")) & (F.col("sx") == F.col("sy")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "neardup_jaccard_exact",
+    """
+    WITH d AS (
+      SELECT doc_id, {words} AS ws FROM documents
+    ), d2 AS (
+      SELECT doc_id, {shingles} AS shingles FROM d WHERE len(ws) >= 3
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM d2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_common >= 3
+    ORDER BY doc_a, doc_b
+    """.format(words=_SQL_WORDS, shingles=_SQL_SHINGLES3),
+    tags=("dedup", "jaccard", "llm"),
+)
+def neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index self-join (pairs sharing
+    ≥3 shingles) — the shuffle-based exact twin of the LSH path."""
+    d = t(spark, sf_dir, "documents").select("doc_id", words("text").alias("ws"))
+    d2 = d.filter(F.size("ws") >= 3).select(
+        "doc_id", word_shingles(F.col("ws"), 3).alias("shingles")
+    )
+    sh = d2.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    inter = (
+        x.join(y, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------
+# SimHash.
+# --------------------------------------------------------------------
+_SIMHASH_SQL_BASE = """
+    WITH d AS (
+      SELECT doc_id, {words} AS ws FROM documents
+    ), w AS (
+      SELECT DISTINCT doc_id, unnest(ws) AS w FROM d
+    ), h AS (
+      SELECT doc_id, w,
+             (strpos('0123456789abcdef', substr(md5(w),1,1))-1)*4096
+           + (strpos('0123456789abcdef', substr(md5(w),2,1))-1)*256
+           + (strpos('0123456789abcdef', substr(md5(w),3,1))-1)*16
+           + (strpos('0123456789abcdef', substr(md5(w),4,1))-1) AS h16
+      FROM w
+    ), bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h16 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(16)) AS i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+""".format(words=_SQL_WORDS)
+
+
+@register(
+    "simhash_signatures",
+    _SIMHASH_SQL_BASE + "SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+    tags=("dedup", "simhash", "llm"),
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (integer-exact, oracle-matched)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash16(words("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+@register(
+    "simhash_neardup_pairs",
+    _SIMHASH_SQL_BASE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "simhash", "llm"),
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: Hamming distance ≤ 2."""
+    d = t(spark, sf_dir, "documents")
+    sig = d.select("doc_id", simhash16(words("text")).alias("simhash"))
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= 2)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------
+# Similarity search over embeddings.
+# --------------------------------------------------------------------
+_COSINE_EXPR = """
+    round(
+      list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))),
+      6)
+"""
+
+
+@register(
+    "similarity_bruteforce_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id, {_COSINE_EXPR} AS cos
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "llm"),
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (the exact
+    baseline an ANN index is measured against)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id", "cos", "rank"
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS cell, embedding AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label AS cell, embedding AS ce FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id, c.cell, {_COSINE_EXPR} AS cos
+      FROM q JOIN c USING (cell) WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cell, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(cell AS INT) AS cell, cos, rank FROM ranked
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf", "llm"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell (here the
+    precomputed ``label`` partition) — the partition-pruned scale
+    path."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, q, k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.col("cell").cast("int").alias("cell"),
+        "cos",
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------
+# Text analysis.
+# --------------------------------------------------------------------
+@register(
+    "text_stats_by_source",
+    f"""
+    WITH d AS (
+      SELECT source, {_SQL_WORDS} AS ws, length(text) AS nc FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+           CAST(SUM(nc) AS BIGINT) AS total_chars,
+           CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(MAX(len(ws)) AS BIGINT) AS max_tokens
+    FROM d GROUP BY source ORDER BY source
+    """,
+    tags=("text", "llm"),
+)
+def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source", words("text").alias("ws"), F.length("text").alias("nc")
+    )
+    ntok = F.size("ws").cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok).alias("total_tokens"),
+            F.sum(F.col("nc").cast("long")).alias("total_chars"),
+            (F.sum(ntok).cast("double") / F.count("*")).alias("avg_tokens"),
+            F.max(ntok).alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "quality_scores",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           round(len(list_distinct(ws)) / greatest(len(ws), 1), 6) AS uniq_ratio,
+           round(len(list_filter(ws, w -> w IN ({_SW_LIST}))) / greatest(len(ws), 1), 6) AS stopword_ratio,
+           round(0.7 * (len(list_distinct(ws)) / greatest(len(ws), 1))
+               + 0.3 * (len(list_filter(ws, w -> w IN ({_SW_LIST}))) / greatest(len(ws), 1)), 6) AS quality
+    FROM d ORDER BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: uniqueness + stopword signals."""
+    d = t(spark, sf_dir, "documents").select("doc_id", words("text").alias("ws"))
+    denom = F.greatest(F.size("ws"), F.lit(1))
+    uniq = F.size(F.array_distinct("ws")) / denom
+    stop = F.size(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS))) / denom
+    return d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(0.7 * uniq + 0.3 * stop, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_LANG_CASES = []
+for _lang in sorted(LANG_MARKERS):
+    _markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[_lang])
+    _LANG_CASES.append(
+        f"len(list_filter(ws, w -> w IN ({_markers}))) AS s_{_lang}"
+    )
+_LANG_SCORE_SQL = ", ".join(_LANG_CASES)
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_SQL_WORDS} AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {_LANG_SCORE_SQL} FROM d
+    ), p AS (
+      SELECT doc_id, lang,
+             greatest(s_de, s_en, s_es, s_fr) AS best,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM s
+    )
+    SELECT doc_id, predicted, CAST(best AS BIGINT) AS score,
+           CASE WHEN predicted = lang THEN 1 ELSE 0 END AS is_match
+    FROM p ORDER BY doc_id
+    """,
+    tags=("text", "langid", "llm"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (deterministic tie-break: de<en<es<fr,
+    'und' when no markers hit)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", words("text").alias("ws")
+    )
+    def marker_hits(markers: tuple[str, ...]):
+        # single-arg lambda (a 2-arg lambda would receive the element
+        # index as its second argument)
+        return F.size(F.filter(F.col("ws"), lambda w: w.isin(*markers)))
+
+    scores = {lang: marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        pred.alias("predicted"),
+        best.cast("long").alias("score"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_count_bpe_ish",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len({_SQL_WORDS}) AS BIGINT) AS n_ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "tokens", "llm"),
+)
+def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens vs a BPE-ish regex lexer."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_regex("text").alias("n_bpe_tokens"),
+        F.size(words("text")).cast("long").alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ), d2 AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 5 THEN
+               list_distinct(list_transform(range(1, len(ws)-3),
+                 i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+             ELSE [] END AS sh5
+      FROM d
+    )
+    SELECT doc_id,
+           COALESCE(list_min(list_transform(sh5, s -> md5(s))), 'NONE') AS fp
+    FROM d2 ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint", "llm"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min-hash over 5-gram
+    shingles ('NONE' for tiny docs)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", words("text").alias("ws"))
+    sh5 = word_shingles(F.col("ws"), 5)
+    return d.select(
+        "doc_id", F.coalesce(fingerprint(sh5), F.lit("NONE")).alias("fp")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata).
+# --------------------------------------------------------------------
+@register(
+    "multimodal_blob_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CASE WHEN n_chars > 300 THEN 'large' ELSE 'small' END AS size_class
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("multimodal", "llm"),
+)
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary handling: payload as bytes + typed metadata
+    columns (the schema pattern for image/audio/video at scale)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.when(F.col("n_chars") > 300, "large").otherwise("small").alias(
+            "size_class"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode_features",
+    None,  # decode stubs aren't SQL-expressible → rows-only check
+    tags=("multimodal", "stub", "llm"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload → Arrow-batched
+    mapInPandas 'decoder' producing fixed-width features.
+
+    The real image/audio decode is STUBBED (libs not in this
+    container) with a deterministic byte-statistics extractor; the
+    Spark-side contract — binary column in, typed feature vector out,
+    batch-wise Arrow transfer, schema declared up front — is the real,
+    tested scale path. A production decoder only swaps the function
+    body.
+    """
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            feats = pdf["payload"].map(
+                lambda b: [
+                    float(len(b)),
+                    float(b[0]) if len(b) else 0.0,
+                    float(b[-1]) if len(b) else 0.0,
+                    float(sum(b[:16]) % 256),
+                ]
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": feats}
+            )
+
+    return d.mapInPandas(
+        decode_batches, schema="doc_id long, features array<double>"
+    ).orderBy("doc_id")

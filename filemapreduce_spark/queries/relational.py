@@ -1,0 +1,1003 @@
+"""Relational query suite (SURVEY.md §2 Part B): scans, joins of every
+flavor, grouped/windowed/rollup aggregation, set ops, scalar functions,
+top-k, pivot, range and as-of joins — TPC-H-shaped where possible.
+
+Every query is a lazy DataFrame plan over the parquet tables; Catalyst
+handles pushdown/pruning/join strategy (broadcast hints where the dim
+side is known-small). Aggregated money uses exact integer-cents
+arithmetic (operators.money) for oracle hash parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.asof import asof_join
+from filemapreduce_spark.operators.money import (
+    as_money,
+    cents,
+    charge_e6,
+    disc_price_e4,
+)
+from filemapreduce_spark.queries import register
+
+
+from filemapreduce_spark.sources.tables import load_table as t  # noqa: E402
+
+
+# --------------------------------------------------------------------
+# Grouped aggregation (TPC-H Q1 shape): 8 aggregates over 2 keys.
+# --------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) / 1000000.0 AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_price,
+           CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: multi-aggregate groupBy with partial (map-side)
+    aggregation; filter pushed to the parquet scan."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    n = F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            as_money(F.sum(cents("l_extendedprice"))).alias("sum_base_price"),
+            (F.sum(disc_price_e4("l_extendedprice", "l_discount")) / 10000.0)
+            .cast("double")
+            .alias("sum_disc_price"),
+            (
+                F.sum(charge_e6("l_extendedprice", "l_discount", "l_tax"))
+                / 1000000.0
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("long")).cast("double") / n).alias(
+                "avg_qty"
+            ),
+            (F.sum(cents("l_extendedprice")).cast("double") / (100.0 * n)).alias(
+                "avg_price"
+            ),
+            (F.sum(cents("l_discount")).cast("double") / (100.0 * n)).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------
+# Selective scan + single aggregate (TPC-H Q6): pushdown showcase.
+# --------------------------------------------------------------------
+@register(
+    "q6_revenue_delta",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) / 10000.0 AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "tpch", "pushdown"),
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highly-selective filters — all pushed to the parquet reader —
+    then one exact sum."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        (F.sum(cents("l_extendedprice") * cents("l_discount")) / 10000.0)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------
+# 3-way join + agg + top-k (TPC-H Q3 shape).
+# --------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast the small dimension (customer), shuffle-join the fact,
+    aggregate, TakeOrdered top-10."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(disc_price_e4("l_extendedprice", "l_discount")) / 10000.0)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------
+# EXISTS semi-join + agg (TPC-H Q4 shape).
+# --------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "semi", "agg", "tpch"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join with a non-equi residual condition."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# 6-way join (TPC-H Q5 shape).
+# --------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: every dimension broadcast, single shuffle for the
+    final groupBy."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(disc_price_e4("l_extendedprice", "l_discount")) / 10000.0)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# --------------------------------------------------------------------
+# Join + conditional aggregation (TPC-H Q14 shape).
+# --------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+                 ELSE 0 END) AS DOUBLE)
+           / SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS promo_pct,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = disc_price_e4("l_extendedprice", "l_discount")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast(
+                    "double"
+                )
+                / F.sum(rev)
+            ).alias("promo_pct"),
+            (F.sum(rev) / 10000.0).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Group-having-join + top-k (TPC-H Q18 shape).
+# --------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_name, o_orderkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 120
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "having", "topk", "tpch"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# Outer / semi / anti joins.
+# --------------------------------------------------------------------
+@register(
+    "join_left_order_counts",
+    """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(round(o_totalprice*100) AS BIGINT)), 0) / 100.0 AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    tags=("join", "outer", "agg"),
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join keeping order-less customers (n_orders = 0)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            as_money(F.coalesce(F.sum(cents("o_totalprice")), F.lit(0))).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_semi_anti_segments",
+    """
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN has_order THEN 1 END) AS n_with_orders,
+           COUNT(CASE WHEN NOT has_order THEN 1 END) AS n_without_orders
+    FROM (SELECT c_custkey, c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+          FROM customer) t
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "semi", "anti"),
+)
+def join_semi_anti_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti joins unioned into per-segment counts."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    with_o = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without_o = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        with_o.join(without_o, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_full_outer_nations",
+    """
+    SELECT COALESCE(cu.nk, su.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) cu
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) su
+      ON cu.nk = su.nk
+    ORDER BY nationkey
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    su = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cu.join(su, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Window functions.
+# --------------------------------------------------------------------
+@register(
+    "window_topk_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+      FROM part) x
+    WHERE rn <= 3
+    ORDER BY p_brand, rn
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via ranking window (the scalable top-k-per-key
+    pattern — no global sort)."""
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+        .orderBy("p_brand", "rn")
+    )
+
+
+@register(
+    "window_running_supplier",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey < 10
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    """,
+    tags=("window",),
+)
+def window_running_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per key — frame-based window aggregation."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l.withColumn(
+            "running_qty", F.sum(F.col("l_quantity").cast("long")).over(w)
+        )
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "window_lag_event_gaps",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+    tags=("window", "lag"),
+)
+def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic — inter-event gap per user (null for first)."""
+    e = t(spark, sf_dir, "events")
+    epoch = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("gap_us", epoch - F.lag(epoch).over(w))
+        .select("event_id", "user_id", "gap_us")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_rank_supplier_balance",
+    """
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           CAST(dense_rank() OVER (PARTITION BY s_nationkey
+                ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rnk,
+           CAST(ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS quartile
+    FROM supplier
+    ORDER BY s_nationkey, rnk
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    wg = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .withColumn("quartile", F.ntile(4).over(wg).cast("long"))
+        .select("s_nationkey", "s_suppkey", "s_acctbal", "rnk", "quartile")
+        .orderBy("s_nationkey", "rnk")
+    )
+
+
+# --------------------------------------------------------------------
+# Rollup / cube / grouping sets / distinct.
+# --------------------------------------------------------------------
+@register(
+    "rollup_lineitem_status",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "cube_events_type_year",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS etype,
+           COALESCE(CAST(CAST(year(ts) AS INT) AS VARCHAR), 'ALL') AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(year(ts) AS INT))
+    ORDER BY etype, yr
+    """,
+    tags=("agg", "cube"),
+)
+def cube_events_type_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn("yr_i", F.year("ts"))
+    return (
+        e.cube("event_type", "yr_i")
+        .agg(
+            F.count("*").alias("n"),
+            as_money(F.sum(cents("value"))).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("yr_i").cast("string"), F.lit("ALL")).alias("yr"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("etype", "yr")
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority
+    """,
+    tags=("agg", "grouping-sets", "sql"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the SQL API surface (spark.sql over a temp view)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@register(
+    "distinct_counts_lineitem",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------
+_SETOP_ORACLE = """
+    SELECT nk, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+      {op}
+      SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000
+    ) GROUP BY nk ORDER BY nk
+"""
+
+
+@register(
+    "setop_union_rich_nations",
+    _SETOP_ORACLE.format(op="UNION"),
+    tags=("setop",),
+)
+def setop_union_rich_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    return (
+        c.union(s).distinct().groupBy("nk").agg(F.count("*").alias("n")).orderBy("nk")
+    )
+
+
+@register(
+    "setop_intersect_rich_nations",
+    _SETOP_ORACLE.format(op="INTERSECT"),
+    tags=("setop",),
+)
+def setop_intersect_rich_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    return c.intersect(s).groupBy("nk").agg(F.count("*").alias("n")).orderBy("nk")
+
+
+@register(
+    "setop_except_rich_nations",
+    _SETOP_ORACLE.format(op="EXCEPT"),
+    tags=("setop",),
+)
+def setop_except_rich_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity)
+    return c.subtract(s).groupBy("nk").agg(F.count("*").alias("n")).orderBy("nk")
+
+
+# --------------------------------------------------------------------
+# Scalar function surface.
+# --------------------------------------------------------------------
+@register(
+    "scalar_string_part",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS INT) AS name_len,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS INT) AS n_words,
+           p_brand || ':' || p_type AS brand_type,
+           substr(p_name, 1, 8) AS name_prefix
+    FROM part
+    WHERE p_partkey < 500
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        (
+            F.length("p_name")
+            - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("int")
+        .alias("n_words"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_datetime_orders",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dy,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_datetime_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_math_case_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25.0) AS qty_dev,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS qty_class,
+           greatest(l_discount, l_tax) AS max_rate
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "math", "case"),
+)
+def scalar_math_case_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_bucket"),
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction inside an agg."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Sort / limit / pivot.
+# --------------------------------------------------------------------
+@register(
+    "topk_orders_by_price",
+    """
+    SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject, not a full
+    sort."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("pivot", "agg"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# Range (interval) join + as-of join.
+# --------------------------------------------------------------------
+@register(
+    "range_join_signup_follows",
+    """
+    SELECT s.event_id AS signup_id,
+           COUNT(e.event_id) AS n_follow
+    FROM events s LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    ORDER BY s.event_id
+    """,
+    tags=("join", "range"),
+)
+def range_join_signup_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval theta-join: events within 1h after each signup, same
+    user. Equi on user_id keeps it a hash join with a residual range
+    predicate."""
+    e = t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") > F.col("s_ts"))
+        & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        s.join(e, cond, "left")
+        .groupBy("signup_id")
+        .agg(F.count("event_id").alias("n_follow"))
+        .orderBy("signup_id")
+    )
+
+
+@register(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           l.event_id AS asof_click_id,
+           l.value AS asof_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT c.event_id, c.value
+        FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) l ON true
+    ORDER BY purchase_id
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union+window operator (operators.asof): for
+    each purchase, the latest click at-or-before it by the same user —
+    one shuffle by user, no per-pair fan-out."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof_event_id").alias("asof_click_id"),
+        F.col("asof_value").alias("asof_click_value"),
+    ).orderBy("purchase_id")
