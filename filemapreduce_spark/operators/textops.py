@@ -74,29 +74,52 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     )
 
 
-def simhash16(ws: Column) -> Column:
-    """16-bit SimHash over distinct words.
+SIMHASH_BITS = 60  # 15 md5 hex digits — fits in a signed 64-bit int
+SIMHASH_BANDS = 4  # 4 × 15-bit bands: hamming ≤ 3 ⟹ ≥1 band equal
 
-    Bit i is set iff sum over words of ±1 (sign = bit i of the first
-    16 bits of md5(word)) is positive. Pure integer arithmetic on hex
-    digits so the SQL oracle twin is exact.
+
+def word_hash60(w: Column) -> Column:
+    """First 60 bits of md5(word) as a BIGINT (15 hex digits)."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
+def simhash_from_word_hashes(df: DataFrame, doc_col: str, hash_col: str) -> DataFrame:
+    """(doc, word-hash) rows → (doc, simhash) with a 60-bit SimHash.
+
+    Bit i of the signature is set iff the ±1 majority vote of bit i
+    across the doc's word hashes is positive. Computed as explode(60
+    bits) → groupBy — two shuffles on (doc, bit) / (doc), fully
+    distributed, no per-row Python.
     """
-    uniq = F.array_distinct(ws)
-    # value of md5's first 4 hex digits as an int (16 bits)
-    h16 = lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long")
-    bit = lambda h, i: F.shiftright(h, i).bitwiseAND(F.lit(1))
-    terms = [
-        F.aggregate(
-            uniq,
-            F.lit(0).cast("long"),
-            lambda acc, w: acc + (bit(h16(w), i) * 2 - 1),
-        )
-        for i in range(16)
-    ]
-    return sum(
-        (F.when(t > 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i, t in enumerate(terms)),
-        F.lit(0),
-    ).cast("long")
+    bits = df.select(
+        F.col(doc_col),
+        F.col(hash_col).alias("_h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("_i"),
+    ).select(
+        doc_col,
+        "_i",
+        F.expr("(shiftright(_h, _i) & 1) * 2 - 1").alias("_sign"),
+    )
+    votes = bits.groupBy(doc_col, "_i").agg(F.sum("_sign").alias("_s"))
+    return votes.groupBy(doc_col).agg(
+        F.sum(
+            F.when(
+                F.col("_s") > 0, F.expr("CAST(pow(2, _i) AS BIGINT)")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_bands(simhash: Column) -> Column:
+    """Array of SIMHASH_BANDS 15-bit band values for LSH bucketing."""
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftright(simhash, b * width).bitwiseAND(F.lit(mask))
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
 
 
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

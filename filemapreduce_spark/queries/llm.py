@@ -19,8 +19,10 @@ from filemapreduce_spark.operators.textops import (
     TOKEN_REGEX,
     fingerprint,
     minhash_signature,
-    simhash16,
+    simhash_bands,
+    simhash_from_word_hashes,
     token_count_regex,
+    word_hash60,
     word_shingles,
     words,
 )
@@ -102,7 +104,7 @@ _MINHASH_ORACLE = """
     WITH d AS (
       SELECT doc_id, {words} AS ws FROM documents
     ), d2 AS (
-      SELECT doc_id, {shingles} AS shingles FROM d WHERE len(ws) >= 2
+      SELECT doc_id, {shingles} AS shingles FROM d WHERE len(ws) >= 3
     ), sh AS (
       SELECT doc_id, unnest(shingles) AS s FROM d2
     ), sig AS (
@@ -110,7 +112,8 @@ _MINHASH_ORACLE = """
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j)
       GROUP BY doc_id, j
     ), bandkeys AS (
-      SELECT doc_id, j AS band, h AS key FROM sig
+      SELECT doc_id, j // 2 AS band, string_agg(h, '' ORDER BY j) AS key
+      FROM sig GROUP BY doc_id, j // 2
     ), cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bandkeys a JOIN bandkeys b
@@ -132,7 +135,7 @@ _MINHASH_ORACLE = """
     JOIN sizes nb ON nb.doc_id = i.doc_b
     WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= 0.2
     ORDER BY doc_a, doc_b
-""".format(words=_SQL_WORDS, shingles=_SQL_SHINGLES2)
+""".format(words=_SQL_WORDS, shingles=_SQL_SHINGLES3)
 
 
 @register(
@@ -141,23 +144,47 @@ _MINHASH_ORACLE = """
     tags=("dedup", "minhash", "lsh", "llm"),
 )
 def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8)+LSH near-dup: shingle → minhash → band-bucket
-    self-join → exact-Jaccard verify (≥ 0.2).
+    """MinHash(8)+LSH near-dup: shingle → minhash → banded (4 bands ×
+    2 rows) bucket self-join → exact-Jaccard verify (≥ 0.2).
 
-    Scale shape: candidate generation is a shuffle on (band, minhash)
-    — never an O(N²) cross join; the exact verify only touches
-    candidate pairs.
+    Scale shape: candidate generation is a shuffle on (band, band-key)
+    — never an O(N²) cross join; a candidate needs TWO minhashes equal
+    (one full band), so buckets stay small on non-duplicate corpora;
+    the exact verify only touches candidate pairs.
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("ws")
     )
-    d2 = d.filter(F.size("ws") >= 2).select(
-        "doc_id", word_shingles(F.col("ws"), 2).alias("shingles")
+    d2 = d.filter(F.size("ws") >= 3).select(
+        "doc_id", word_shingles(F.col("ws"), 3).alias("shingles")
     )
     sh = d2.select("doc_id", F.explode("shingles").alias("s"))
-    sig = d2.select(
-        "doc_id", F.posexplode(minhash_signature(F.col("shingles"), 8))
-    ).select("doc_id", F.col("pos").alias("band"), F.col("col").alias("key"))
+    # each md5(seed:shingle) is computed exactly ONCE (exploded rows +
+    # groupBy-min), not re-evaluated per band access — at N docs × S
+    # shingles this is the difference between 8·N·S and 64·N·S hashes
+    hashes = sh.select(
+        "doc_id",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s"))).alias(
+            "h"
+        ),
+    )
+    minh = hashes.groupBy("doc_id", "j").agg(F.min("h").alias("h"))
+    # band key = the two minhashes of the band concatenated in j order
+    sig = (
+        minh.withColumn("band", F.expr("j div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat(
+                F.max(F.when(F.col("j") % 2 == 0, F.col("h"))),
+                F.max(F.when(F.col("j") % 2 == 1, F.col("h"))),
+            ).alias("key")
+        )
+    )
 
     a = sig.alias("a")
     b = sig.alias("b")
@@ -257,31 +284,42 @@ def neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# SimHash.
+# SimHash (60-bit, LSH-banded pair generation).
 # --------------------------------------------------------------------
-_SIMHASH_SQL_BASE = """
+_H60_TERMS = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(w),{k},1))-1)*{16 ** (15 - k)}"
+    for k in range(1, 16)
+)
+
+_SIMHASH_SQL_BASE = f"""
     WITH d AS (
-      SELECT doc_id, {words} AS ws FROM documents
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
     ), w AS (
       SELECT DISTINCT doc_id, unnest(ws) AS w FROM d
     ), h AS (
-      SELECT doc_id, w,
-             (strpos('0123456789abcdef', substr(md5(w),1,1))-1)*4096
-           + (strpos('0123456789abcdef', substr(md5(w),2,1))-1)*256
-           + (strpos('0123456789abcdef', substr(md5(w),3,1))-1)*16
-           + (strpos('0123456789abcdef', substr(md5(w),4,1))-1) AS h16
+      SELECT doc_id, w, {_H60_TERMS} AS h60
       FROM w
     ), bits AS (
       SELECT doc_id, i,
-             SUM(CASE WHEN (h16 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM h CROSS JOIN (SELECT unnest(range(16)) AS i)
+             SUM(CASE WHEN (h60 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS i)
       GROUP BY doc_id, i
     ), sig AS (
       SELECT doc_id,
-             CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id
     )
-""".format(words=_SQL_WORDS)
+"""
+
+
+def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("ws")
+    )
+    wh = d.select(
+        "doc_id", F.explode(F.array_distinct("ws")).alias("w")
+    ).select("doc_id", word_hash60(F.col("w")).alias("h"))
+    return simhash_from_word_hashes(wh, "doc_id", "h")
 
 
 @register(
@@ -290,11 +328,8 @@ _SIMHASH_SQL_BASE = """
     tags=("dedup", "simhash", "llm"),
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (integer-exact, oracle-matched)."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", simhash16(words("text")).alias("simhash")
-    ).orderBy("doc_id")
+    """60-bit SimHash per document (integer-exact, oracle-matched)."""
+    return _spark_simhash(spark, sf_dir).orderBy("doc_id")
 
 
 @register(
@@ -304,26 +339,45 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY doc_a, doc_b
     """,
-    tags=("dedup", "simhash", "llm"),
+    tags=("dedup", "simhash", "lsh", "llm"),
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: Hamming distance ≤ 2."""
-    d = t(spark, sf_dir, "documents")
-    sig = d.select("doc_id", simhash16(words("text")).alias("simhash"))
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    """SimHash near-dups (Hamming ≤ 3) via banded LSH.
+
+    The signature is split into 4 × 15-bit bands; by pigeonhole any
+    pair within Hamming 3 shares at least one full band, so the
+    equi-join on (band, value) finds EXACTLY the pairs the oracle's
+    full O(N²) enumeration finds — while Spark only shuffles on band
+    buckets (linear in N for non-duplicate corpora).
+    """
+    sig = _spark_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(simhash_bands(F.col("simhash"))).alias("band", "bval"),
     )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "band",
+        "bval",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        "band",
+        "bval",
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(ham <= 2)
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
 
