@@ -147,10 +147,15 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH near-dup: shingle → minhash → banded (4 bands ×
     2 rows) bucket self-join → exact-Jaccard verify (≥ 0.2).
 
-    Scale shape: candidate generation is a shuffle on (band, band-key)
-    — never an O(N²) cross join; a candidate needs TWO minhashes equal
-    (one full band), so buckets stay small on non-duplicate corpora;
-    the exact verify only touches candidate pairs.
+    Scale shape: the signature is computed *per row* with
+    transform/array_min — zero shuffles before candidate generation
+    (vs. the naive explode(8×shingles)+groupBy plan, which shuffles
+    8·N·S hash rows). Candidate generation is then one shuffle on
+    (band, band-key) — never an O(N²) cross join; a candidate needs
+    TWO minhashes equal (one full band), so buckets stay small on
+    non-duplicate corpora. The exact verify joins the (few) candidate
+    pairs back to the per-doc shingle arrays and uses array_intersect
+    row-locally — it only ever touches candidate pairs.
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("ws")
@@ -158,36 +163,33 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d.filter(F.size("ws") >= 3).select(
         "doc_id", word_shingles(F.col("ws"), 3).alias("shingles")
     )
-    sh = d2.select("doc_id", F.explode("shingles").alias("s"))
-    # each md5(seed:shingle) is computed exactly ONCE (exploded rows +
-    # groupBy-min), not re-evaluated per band access — at N docs × S
-    # shingles this is the difference between 8·N·S and 64·N·S hashes
-    hashes = sh.select(
+    # per-row signature: sig[j] = min over shingles of md5(j ':' s)
+    sig = d2.select(
         "doc_id",
-        "s",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
-    ).select(
-        "doc_id",
-        "j",
-        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s"))).alias(
-            "h"
-        ),
+        "shingles",
+        minhash_signature(F.col("shingles"), 8).alias("sig"),
     )
-    minh = hashes.groupBy("doc_id", "j").agg(F.min("h").alias("h"))
     # band key = the two minhashes of the band concatenated in j order
-    sig = (
-        minh.withColumn("band", F.expr("j div 2"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat(
-                F.max(F.when(F.col("j") % 2 == 0, F.col("h"))),
-                F.max(F.when(F.col("j") % 2 == 1, F.col("h"))),
-            ).alias("key")
-        )
-    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.concat(
+                            F.element_at("sig", 2 * bnd + 1),
+                            F.element_at("sig", 2 * bnd + 2),
+                        ).alias("key"),
+                    )
+                    for bnd in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
 
-    a = sig.alias("a")
-    b = sig.alias("b")
+    a = bands.alias("a")
+    b = bands.alias("b")
     cand = (
         a.join(
             b,
@@ -200,27 +202,29 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    shx = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sx"))
-    shy = sh.select(F.col("doc_id").alias("_doc_y"), F.col("s").alias("sy"))
-    inter = (
-        cand.join(shx, "doc_a")
-        .join(
-            shy,
-            (F.col("doc_b") == F.col("_doc_y")) & (F.col("sx") == F.col("sy")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # exact verify: join candidates to shingle arrays, intersect row-locally
+    sa = d2.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sb = d2.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= 0.2)
+        verified.filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
