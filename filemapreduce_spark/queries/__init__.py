@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         relational,
         streaming,
+        subqueries,
     )
 
     return REGISTRY

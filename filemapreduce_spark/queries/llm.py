@@ -26,7 +26,12 @@ from filemapreduce_spark.operators.textops import (
     word_shingles,
     words,
 )
-from filemapreduce_spark.operators.vectors import cosine_topk, ivf_topk
+from filemapreduce_spark.operators.vectors import (
+    cosine,
+    cosine_topk,
+    ivf_topk,
+    to_double,
+)
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.queries.relational import t
 
@@ -643,6 +648,117 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.coalesce(fingerprint(sh5), F.lit("NONE")).alias("fp")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection.
+# --------------------------------------------------------------------
+@register(
+    "neardup_embedding_cosine",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS id_a, label, embedding AS qe FROM embeddings
+    ), c AS (
+      SELECT vec_id AS id_b, label, embedding AS ce FROM embeddings
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT id_a, id_b, {_COSINE_EXPR} AS cos
+      FROM q JOIN c ON q.label = c.label AND id_a < id_b
+    ) WHERE cos >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "embedding", "ann", "llm"),
+)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs in the same coarse cell with
+    cosine ≥ 0.3 (IVF-style blocking, then exact verify).
+
+    Scale shape: candidate pairs are generated only WITHIN a cell
+    (equi-join on the cell id — one shuffle, no O(N²) cross join);
+    the cosine is a JVM-side zip_with/aggregate fold per candidate.
+    At 100 TB the cell id comes from a k-means coarse quantizer and
+    skewed cells get salted; the plan shape is unchanged.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        to_double(F.col("embedding")).alias("_va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        "label",
+        to_double(F.col("embedding")).alias("_vb"),
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------
+# Approximate aggregates (sketches) + their exact twins.
+# --------------------------------------------------------------------
+@register(
+    "exact_quantiles_events",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "quantile"),
+)
+def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count + interpolated percentiles per event type —
+    the exact twins the approximate sketches are graded against."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "approx_aggregates_events",
+    None,  # sketch outputs are engine-specific → rows-only check; the
+    # exact twin above is the hash-matched gate (SURVEY §2 Part B)
+    tags=("agg", "approx", "sketch"),
+)
+def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches: HyperLogLog++ distinct counts and
+    GK-sketch percentiles — the single-pass, bounded-memory operators
+    actually used at 100 TB (exactness traded for no huge shuffle).
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias(
+                "approx_p50"
+            ),
+            F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias(
+                "approx_p99"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 # --------------------------------------------------------------------

@@ -138,3 +138,166 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Bounded file-source stream over events.parquet (symlinked into a
+    temp dir — the file stream source requires a directory)."""
+    stream_dir = tempfile.mkdtemp(prefix="fmr_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(agg_writer, name: str, mode: str) -> None:
+    q = (
+        agg_writer.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fmr_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "streaming_sliding_counts",
+    """
+    WITH w AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200)
+               AS w1, ts, event_type, value
+      FROM events
+    ), expanded AS (
+      SELECT w1 AS ws, event_type, value FROM w
+      UNION ALL
+      SELECT w1 - INTERVAL 12 HOUR AS ws, event_type, value FROM w
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 day window / 12 h slide) aggregation with a
+    watermark, run as a real Structured Streaming query to completion.
+    Each event lands in exactly two windows; the oracle materializes
+    both window starts per row and re-aggregates.
+
+    Scale shape: watermark bounds state (late rows beyond 1 day are
+    dropped and their windows evicted); the agg itself is the standard
+    partial/final shuffle keyed by (window, event_type).
+    """
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    _run_to_memory(agg.writeStream, name, "complete")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "streaming_stateful_user_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           round(MAX(value), 6) AS max_value,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running stats via
+    ``applyInPandasWithState`` (Arrow-batched, arbitrary Python state
+    per key). A bounded stream processed to completion emits each
+    key's final state, so the batch groupBy is an exact oracle.
+
+    Scale shape: state lives in the state store keyed by user_id —
+    one shuffle on the key, per-key state O(1); this is the template
+    for operators Spark's built-in aggs can't express (decayed
+    counters, per-key models, CDC merge)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+
+    def update_user(key, pdfs, state: GroupState):
+        n, mx, types = (
+            state.get if state.exists else (0, float("-inf"), [])
+        )
+        types = set(types)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, pdf["value"].max())
+            types |= set(pdf["event_type"])
+        state.update((n, float(mx), sorted(types)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [round(mx, 6)],
+                "n_types": [len(types)],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update_user,
+        outputStructType="user_id long, n_events long, max_value double, n_types long",
+        stateStructType="n long, mx double, types array<string>",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(out.writeStream, name, "update")
+    return spark.table(name).orderBy("user_id")
+
+
+@register(
+    "streaming_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` on the key columns
+    inside a streaming query — the state store keeps one entry per
+    seen key; emitting only the keys makes the result deterministic.
+
+    Scale shape: at 100 TB this is ``dropDuplicatesWithinWatermark``
+    so key state is evicted after the lateness bound instead of
+    growing forever; the bounded-replay test keeps unbounded state."""
+    stream = _events_stream(spark, sf_dir)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    dedup = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    _run_to_memory(dedup.writeStream, name, "append")
+    return spark.table(name).orderBy("user_id", "event_type")

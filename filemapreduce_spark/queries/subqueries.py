@@ -1,0 +1,515 @@
+"""Subquery-pattern suite (SURVEY.md §2 Part B, joins/aggregation):
+TPC-H-shaped queries adapted to the test schema (no partsupp table,
+reduced columns) that exercise the decorrelation patterns Catalyst
+must plan well at scale:
+
+- uncorrelated scalar subquery as a filter bound (q22, q11 shapes)
+- correlated scalar subquery → groupBy + join-back (q17, q2, q15)
+- left-outer + re-aggregation distribution (q13)
+- multi-role dimension join (nation twice — q7)
+- disjunctive pushdown predicates (q19)
+- returned-items top-k over a 4-table join (q10)
+
+All money comparisons use exact integer cents (operators.money) so the
+DuckDB oracle hash-matches bit-for-bit; threshold comparisons are done
+in scaled integers (value_e4 * K > total_e4) — exact, never float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.money import as_money, cents, disc_price_e4
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+_SQL_DISC_E4 = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+# --------------------------------------------------------------------
+# q7 — volume shipping between two nations (dimension joined twice).
+# --------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_SQL_DISC_E4}) / 10000.0 AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two nations by year.
+
+    Scale shape: the two nation joins are broadcast (25 rows); the
+    nation filters reach the scan before the big lineitem⋈orders
+    shuffle; fact-fact join shuffles on orderkey only.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("s_nk") == F.col("s_nationkey"))
+        .join(n2, F.col("c_nk") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            (F.sum(disc_price_e4("l_extendedprice", "l_discount")) / 10000.0)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------
+# q10 — returned-item top customers (4-table join + top-k).
+# --------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_SQL_DISC_E4}) / 10000.0 AS DOUBLE) AS revenue,
+           CAST(round(c_acctbal * 100) AS BIGINT) / 100.0 AS c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY SUM({_SQL_DISC_E4}) DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter.
+
+    Scale shape: the order-date and returnflag filters push to the
+    scans; customer/nation join broadcast; the top-20 is a
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cu = t(spark, sf_dir, "customer")
+    na = F.broadcast(t(spark, sf_dir, "nation"))
+    rev_e4 = F.sum(disc_price_e4("l_extendedprice", "l_discount"))
+    return (
+        cu.join(od, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(na, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev_e4.alias("rev_e4"))
+        .orderBy(F.col("rev_e4").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_e4") / 10000.0).cast("double").alias("revenue"),
+            as_money(cents("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q13 — customer order-count distribution (outer join + re-agg).
+# --------------------------------------------------------------------
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts
+    (left outer join keeps 0-order customers; COUNT(col) skips nulls).
+
+    Scale shape: first agg shuffles on c_custkey; the second agg input
+    is one row per customer — tiny; both get map-side partials.
+    """
+    cu = t(spark, sf_dir, "customer").select("c_custkey")
+    od = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------
+# q15 — top supplier by 3-month revenue (scalar subquery on an agg).
+# --------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({_SQL_DISC_E4}) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_e4 / 10000.0 AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_e4 = (SELECT MAX(total_e4) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    — scalar subquery over an aggregated view, compared in exact e4
+    integers (no float ties).
+
+    Scale shape: revenue is one shuffle on l_suppkey; the MAX is a
+    single-value reduction broadcast back into the filter; supplier
+    join is broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price_e4("l_extendedprice", "l_discount")).alias("total_e4")
+    )
+    max_e4 = revenue.agg(F.max("total_e4").alias("m"))
+    su = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        revenue.join(F.broadcast(max_e4), F.col("total_e4") == F.col("m"))
+        .join(su, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_e4") / 10000.0).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------
+# q17 — small-quantity revenue (correlated scalar subquery per part).
+# --------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity * 5 * (
+        SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      ) < (
+        SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    tags=("tpch", "subquery", "correlated"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average quantity — the correlated scalar
+    subquery decorrelated as groupBy + join-back. The threshold
+    ``qty < 0.2 * sum/cnt`` is compared as ``qty * 5 * cnt < sum``
+    in exact integers (quantities are whole numbers).
+
+    Scale shape: per-part stats are one shuffle on l_partkey (2k
+    parts) and broadcast back; no correlated re-scan per row.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pa = F.broadcast(
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    stats = F.broadcast(
+        li.groupBy(F.col("l_partkey").alias("sk")).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        )
+    )
+    return (
+        li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
+        .join(stats, F.col("sk") == F.col("l_partkey"))
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("qty_sum")
+        )
+        .agg(
+            (as_money(F.sum(cents("l_extendedprice"))) / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q19 — disjunctive predicate revenue (OR-of-ANDs pushdown).
+# --------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_SQL_DISC_E4}) / 10000.0 AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    tags=("tpch", "filter", "join"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    conjunctions.
+
+    Scale shape: part side is broadcast; the disjunction referencing
+    both sides evaluates post-join, but single-side conjuncts
+    (brand/size sets, quantity range 1..50) are derivable and the
+    broadcast keeps the fact table un-shuffled.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pa = F.broadcast(
+        t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 50))
+    )
+    return (
+        li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            (F.sum(disc_price_e4("l_extendedprice", "l_discount")) / 10000.0)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q22 — idle rich customers (scalar-subquery bound + anti join).
+# --------------------------------------------------------------------
+@register(
+    "q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS a_cents
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+             AS totacctbal
+    FROM customer
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (SELECT a_cents FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("tpch", "subquery", "anti"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers richer than the positive-balance
+    average with no urgent orders, grouped by segment — uncorrelated
+    scalar subquery bound + anti join. The average is computed from exact
+    integer cents so both engines derive the identical double.
+
+    Scale shape: the average is a single-value reduction; the anti
+    join shuffles on custkey (or broadcasts the distinct buyer set);
+    no correlated per-row scan.
+    """
+    cu = t(spark, sf_dir, "customer")
+    od = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(cents("c_acctbal")).cast("double") / F.count("*")).alias("a_cents")
+    )
+    return (
+        cu.join(F.broadcast(avg_bal), cents("c_acctbal") > F.col("a_cents"))
+        .join(od, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            as_money(F.sum(cents("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------
+# q11-style — value concentration (scalar subquery share-of-total).
+# --------------------------------------------------------------------
+@register(
+    "q11_value_concentration",
+    f"""
+    WITH value AS (
+      SELECT l_partkey, SUM({_SQL_DISC_E4}) AS v_e4
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(v_e4 / 10000.0 AS DOUBLE) AS part_value
+    FROM value
+    WHERE v_e4 * 20000 > (SELECT SUM(v_e4) FROM value) * 11
+    ORDER BY v_e4 DESC, p_partkey
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp table): parts whose
+    revenue share exceeds 0.055% of total (1.1× the uniform mean over
+    2k parts). The share threshold is the exact integer comparison
+    ``v_e4 * 20000 > total_e4 * 11`` — no float.
+
+    Scale shape: one shuffle on l_partkey; the grand total re-uses the
+    per-part aggregate (tiny input) and broadcasts back.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    value = li.groupBy("l_partkey").agg(
+        F.sum(disc_price_e4("l_extendedprice", "l_discount")).alias("v_e4")
+    )
+    total = value.agg(F.sum("v_e4").alias("t_e4"))
+    return (
+        value.join(F.broadcast(total), F.col("v_e4") * 20000 > F.col("t_e4") * 11)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("v_e4") / 10000.0).cast("double").alias("part_value"),
+            F.col("v_e4"),
+        )
+        .orderBy(F.col("v_e4").desc(), "p_partkey")
+        .drop("v_e4")
+    )
+
+
+# --------------------------------------------------------------------
+# q2-style — min-cost supplier per part (correlated min + join-back).
+# --------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, SUM({_SQL_DISC_E4}) AS c_e4
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, s_name,
+           CAST(c_e4 / 10000.0 AS DOUBLE) AS supply_value
+    FROM part
+    JOIN cost ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size = 5
+      AND c_e4 = (SELECT MIN(c2.c_e4) FROM cost c2
+                  WHERE c2.l_partkey = p_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+    tags=("tpch", "subquery", "correlated"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: supply cost = the supplier's summed
+    discounted revenue for the part): for size-5 parts, the supplier(s)
+    with the minimum cost — correlated MIN decorrelated as a per-part
+    aggregate joined back, compared in exact e4 integers.
+
+    Scale shape: cost is one shuffle on (partkey, suppkey); the
+    per-part MIN re-aggregates that output (no second fact scan);
+    part/supplier dims broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(disc_price_e4("l_extendedprice", "l_discount")).alias("c_e4")
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("c_e4").alias("min_e4")
+    )
+    pa = F.broadcast(
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 5)
+        .select("p_partkey", "p_name")
+    )
+    su = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        cost.join(pa, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            min_cost,
+            (F.col("mk") == F.col("l_partkey")) & (F.col("c_e4") == F.col("min_e4")),
+        )
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            (F.col("c_e4") / 10000.0).cast("double").alias("supply_value"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
