@@ -36,6 +36,13 @@ HEADLINE = [
     "simhash_neardup_pairs",
     "similarity_bruteforce_topk",
     "text_stats_by_source",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
+    "neardup_embedding_cosine",
+    "exact_quantiles_events",
 ]
 
 

@@ -110,6 +110,41 @@ def simhash_from_word_hashes(df: DataFrame, doc_col: str, hash_col: str) -> Data
     )
 
 
+def simhash_from_words_expr(words_col: str) -> Column:
+    """60-bit SimHash computed entirely per row (zero shuffles).
+
+    Same semantics as :func:`simhash_from_word_hashes` (verified
+    identical output) but as one JVM-side expression: hash each
+    distinct word once, fold ±1 bit votes into a 60-slot accumulator
+    array, then assemble the majority-vote bits into a BIGINT. SQL
+    string because the Python HOF API can't express a variable shift
+    amount (``shiftright(h, i)`` with lambda-bound ``i``).
+
+    Scale shape: the explode-based variant shuffles 60·W rows per doc
+    through two groupBys; this one touches no shuffle at all — the
+    signature is available wherever the document row already is.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(array_distinct({words_col}),
+                        w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)),
+              array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, {SIMHASH_BITS - 1}),
+                          i -> (shiftright(h, i) & 1) * 2 - 1),
+                (a, b) -> a + CAST(b AS BIGINT))),
+            sequence(0, {SIMHASH_BITS - 1}),
+            (v, i) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), i),
+                         CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (a, x) -> a + x)
+        """
+    )
+
+
 def simhash_bands(simhash: Column) -> Column:
     """Array of SIMHASH_BANDS 15-bit band values for LSH bucketing."""
     width = SIMHASH_BITS // SIMHASH_BANDS

@@ -57,16 +57,25 @@ def cosine_topk(
 
     Excludes self-matches. Ties break on neighbor id (deterministic).
     """
+    # norms computed once per ROW on each side (not once per pair);
+    # dot/(nq*nc) is the same arithmetic as cosine(), so rounded
+    # values are unchanged
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
-        .drop("_qv", "_cv")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                round_to,
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -96,17 +105,23 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(cell_col).alias("cell"),
         to_double(F.col(vec_col)).alias("_qv"),
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(cell_col).alias("cell"),
         to_double(F.col(vec_col)).alias("_cv"),
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
-        .drop("_qv", "_cv")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                round_to,
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

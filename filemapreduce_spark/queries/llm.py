@@ -20,16 +20,16 @@ from filemapreduce_spark.operators.textops import (
     fingerprint,
     minhash_signature,
     simhash_bands,
-    simhash_from_word_hashes,
+    simhash_from_words_expr,
     token_count_regex,
-    word_hash60,
     word_shingles,
     words,
 )
 from filemapreduce_spark.operators.vectors import (
-    cosine,
     cosine_topk,
+    dot,
     ivf_topk,
+    norm,
     to_double,
 )
 from filemapreduce_spark.queries import register
@@ -325,10 +325,7 @@ def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("ws")
     )
-    wh = d.select(
-        "doc_id", F.explode(F.array_distinct("ws")).alias("w")
-    ).select("doc_id", word_hash60(F.col("w")).alias("h"))
-    return simhash_from_word_hashes(wh, "doc_id", "h")
+    return d.select("doc_id", simhash_from_words_expr("ws").alias("simhash"))
 
 
 @register(
@@ -361,8 +358,14 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band, value) finds EXACTLY the pairs the oracle's
     full O(N²) enumeration finds — while Spark only shuffles on band
     buckets (linear in N for non-duplicate corpora).
+
+    The signature table is persisted before the self-join: it's O(N)
+    tiny (doc_id + one BIGINT), both join sides read it from cache
+    instead of re-hashing every document, and the materialized size
+    lets AQE pick the join strategy from real stats.
     """
-    sig = _spark_simhash(spark, sf_dir)
+    sig = _spark_simhash(spark, sf_dir).persist()
+    sig.count()  # materialize so both self-join sides hit the cache
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -679,16 +682,25 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the cell id comes from a k-means coarse quantizer and
     skewed cells get salted; the plan shape is unchanged.
     """
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("_v")
+    )
+    # norm computed ONCE per vector (row-local), not once per pair —
+    # same arithmetic as dot/(sqrt(dot aa)*sqrt(dot bb)), so the
+    # rounded value still hash-matches the oracle
+    emb = emb.withColumn("_n", norm(F.col("_v"))).persist()
+    emb.count()  # materialize: both self-join sides read the cache
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         "label",
-        to_double(F.col("embedding")).alias("_va"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         "label",
-        to_double(F.col("embedding")).alias("_vb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, "label")
@@ -696,7 +708,10 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.3)
         .orderBy("id_a", "id_b")

@@ -1,0 +1,72 @@
+"""File sinks: partitioned and bucketed writes (SURVEY.md §2 Part B,
+"Sinks").
+
+The reference's only sink is the single-value ``Finalizer``
+(``/root/reference/interfaces.go:68-78``); at 100 TB the real sinks
+are partitioned columnar tables. These helpers encode the two layout
+decisions that matter at scale:
+
+- **Partitioned write** (`write_partitioned`): directory-level
+  partitioning by low-cardinality columns → readers get partition
+  PRUNING (a filter on the partition column skips whole directories
+  before any IO).
+- **Bucketed table** (`write_bucketed`): hash-bucketed (and
+  sort-ordered) layout by a join/agg key → a join between two tables
+  bucketed on the same key by the same bucket count runs with NO
+  shuffle on either side.
+
+Both are thin, typed wrappers over the DataFrameWriter so the engine's
+job API can declare sinks instead of hand-writing writer chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    format: str = "parquet",
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` as a partitioned dataset.
+
+    ``max_records_per_file`` bounds output file size (the 100 TB guard
+    against both giant files and the small-files problem — pair it
+    with an upstream ``repartition(partition_by)`` so each partition
+    directory is written by few tasks).
+    """
+    w = df.write.mode(mode).format(format).partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Save ``df`` as a bucketed (optionally sort-ordered) table.
+
+    Bucketing is a table-catalog feature (bucket metadata lives in the
+    metastore), hence ``saveAsTable`` rather than ``save(path)``.
+    Joins/aggregations on ``bucket_by`` between tables with matching
+    bucketing run shuffle-free (verified by tests/test_sinks.py
+    asserting the absence of Exchange in the join plan).
+    """
+    w = (
+        df.write.mode(mode)
+        .format(format)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

@@ -1,0 +1,84 @@
+"""Sinks: partitioned writes must prune on read; bucketed tables must
+join without a shuffle. These are plan-shape tests — the properties
+that matter at 100 TB, asserted on the physical plan, not just row
+counts.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.sinks import write_bucketed, write_partitioned
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_partitioned_write_roundtrip_and_pruning(spark, lineitem, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part_sink") / "lineitem_by_flag")
+    write_partitioned(lineitem, out, ["l_returnflag"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == lineitem.count()
+
+    # a filter on the partition column must become a PartitionFilter
+    # (directory pruning), not a row-level scan filter
+    q = back.filter(F.col("l_returnflag") == "R")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    exact = (
+        lineitem.filter(F.col("l_returnflag") == "R").count()
+    )
+    assert q.count() == exact
+
+
+def test_partitioned_write_max_records_splits_files(spark, lineitem, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part_sink") / "lineitem_small_files")
+    write_partitioned(
+        lineitem.repartition(1), out, ["l_linestatus"], max_records_per_file=500
+    )
+    back = spark.read.parquet(out)
+    n_files = back.select(F.input_file_name()).distinct().count()
+    assert back.count() == lineitem.count()
+    # ~6k rows at 500/file → well more than one file per partition dir
+    assert n_files >= lineitem.count() // 500
+
+
+def test_bucketed_join_has_no_shuffle(spark, lineitem):
+    # saveAsTable uses the session's default warehouse; tables are
+    # managed and dropped (with their files) in the finally block
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    write_bucketed(
+        lineitem, "li_bucketed", ["l_orderkey"], 8, sort_by=["l_orderkey"]
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "od_bucketed",
+        ["l_orderkey"],
+        8,
+        sort_by=["l_orderkey"],
+    )
+    li = spark.table("li_bucketed")
+    od = spark.table("od_bucketed")
+    # disable auto-broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(od, "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the plain parquet join
+        expect = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS od_bucketed")
