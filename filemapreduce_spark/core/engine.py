@@ -59,6 +59,11 @@ def _loader_column(loader: LoaderSpec) -> Column:
     if isinstance(loader, str) and loader.startswith("json:"):
         schema_ddl = loader[len("json:"):]
         return F.from_json(F.decode(content, "UTF-8"), schema_ddl)
+    if isinstance(loader, str) and loader.startswith("csv:"):
+        # one CSV record per file (header-less); multi-record files go
+        # through a mapper that splits lines before from_csv
+        schema_ddl = loader[len("csv:"):]
+        return F.from_csv(F.decode(content, "UTF-8"), F.lit(schema_ddl))
     if callable(loader):
         return loader(content)
     raise ValueError(f"unknown loader spec: {loader!r}")
@@ -76,8 +81,8 @@ class Job:
     - directory_files: glob/Filter for hierarchical metadata files;
       adds a root-first ``parents`` array column (interfaces.go:13-18).
     - loader: how to parse content → data ("bytes" | "text" |
-      "json:<ddl>" | Column fn). Directory files reuse it unless
-      ``dir_loader`` overrides.
+      "json:<ddl>" | "csv:<ddl>" | Column fn). Directory files reuse
+      it unless ``dir_loader`` overrides.
     - sort_key: column name(s)/Column(s); establishes a deterministic
       global order before an order-sensitive reducer (Sorter,
       interfaces.go:31-48).

@@ -168,12 +168,17 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d.filter(F.size("ws") >= 3).select(
         "doc_id", word_shingles(F.col("ws"), 3).alias("shingles")
     )
-    # per-row signature: sig[j] = min over shingles of md5(j ':' s)
+    # per-row signature: sig[j] = min over shingles of md5(j ':' s).
+    # Persisted because FOUR downstream plan branches read it (two
+    # band self-join sides, two verify-join sides) — without the cache
+    # the shingling + 8×md5 signature would be recomputed per branch.
     sig = d2.select(
         "doc_id",
         "shingles",
         minhash_signature(F.col("shingles"), 8).alias("sig"),
-    )
+    ).persist()
+    sig.count()  # materialize before the multi-branch fan-out
+    d2 = sig.select("doc_id", "shingles")
     # band key = the two minhashes of the band concatenated in j order
     bands = sig.select(
         "doc_id",

@@ -24,12 +24,27 @@ TABLE_NAMES = (
 )
 
 
+# Tables whose queries are dominated by per-row expression work
+# (hashing, shingling, vector folds). The test files are single-row-
+# group parquet (one scan task no matter what maxPartitionBytes says),
+# so without an explicit split ALL that compute runs on one core. On a
+# real multi-file dataset the scan already yields >= parallelism
+# partitions and the repartition below becomes a no-op branch.
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS); the session reads nanos as int64
     # — truncate to microseconds (matches DuckDB's read of the file).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in _COMPUTE_HEAVY:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            # round-robin split so the downstream hash/fold expressions
+            # use every core; the shuffled payload is just the raw rows
+            df = df.repartition(target)
     return df
 
 

@@ -349,3 +349,25 @@ def test_sorted_reduce_deterministic_order(spark):
 def test_with_text_helper(spark):
     df = with_text(files_from_memory(spark, {"x.txt": "héllo"}))
     assert df.collect()[0].text == "héllo"
+
+
+def test_csv_loader(spark):
+    """csv:<ddl> loader parses one CSV record per file into a struct."""
+    eng = FileEngine.from_memory(
+        spark,
+        {"rows/a.csv": "1,alpha", "rows/b.csv": "2,beta"},
+    )
+    out = eng.run(
+        [
+            Job(
+                name="csv",
+                path_filter="rows/*.csv",
+                loader="csv:id INT, name STRING",
+                mapper=lambda df: df.select("data.id", "data.name"),
+                finalizer=lambda df: sorted(
+                    (r.id, r.name) for r in df.collect()
+                ),
+            )
+        ]
+    )
+    assert out["csv"] == [(1, "alpha"), (2, "beta")]
