@@ -1,0 +1,97 @@
+"""Plan-shape assertions: the physical-plan properties that make the
+queries scale. Row counts can't distinguish a pushed-down filter from
+a full scan or a broadcast join from an all-to-all shuffle — these
+tests read the executed plan and assert the shape directly.
+
+Run at sf0.001 (plan shape is scale-invariant; AQE join choices are
+pinned by explicit broadcast hints in the queries).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.queries import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(spark, registry, name: str) -> str:
+    df = registry[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, registry):
+    """q6's shipdate/discount/quantity predicates must reach the
+    parquet scan (PushedFilters), not run as a post-scan Filter only."""
+    plan = plan_of(spark, registry, "q6_revenue_delta")
+    scan = plan[plan.index("FileScan") :]
+    pushed = scan[scan.index("PushedFilters") :].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_scan_prunes_columns(spark, registry):
+    """q6 touches 4 of lineitem's 11 columns; ReadSchema must not
+    include the others (column pruning)."""
+    plan = plan_of(spark, registry, "q6_revenue_delta")
+    read_schema = plan[plan.index("ReadSchema") :].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    for col in ("l_orderkey", "l_returnflag", "l_tax", "l_partkey"):
+        assert col not in read_schema, f"{col} not pruned: {read_schema}"
+
+
+def test_q5_dimension_joins_broadcast(spark, registry):
+    """q5's region/nation/supplier joins must be broadcast — the big
+    fact tables must never shuffle for a dimension join."""
+    plan = plan_of(spark, registry, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark, registry):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    (per-partition heaps), not a global sort."""
+    plan = plan_of(spark, registry, "topk_orders_by_price")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_partitions_by_brand(spark, registry):
+    """Per-group top-k must partition the window by the group key —
+    no 'move everything to one partition' WindowExec."""
+    plan = plan_of(spark, registry, "window_topk_per_brand")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_minhash_no_cartesian(spark, registry):
+    """LSH candidate generation must be an equi-join on band keys —
+    never a cartesian/broadcast nested loop over doc pairs."""
+    plan = plan_of(spark, registry, "neardup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_no_cartesian(spark, registry):
+    """Embedding near-dup must block on the cell id (equi-join), not
+    compare all pairs."""
+    plan = plan_of(spark, registry, "neardup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_in_agg_path(spark, registry):
+    """q1's scan→filter→partial-agg pipeline must run inside
+    whole-stage codegen (JVM, vectorized), not interpreted. AQE only
+    materializes codegen spans in the final plan, so execute first."""
+    df = registry["q1_pricing_summary"].fn(spark, SF_DIR)
+    df.collect()  # a write would execute a copied plan, not df's own
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(n)' node prefixes mark whole-stage-codegen spans
+    import re
+
+    assert re.search(r"\*\(\d+\) (HashAggregate|Filter|Project)", plan), plan
