@@ -848,3 +848,39 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         decode_batches, schema="doc_id long, features array<double>"
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Text cleaning / redaction (training-data scrubbing).
+# --------------------------------------------------------------------
+_NUM_PAT = "[0-9][0-9][0-9]+"
+
+
+@register(
+    "text_clean_redact",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_NUM_PAT}')) AS BIGINT)
+             AS n_redacted,
+           md5(regexp_replace(lower(text), '{_NUM_PAT}', '<NUM>', 'g'))
+             AS clean_md5
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "clean", "redact", "llm"),
+)
+def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing pass: redact long digit runs (the PII-shaped token
+    class present in synthetic text) with a placeholder, counting
+    replacements — the regexp_replace cleaning pattern every training
+    pipeline runs before tokenization. Row-local JVM regex; verified
+    against the oracle by hashing the cleaned text.
+    """
+    d = t(spark, sf_dir, "documents")
+    low = F.lower("text")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{_NUM_PAT}', 0)"))
+        .cast("long")
+        .alias("n_redacted"),
+        F.md5(F.regexp_replace(low, _NUM_PAT, "<NUM>")).alias("clean_md5"),
+    ).orderBy("doc_id")

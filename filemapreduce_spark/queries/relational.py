@@ -1001,3 +1001,54 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").alias("asof_click_id"),
         F.col("asof_value").alias("asof_click_value"),
     ).orderBy("purchase_id")
+
+
+# --------------------------------------------------------------------
+# Skew-mitigated join: salting (hot reduce-side keys).
+# --------------------------------------------------------------------
+@register(
+    "join_salted_user_revenue",
+    """
+    WITH user_orders AS (
+      SELECT o_custkey AS user_id,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(spend_cents) / 100.0 AS DOUBLE) AS total_spend
+    FROM events JOIN user_orders USING (user_id)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("join", "skew", "salting"),
+)
+def join_salted_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi-join executed through the salted-join operator
+    (operators.skew): the fact side's key is extended with a
+    deterministic 8-way salt and the dim side is replicated per salt,
+    so a hot user_id spreads over 8 reduce tasks instead of one. The
+    oracle is the PLAIN join — salting must be result-invariant.
+
+    Scale shape: this is the structural fix for hot keys that AQE's
+    skew splitting can't reach (all rows of one key hash to one task);
+    dim replication cost is bounded (num_salts × |dim|).
+    """
+    from filemapreduce_spark.operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    user_orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.sum(cents("o_totalprice")).alias("spend_cents"))
+    )
+    joined = salted_join(
+        ev, user_orders, on="user_id", num_salts=8, salt_from="event_id"
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            as_money(F.sum("spend_cents")).alias("total_spend"),
+        )
+        .orderBy("event_type")
+    )
