@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         streaming,
         subqueries,
+        udx,
     )
 
     return REGISTRY

@@ -1,0 +1,109 @@
+"""User-defined execution surface (SURVEY.md §2 Part B, "UDx"): the
+Python extension points, each in its Arrow-vectorized form — never
+row-at-a-time Python UDFs in a hot path.
+
+- scalar `pandas_udf`: batch-vectorized column function;
+- grouped `applyInPandas`: per-group pandas transform (UDAF/flatMap
+  over groups);
+- (`mapInPandas` is covered by multimodal_decode_features, and
+  `applyInPandasWithState` by streaming_stateful_user_stats.)
+
+Both queries are deliberately integer/order-deterministic so they can
+be hash-checked against SQL oracles — the pattern for validating any
+Python operator against a relational spec.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+
+@register(
+    "pandas_udf_char_classes",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+           CAST(len(text) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("udx", "pandas_udf", "llm"),
+)
+def pandas_udf_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar `pandas_udf`: per-document character-class
+    counts computed on Arrow batches with pandas str ops.
+
+    Scale shape: one Python worker per task over Arrow batches
+    (zero-copy columnar transfer), ~10-100× a row-at-a-time udf; the
+    operator stays embarrassingly parallel — no shuffle.
+    """
+
+    @pandas_udf("long")
+    def n_digits(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[0-9]").astype("int64")
+
+    @pandas_udf("long")
+    def n_upper(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[A-Z]").astype("int64")
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_digits("text").alias("n_digits"),
+        n_upper("text").alias("n_upper"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "apply_in_pandas_top3",
+    """
+    SELECT event_type, event_id, rnk FROM (
+      SELECT event_type, event_id,
+             CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id
+             ) AS BIGINT) AS rnk
+      FROM events
+    ) WHERE rnk <= 3
+    ORDER BY event_type, rnk
+    """,
+    tags=("udx", "applyInPandas", "llm"),
+)
+def apply_in_pandas_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped `applyInPandas`: per-event-type top-3 by value computed
+    inside a pandas transform (exact integer cents + id tie-break —
+    fully deterministic, so the window-function oracle hash-matches).
+
+    Scale shape: one shuffle on the group key, then per-group pandas
+    over Arrow batches. This is the template for group-local Python
+    logic Spark SQL can't express (per-group model scoring, custom
+    resampling); for plain top-k the built-in window wins — the point
+    here is validating the Python path against the SQL spec.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def top3(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cents", "event_id"], ascending=[False, True]
+        ).head(3)
+        pdf = pdf.reset_index(drop=True)
+        pdf["rnk"] = pdf.index + 1
+        return pdf[["event_type", "event_id", "rnk"]]
+
+    return (
+        e.groupBy("event_type")
+        .applyInPandas(top3, schema="event_type string, event_id long, rnk long")
+        .orderBy("event_type", "rnk")
+    )
