@@ -513,3 +513,141 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "s_name")
     )
+
+
+# --------------------------------------------------------------------
+# q8 — market share (conditional aggregation over a 6-table join).
+# --------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    f"""
+    WITH all_sales AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             {_SQL_DISC_E4} AS vol_e4,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                            AND TIMESTAMP '1997-12-31'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_e4 ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(vol_e4) AS DOUBLE) AS mkt_share
+    FROM all_sales GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's order volume
+    by year — conditional aggregation over a six-table join. The
+    share is a ratio of exact e4 integer sums (one deterministic
+    double division per group).
+
+    Scale shape: all five dimension joins broadcast; the only big
+    shuffle is lineitem⋈orders on orderkey; the region filter prunes
+    customers before the fact join via the broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    cu = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+        )
+    )
+    re = F.broadcast(
+        t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    vol = disc_price_e4("l_extendedprice", "l_discount")
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+    return (
+        li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("s_nk") == F.col("s_nationkey"))
+        .join(n2, F.col("c_nk") == F.col("c_nationkey"))
+        .join(re, F.col("r_regionkey") == F.col("c_rk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------
+# q9 — product-line profit by nation and year.
+# --------------------------------------------------------------------
+@register(
+    "q9_profit_by_nation",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             - CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT) * 20
+           ) / 10000.0 AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so supply cost is
+    0.2 × p_retailprice × quantity): profit on bolt parts by supplier
+    nation and order year. Profit is exact e4 integers end to end
+    (the 0.2 factor becomes ×20 at cents×100 scale).
+
+    Scale shape: part (LIKE-filtered), supplier, nation broadcast;
+    lineitem⋈orders is the one big shuffle; the LIKE filter prunes
+    the fact rows through the broadcast join before it.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pa = F.broadcast(
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    su = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    na = F.broadcast(t(spark, sf_dir, "nation"))
+    profit_e4 = disc_price_e4("l_extendedprice", "l_discount") - (
+        cents("p_retailprice") * F.col("l_quantity").cast("long") * 20
+    )
+    return (
+        li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(na, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (F.sum(profit_e4) / 10000.0).cast("double").alias("profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
