@@ -521,24 +521,57 @@ def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_rank_supplier_balance",
     """
+    WITH thr AS (
+      SELECT quantile_cont(CAST(round(s_acctbal * 100) AS BIGINT), 0.25) AS p25,
+             quantile_cont(CAST(round(s_acctbal * 100) AS BIGINT), 0.50) AS p50,
+             quantile_cont(CAST(round(s_acctbal * 100) AS BIGINT), 0.75) AS p75
+      FROM supplier
+    )
     SELECT s_nationkey, s_suppkey, s_acctbal,
            CAST(dense_rank() OVER (PARTITION BY s_nationkey
                 ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rnk,
-           CAST(ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS quartile
-    FROM supplier
+           CAST(1 + (CAST(round(s_acctbal * 100) AS BIGINT) < p75)::INT
+                  + (CAST(round(s_acctbal * 100) AS BIGINT) < p50)::INT
+                  + (CAST(round(s_acctbal * 100) AS BIGINT) < p25)::INT
+                AS BIGINT) AS quartile
+    FROM supplier, thr
     ORDER BY s_nationkey, rnk
     """,
     tags=("window", "rank"),
 )
 def window_rank_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation dense rank + global balance quartile.
+
+    The quartile deliberately avoids ``ntile() OVER (ORDER BY ...)``
+    — a global unpartitioned window moves the whole table to ONE task.
+    Instead the three quartile thresholds are a single-value aggregate
+    (exact percentiles of integer cents) broadcast back and compared
+    row-locally: same classification, no single-partition stage.
+    Interpolated percentiles of integers are exact in both engines
+    ((3a+b)/4 is an exact double), so the comparison is deterministic.
+    """
     w = Window.partitionBy("s_nationkey").orderBy(
         F.col("s_acctbal").desc(), F.col("s_suppkey")
     )
-    wg = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
     s = t(spark, sf_dir, "supplier")
+    c = cents("s_acctbal")
+    thr = F.broadcast(
+        s.agg(
+            F.percentile(c, F.lit(0.25)).alias("p25"),
+            F.percentile(c, F.lit(0.50)).alias("p50"),
+            F.percentile(c, F.lit(0.75)).alias("p75"),
+        )
+    )
+    quartile = (
+        F.lit(1)
+        + (c < F.col("p75")).cast("int")
+        + (c < F.col("p50")).cast("int")
+        + (c < F.col("p25")).cast("int")
+    )
     return (
-        s.withColumn("rnk", F.dense_rank().over(w).cast("long"))
-        .withColumn("quartile", F.ntile(4).over(wg).cast("long"))
+        s.crossJoin(thr)
+        .withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .withColumn("quartile", quartile.cast("long"))
         .select("s_nationkey", "s_suppkey", "s_acctbal", "rnk", "quartile")
         .orderBy("s_nationkey", "rnk")
     )

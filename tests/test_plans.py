@@ -95,3 +95,36 @@ def test_whole_stage_codegen_in_agg_path(spark, registry):
     import re
 
     assert re.search(r"\*\(\d+\) (HashAggregate|Filter|Project)", plan), plan
+
+
+def test_registry_wide_plan_audit(spark, registry):
+    """Every registered batch query must be free of the two plan
+    shapes that cannot scale: a CartesianProduct over data tables and
+    a Window over SinglePartition (whole table on one task).
+
+    BroadcastNestedLoopJoin is allowed: it only appears here for
+    scalar-subquery bounds and tiny broadcast query sets (a 1-row
+    build side is a filter, not a join explosion).
+    """
+    offenders = {}
+    for name, spec in sorted(registry.items()):
+        if name.startswith("streaming_"):
+            continue  # writeStream queries execute on build
+        df = spec.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        # a Window is single-partition iff the exchange feeding it
+        # (within the next few tree lines) is SinglePartition; a
+        # SinglePartition exchange elsewhere (scalar aggregate) is fine
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window" in line and "windowspecdefinition" in line:
+                below = "\n".join(lines[i + 1 : i + 4])
+                if "Exchange SinglePartition" in below:
+                    flags.append("single-partition-window")
+                    break
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
