@@ -884,3 +884,62 @@ def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redacted"),
         F.md5(F.regexp_replace(low, _NUM_PAT, "<NUM>")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# End-to-end dedup decision: survivors after near-dup removal.
+# --------------------------------------------------------------------
+_SURVIVOR_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, {words} AS ws FROM documents
+    ), d2 AS (
+      SELECT doc_id, {shingles} AS shingles FROM d WHERE len(ws) >= 3
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM d2
+    ), sig AS (
+      SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || s)) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j)
+      GROUP BY doc_id, j
+    ), bandkeys AS (
+      SELECT doc_id, j // 2 AS band, string_agg(h, '' ORDER BY j) AS key
+      FROM sig GROUP BY doc_id, j // 2
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandkeys a JOIN bandkeys b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN d2 x ON x.doc_id = c.doc_a
+      JOIN d2 y ON y.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+            / (len(x.shingles) + len(y.shingles)
+               - len(list_intersect(x.shingles, y.shingles))) >= 0.2
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM verified)
+    ORDER BY doc_id
+""".format(words=_SQL_WORDS, shingles=_SQL_SHINGLES3)
+
+
+@register(
+    "dedup_survivors_minhash",
+    _SURVIVOR_ORACLE,
+    tags=("dedup", "minhash", "llm"),
+)
+def dedup_survivors_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup OUTPUT: the corpus after removing every doc
+    that near-duplicates (Jaccard ≥ 0.2) a smaller-id doc — keep-first
+    greedy policy, the decision a training pipeline materializes.
+
+    Scale shape: reuses the LSH candidate pipeline (banded bucket
+    join, no O(N²)); the removal set is the doc_b side of verified
+    pairs, applied with a broadcast-able anti join. Transitive chains
+    resolve greedily (a<b<c: b and c both drop) — declared policy,
+    same in the oracle.
+    """
+    pairs = neardup_minhash_lsh(spark, sf_dir)  # doc_a, doc_b, jaccard
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return docs.join(drop, "doc_id", "left_anti").orderBy("doc_id")

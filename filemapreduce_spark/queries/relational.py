@@ -1085,3 +1085,106 @@ def join_salted_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# Statistical moments with exact integer accumulators.
+# --------------------------------------------------------------------
+@register(
+    "stats_moments_lineitem",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
+           SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sumsq_q,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_q,
+           (CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) AS var_q
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance via exact integer moment accumulators (sum,
+    sum-of-squares as BIGINT) with one deterministic double formula at
+    the end — the order-independent alternative to stddev()/var()
+    whose float partial sums differ between engines and between runs.
+
+    Scale shape: identical to any grouped agg (map-side partials on
+    exact ints); this is how statistical profiling stays hash-
+    verifiable at 100 TB.
+    """
+    q = F.col("l_quantity").cast("long")
+    n = F.count(F.lit(1))
+    sum_q = F.sum(q)
+    sumsq_q = F.sum(q * q)
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            sum_q.alias("sum_q"),
+            sumsq_q.alias("sumsq_q"),
+            (sum_q.cast("double") / n).alias("mean_q"),
+            (
+                (
+                    sumsq_q.cast("double")
+                    - sum_q.cast("double") * sum_q.cast("double") / n
+                )
+                / (n - F.lit(1))
+            ).alias("var_q"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# Unpivot / melt (wide → long reshaping).
+# --------------------------------------------------------------------
+@register(
+    "unpivot_order_money",
+    """
+    SELECT o_orderkey, kind,
+           CAST(amount_cents / 100.0 AS DOUBLE) AS amount
+    FROM (
+      SELECT o_orderkey, kind, amount_cents
+      FROM (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total,
+               CAST(round(o_totalprice * 0.1 * 100) AS BIGINT) AS tax_est,
+               CAST(round(o_totalprice * 0.9 * 100) AS BIGINT) AS net_est
+        FROM orders WHERE o_orderkey <= 1000
+      ) UNPIVOT (amount_cents FOR kind IN (total, tax_est, net_est))
+    )
+    ORDER BY o_orderkey, kind
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_order_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): three money columns become (kind,
+    amount) rows — the inverse of pivot, row-local and shuffle-free
+    (output is 3× the rows, same partitioning).
+    """
+    od = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            cents("o_totalprice").alias("total"),
+            F.round(F.col("o_totalprice") * 0.1 * 100).cast("long").alias("tax_est"),
+            F.round(F.col("o_totalprice") * 0.9 * 100).cast("long").alias("net_est"),
+        )
+    )
+    return (
+        od.unpivot(
+            "o_orderkey", ["total", "tax_est", "net_est"], "kind", "amount_cents"
+        )
+        .select(
+            "o_orderkey",
+            "kind",
+            as_money(F.col("amount_cents")).alias("amount"),
+        )
+        .orderBy("o_orderkey", "kind")
+    )
