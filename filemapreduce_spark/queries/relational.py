@@ -1188,3 +1188,81 @@ def unpivot_order_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "kind")
     )
+
+
+# --------------------------------------------------------------------
+# Range-frame window (time-interval sliding aggregate).
+# --------------------------------------------------------------------
+@register(
+    "window_range_30day_revenue",
+    """
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS DOUBLE) AS revenue_30d
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, orderdate
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_30day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day revenue per customer via a RANGE frame over
+    epoch seconds — the time-interval window that row frames can't
+    express (rows at irregular timestamps).
+
+    Scale shape: one shuffle on the partition key; the range frame is
+    evaluated with a sliding pointer over each partition's sorted run
+    — no self-join against a date dimension.
+    """
+    od = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return (
+        od.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            as_money(F.sum(cents("o_totalprice")).over(w)).alias("revenue_30d"),
+        )
+        .orderBy("o_custkey", "orderdate")
+    )
+
+
+# --------------------------------------------------------------------
+# Array aggregation (deterministic: sorted collect).
+# --------------------------------------------------------------------
+@register(
+    "array_agg_order_parts",
+    """
+    SELECT l_orderkey,
+           list_sort(list(l_partkey)) AS parts,
+           CAST(len(list(l_partkey)) AS INT) AS n_parts,
+           CAST(list_sort(list(l_partkey))[1] AS BIGINT) AS first_part
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    tags=("agg", "array"),
+)
+def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: each order's part keys collected into a
+    SORTED array (collect_list order is nondeterministic across
+    partitions — sort_array makes it hash-verifiable), plus array
+    accessors.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    parts = F.sort_array(F.collect_list("l_partkey"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            parts.alias("parts"),
+            F.size(F.collect_list("l_partkey")).alias("n_parts"),
+            F.element_at(parts, 1).alias("first_part"),
+        )
+        .orderBy("l_orderkey")
+    )
