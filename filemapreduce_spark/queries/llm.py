@@ -10,7 +10,7 @@ exact DuckDB oracle twin; similarity values are rounded to 6 decimals
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.operators.textops import (
@@ -943,3 +943,131 @@ def dedup_survivors_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     return docs.join(drop, "doc_id", "left_anti").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# IVF multi-probe ANN: learned centroids + 2-cell probing.
+# --------------------------------------------------------------------
+_CENT_COS = """
+    round(
+      list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * cvec[i]))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> cvec[i] * cvec[i])))),
+      6)
+"""
+
+
+@register(
+    "similarity_ivf_probe2",
+    f"""
+    WITH comp AS (
+      SELECT label, i,
+             CAST(SUM(CAST(round(list_extract(embedding, i) * 1000000) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) AS m
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i
+    ), cent AS (
+      SELECT label, array_agg(m ORDER BY i) AS cvec FROM comp GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), probe AS (
+      SELECT query_id, label, crnk FROM (
+        SELECT q.query_id, cent.label,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_CENT_COS} DESC, cent.label) AS crnk
+        FROM q CROSS JOIN cent
+      ) WHERE crnk <= 2
+    ), cand AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id, e.label AS cell, qe,
+             e.embedding AS ce
+      FROM probe p
+      JOIN embeddings e ON e.label = p.label
+      JOIN q ON q.query_id = p.query_id
+      WHERE e.vec_id != p.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id, cell, {_COSINE_EXPR} AS cos FROM cand
+    )
+    SELECT query_id, neighbor_id, cell, cos, rank FROM (
+      SELECT query_id, neighbor_id, cell, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf", "llm"),
+)
+def similarity_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with LEARNED centroids and multi-probe: per-cell
+    centroids are element-wise means (computed from exact scaled-
+    integer sums, so both engines derive identical doubles), each
+    query probes its 2 nearest cells by centroid cosine, and only
+    those cells' vectors are scored.
+
+    Scale shape: centroids are a tiny aggregate (cells × dims)
+    broadcast to rank cells per query; candidate scoring touches
+    ~2/K of the corpus via the cell equi-join (K cells) — the IVF
+    recall/cost dial is nprobe, not corpus size. At 100 TB the
+    centroids come from k-means and this plan is unchanged.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("_v")
+    )
+    # exact element-wise centroid: per (label, pos) integer-sum of
+    # round(x*1e6) → one deterministic double per component
+    comp = (
+        emb.select("label", F.posexplode("_v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label", "pos", (F.col("s").cast("double") / F.col("n")).alias("m")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda st: st["m"],
+        ).alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("_qv")
+    )
+    qcos = F.round(
+        dot(F.col("_qv"), F.col("cvec"))
+        / (norm(F.col("_qv")) * norm(F.col("cvec"))),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("label").asc()
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", qcos)
+        .withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") <= 2)
+        .select("query_id", "label", "_qv")
+    )
+    cand = (
+        emb.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("cell"),
+            F.round(
+                dot(F.col("_qv"), F.col("_v"))
+                / (norm(F.col("_qv")) * norm(F.col("_v"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
