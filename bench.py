@@ -43,6 +43,13 @@ HEADLINE = [
     "q22_idle_customers",
     "neardup_embedding_cosine",
     "exact_quantiles_events",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "similarity_ivf_probe2",
+    "dedup_survivors_minhash",
+    "pandas_udf_char_classes",
+    "apply_in_pandas_top3",
+    "streaming_tumbling_counts",
 ]
 
 
