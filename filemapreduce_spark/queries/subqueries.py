@@ -651,3 +651,92 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+# --------------------------------------------------------------------
+# q12 — shipping-delay buckets × priority classes (conditional agg).
+# --------------------------------------------------------------------
+@register(
+    "q12_shipping_delay",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+                WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'normal'
+                ELSE 'slow' END AS delay_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY delay_class
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode — classes come from the
+    order→ship delay): per delay bucket, lineitem counts split by
+    order priority — the two-way conditional aggregation pattern.
+
+    Scale shape: one orderkey shuffle for the fact-fact join; the
+    CASE arithmetic is row-local; counts get map-side partials.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    od = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    delay_class = (
+        F.when(delay < 30, "fast").when(delay < 90, "normal").otherwise("slow")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+# --------------------------------------------------------------------
+# q16 — supplier-count distribution per part attribute.
+# --------------------------------------------------------------------
+@register(
+    "q16_supplier_count_by_part",
+    """
+    SELECT p_type, p_size // 10 AS size_decade,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_name NOT LIKE 'red%'
+    GROUP BY p_type, p_size // 10
+    ORDER BY supplier_cnt DESC, p_type, size_decade
+    """,
+    tags=("tpch", "join", "distinct"),
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier-part pairs from lineitem,
+    no partsupp): distinct supplier counts per part type and size
+    decade, excluding a brand and a name prefix.
+
+    Scale shape: the distinct-count shuffles (key, suppkey) pairs —
+    the exact two-phase distinct; the part filters broadcast-prune
+    the fact rows first.
+    """
+    pa = F.broadcast(
+        t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#1") & ~F.col("p_name").like("red%")
+        )
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", F.expr("p_size div 10").alias("size_decade"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_type", "size_decade")
+    )

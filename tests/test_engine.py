@@ -371,3 +371,44 @@ def test_csv_loader(spark):
         ]
     )
     assert out["csv"] == [(1, "alpha"), (2, "beta")]
+
+
+def test_loader_error_propagates(spark):
+    """A failing parse surfaces as the job's error on action (parity:
+    error propagation, /root/reference/mapreduce.go:98-140). Spark's
+    from_json nulls out unparseable fields; a strict job turns that
+    into a hard failure with assert_true, and the engine propagates
+    the executor exception to the caller."""
+    import pytest as _pytest
+
+    eng = FileEngine.from_memory(spark, {"bad/x.json": "not json at all"})
+    with _pytest.raises(Exception, match="unparseable json"):
+        eng.run(
+            [
+                Job(
+                    name="strict",
+                    path_filter="**/*.json",
+                    loader="json:v BIGINT",
+                    mapper=lambda df: df.select(
+                        F.assert_true(
+                            F.col("data.v").isNotNull(),
+                            F.lit("unparseable json"),
+                        ).alias("ok")
+                    ),
+                    finalizer=lambda df: df.collect(),
+                )
+            ]
+        )
+
+
+def test_mapper_error_propagates(spark):
+    """A raising mapper fails the run with the user's exception."""
+    import pytest as _pytest
+
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+
+    def bad_mapper(df):
+        raise ValueError("mapper exploded")
+
+    with _pytest.raises(ValueError, match="mapper exploded"):
+        eng.run([Job(name="boom", path_filter="**", mapper=bad_mapper)])
