@@ -1071,3 +1071,92 @@ def similarity_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------
+# Transitive near-dup clusters: iterative connected components.
+# --------------------------------------------------------------------
+_CLUSTER_ORACLE = _SURVIVOR_ORACLE.replace(
+    """
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM verified)
+    ORDER BY doc_id
+""",
+    """
+    , edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified
+      UNION SELECT doc_b, doc_a FROM verified
+    ), nodes AS (
+      SELECT DISTINCT u AS doc FROM edges
+    ), reach AS (
+      WITH RECURSIVE r(doc, root) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT e.v, r.root FROM r JOIN edges e ON e.u = r.doc
+      ) SELECT * FROM r
+    )
+    SELECT doc AS doc_id, MIN(root) AS cluster_id FROM reach
+    GROUP BY doc ORDER BY doc_id
+""",
+)
+
+
+@register(
+    "dedup_clusters_minhash",
+    _CLUSTER_ORACLE,
+    tags=("dedup", "minhash", "iterative", "llm"),
+)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    LSH-verified pair graph via iterative min-label propagation — the
+    ITERATIVE distributed algorithm the greedy keep-first policy
+    approximates. Oracle: a recursive CTE computing the same
+    min-reachable-id per node.
+
+    Scale shape: each iteration is one join + groupBy-min (label ←
+    min over neighbors); iterations = graph diameter (near-dup
+    clusters are shallow, so a handful); intermediate labels persist
+    so lineage doesn't grow; at billions of edges this is the
+    large-star/small-star pattern with identical per-step plans.
+    """
+    pairs = neardup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .persist()
+    )
+    for _ in range(20):  # >= diameter of any near-dup cluster here
+        neigh = (
+            edges.join(labels, edges.doc_a == labels.doc)
+            .groupBy(F.col("doc_b").alias("doc"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+    edges.unpersist()
+    return out
