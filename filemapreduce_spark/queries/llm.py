@@ -1160,3 +1160,109 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
     edges.unpersist()
     return out
+
+
+# --------------------------------------------------------------------
+# Corpus word frequencies (the Zipf table).
+# --------------------------------------------------------------------
+@register(
+    "word_frequencies_top100",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS tf,
+           COUNT(DISTINCT doc_id) AS df
+    FROM w GROUP BY word
+    ORDER BY tf DESC, word LIMIT 100
+    """,
+    tags=("text", "frequency", "llm"),
+)
+def word_frequencies_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency table, top-100 by term count —
+    the vocabulary statistics pass (Zipf curve, stopword discovery).
+
+    Scale shape: explode + two-level count with map-side partials;
+    top-100 is TakeOrdered. At 100 TB the explode output is the
+    shuffle to watch — partial aggregation collapses it per task
+    before the wire.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(words("text")).alias("word")
+    )
+    return (
+        d.groupBy("word")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "word")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------
+# TF-IDF: top term per document.
+# --------------------------------------------------------------------
+@register(
+    "tfidf_top_term_per_doc",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, word,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rnk
+      FROM scored
+    ) WHERE rnk = 1 ORDER BY doc_id
+    """,
+    tags=("text", "tfidf", "llm"),
+)
+def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring with the top-scoring term per document — the
+    keyword-extraction pass. Scores are rounded to 6 decimals before
+    ranking so the (score, word) order is identical in both engines.
+
+    Scale shape: tf is a (doc, word) shuffle with partials; df is a
+    small word-keyed aggregate broadcast back; ranking partitions by
+    doc — no global sort anywhere.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(words("text")).alias("word")
+    )
+    n_docs = t(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    tf = d.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = d.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "word", "tfidf")
+        .orderBy("doc_id")
+    )
