@@ -106,3 +106,83 @@ def hierarchical_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dir")
     )
+
+
+@register(
+    "parents_prefix_inheritance",
+    """
+    WITH data AS (
+      SELECT source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.txt'
+               AS path,
+             source || '/' || lang AS fdir, n_chars
+      FROM documents
+    ), metas AS (
+      SELECT '' AS mdir, 3 AS w
+      UNION ALL
+      SELECT DISTINCT source, length(source) % 5 + 2 FROM documents
+      UNION ALL
+      SELECT DISTINCT source || '/' || lang, 100 FROM documents
+    ), j AS (
+      SELECT d.path, d.n_chars, m.w
+      FROM data d JOIN metas m
+        ON m.mdir = '' OR starts_with(d.fdir, m.mdir || '/')
+    )
+    SELECT path, CAST(COUNT(*) AS INT) AS n_parents,
+           CAST(CAST(n_chars AS BIGINT) * CAST(product(w) AS BIGINT) AS BIGINT)
+             AS weighted
+    FROM j GROUP BY path, n_chars
+    ORDER BY path
+    """,
+    tags=("fileops", "parents", "hierarchy"),
+)
+def parents_prefix_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature operator — directory-file metadata
+    inheritance (A-04) — through the REAL core implementation
+    (core.parents.attach_parents) on a relationally synthesized tree:
+    a root meta (w=3), a per-source meta, and a per-(source,lang)
+    SIBLING meta that must NOT be inherited (subfolder-only scope,
+    work.go:68-100). The oracle replays the strict-prefix join in SQL.
+
+    Scale shape: meta table is folders-sized (tiny) and broadcast;
+    ancestors aggregate once per distinct directory, then equi-join
+    back — the big side never shuffles.
+    """
+    from filemapreduce_spark.core.parents import attach_parents
+    from filemapreduce_spark.globs import MultiFilter
+
+    d = t(spark, sf_dir, "documents")
+    data = d.select(
+        F.concat_ws(
+            "/",
+            "source",
+            "lang",
+            F.concat(F.col("doc_id").cast("string"), F.lit(".txt")),
+        ).alias("path"),
+        "n_chars",
+    )
+    root_meta = spark.range(1).select(
+        F.lit("meta.json").alias("path"), F.lit(3).alias("w")
+    )
+    source_meta = d.select(
+        F.concat(F.col("source"), F.lit("/meta.json")).alias("path"),
+        (F.length("source") % 5 + 2).alias("w"),
+    ).distinct()
+    sibling_meta = d.select(
+        F.concat_ws("/", "source", "lang", F.lit("meta.json")).alias("path"),
+        F.lit(100).alias("w"),
+    ).distinct()
+    files = root_meta.unionByName(source_meta).unionByName(sibling_meta)
+    out = attach_parents(
+        files,
+        data,
+        MultiFilter("meta.json", "**/meta.json"),
+        payload=F.col("w"),
+    )
+    weighted = F.col("n_chars").cast("long") * F.aggregate(
+        "parents", F.lit(1).cast("long"), lambda a, p: a * p
+    )
+    return out.select(
+        "path",
+        F.size("parents").alias("n_parents"),
+        weighted.alias("weighted"),
+    ).orderBy("path")
