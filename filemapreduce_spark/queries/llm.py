@@ -1266,3 +1266,47 @@ def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "word", "tfidf")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic dataset splitting (train/val/test).
+# --------------------------------------------------------------------
+@register(
+    "dataset_split_assign",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substring(md5(lower(text)), 1, 4))::INT AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 58982 THEN 'train'
+                WHEN bucket < 62259 THEN 'val'
+                ELSE 'test' END AS split,
+           source
+    FROM h ORDER BY doc_id
+    """,
+    tags=("split", "sampling", "llm"),
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from a content
+    hash (first 16 bits of md5 → bucket in [0, 65536); thresholds at
+    0.9 and 0.95 of the range). Content-keyed, so exact duplicates
+    always land in the same split — no train/test leakage — and the
+    assignment is reproducible across runs and engines.
+
+    Scale shape: row-local hash + compare, no shuffle; the split
+    column is also the natural partitionBy for the output write.
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.lower("text")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    split = (
+        F.when(bucket < 58982, "train")
+        .when(bucket < 62259, "val")
+        .otherwise("test")
+    )
+    return d.select(
+        "doc_id", split.alias("split"), "source"
+    ).orderBy("doc_id")
