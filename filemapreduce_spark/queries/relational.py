@@ -1266,3 +1266,43 @@ def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+# --------------------------------------------------------------------
+# Semi-structured payloads: VARIANT (schema-on-read escape hatch).
+# --------------------------------------------------------------------
+@register(
+    "variant_props_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON payloads through VariantType — the schema-on-read
+    escape hatch (SURVEY §1.2) for payloads whose shape isn't known at
+    plan time: parse once to VARIANT (binary-encoded, no re-parse per
+    access), extract typed fields with variant_get.
+
+    Scale shape: VARIANT keeps extraction row-local and
+    shredding-friendly; the aggregate is a plain grouped agg. Unlike
+    get_json_object, repeated accesses don't re-parse the JSON text.
+    """
+    e = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
