@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Empirical scale probe: do the core plan shapes scale linearly?
+
+Synthesizes a 10× dataset by unioning 10 copies of the sf0.1 tables
+(keys offset per copy so join/group cardinalities scale too) and
+compares steady-state runtimes against 1×. Near-linear ratios (≲12×
+for 10× data on fixed cores) mean the plan's cost is data-bound, not
+dominated by a super-linear stage (quadratic join, global sort,
+driver collect).
+
+Usage: python scripts/scale_probe.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from filemapreduce_spark.operators.money import cents, disc_price_e4
+from filemapreduce_spark.operators.textops import (
+    minhash_signature,
+    word_shingles,
+    words,
+)
+from filemapreduce_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 10
+
+
+def replicate(df: DataFrame, key_cols: list[str], offset: int) -> DataFrame:
+    """Union `COPIES` copies, offsetting integer keys per copy so
+    grouped/joined cardinalities scale with the data."""
+    out = None
+    for i in range(COPIES):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + F.lit(i * offset))
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
+def timed(fn):
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        fn()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 3)
+
+
+def main():
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1000).count()
+
+    li1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li10 = replicate(li1, ["l_orderkey"], 10_000_000)
+    od1 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    od10 = replicate(od1, ["o_orderkey"], 10_000_000)
+    dc1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(32)
+    dc10 = replicate(dc1, ["doc_id"], 10_000_000)
+
+    def q1(li):
+        return lambda: (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(disc_price_e4("l_extendedprice", "l_discount")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    def join_agg(li, od):
+        return lambda: (
+            li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum(cents("l_extendedprice")).alias("s"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    def minhash(dc):
+        d2 = (
+            dc.select("doc_id", words("text").alias("ws"))
+            .filter(F.size("ws") >= 3)
+            .select("doc_id", word_shingles(F.col("ws"), 3).alias("sh"))
+        )
+        return lambda: (
+            d2.select("doc_id", minhash_signature(F.col("sh"), 8).alias("sig"))
+            .select(F.sum(F.length(F.element_at("sig", 1))).alias("x"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    results = {}
+    for name, f1, f10 in (
+        ("groupby_agg", q1(li1), q1(li10)),
+        ("fact_fact_join", join_agg(li1, od1), join_agg(li10, od10)),
+        ("minhash_signature", minhash(dc1), minhash(dc10)),
+    ):
+        t1, t10 = timed(f1), timed(f10)
+        results[name] = {
+            "t_1x": t1,
+            "t_10x": t10,
+            "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+        }
+
+    print(json.dumps({"probe": "10x_scaling", "copies": COPIES, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
