@@ -1310,3 +1310,54 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", split.alias("split"), "source"
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Deterministic stratified sampling (per-group rates).
+# --------------------------------------------------------------------
+@register(
+    "stratified_sample_per_lang",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
+               AS bucket
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+    FROM h
+    WHERE bucket < CASE WHEN lang = 'en' THEN 13108 ELSE 52429 END
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("sampling", "llm"),
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates (20% for
+    the over-represented 'en', 80% otherwise) applied via seeded
+    content-hash buckets — reproducible across runs/engines, unlike
+    df.sample(), and exactly the rebalancing pass a training-data
+    pipeline uses to reweight sources.
+
+    Scale shape: row-local hash + compare (no shuffle for the
+    selection); only the per-group accounting aggregates.
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    rate = F.when(F.col("lang") == "en", 13108).otherwise(52429)
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
