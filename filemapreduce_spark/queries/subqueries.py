@@ -17,7 +17,7 @@ in scaled integers (value_e4 * K > total_e4) — exact, never float.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.operators.money import as_money, cents, disc_price_e4
@@ -739,4 +739,183 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", F.expr("p_size div 10").alias("size_decade"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_type", "size_decade")
+    )
+
+
+# --------------------------------------------------------------------
+# q20 — dominant suppliers of a part class (nested IN subqueries).
+# --------------------------------------------------------------------
+@register(
+    "q20_dominant_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, SUM(q) AS tq FROM shipped GROUP BY 1
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+        WHERE q * 4 > tq
+      )
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "subquery", "semi"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp, so 'availqty > half the
+    shipped volume' becomes 'shipped more than a quarter of the part's
+    1996 volume'): suppliers in two nations that dominate some red part —
+    the nested IN(subquery-with-correlated-agg) pattern, decorrelated
+    as two stacked aggregates + a semi join.
+
+    Scale shape: shipped is one shuffle on (partkey, suppkey); the
+    per-part total re-aggregates that small output; qualifying
+    suppkeys form a tiny set that semi-joins (broadcast) against the
+    nation-filtered supplier dim. Exact integer quantity comparison
+    (q*4 > tq) — no float thresholds.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pa = F.broadcast(
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("q").alias("tq")
+    )
+    dominant = (
+        shipped.join(tot, F.col("tk") == F.col("l_partkey"))
+        .filter(F.col("q") * 4 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    na = F.broadcast(
+        t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2")
+        )
+    )
+    su = t(spark, sf_dir, "supplier")
+    return (
+        su.join(na, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(dominant),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (exists + not-exists).
+# --------------------------------------------------------------------
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate >= l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("tpch", "subquery", "exists", "window"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no receipt/commit dates, so 'late' =
+    shipped strictly after every other supplier in the order): per
+    supplier, the number of finished-order lineitems that were the
+    unique last shipment among multi-supplier orders.
+
+    The EXISTS / NOT-EXISTS pair over the same fact table is NOT run
+    as two self-joins: per-(order, supplier) max shipdates are
+    aggregated once, order-level max / runner-up / supplier counts
+    come from windows over that aggregate (same shuffle key — no extra
+    exchange), and the row-level test becomes
+    ``ship > max(other suppliers' shipdates)``.
+
+    Scale shape: one shuffle on l_orderkey for the agg + windows + the
+    join back to lineitem; orders('F') filter pushes to its scan. The
+    naive translation re-shuffles lineitem three times; this plan does
+    it once.
+    """
+    od = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    ).join(od, F.col("o_orderkey") == F.col("l_orderkey")).drop("o_orderkey")
+
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("sm")
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = (
+        per_supp.withColumn("m1", F.max("sm").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_at_m1",
+            F.sum(F.when(F.col("sm") == F.col("m1"), 1).otherwise(0)).over(w),
+        )
+        .withColumn(
+            "m2",
+            F.max(F.when(F.col("sm") < F.col("m1"), F.col("sm"))).over(w),
+        )
+        .withColumn(
+            "other_max",
+            F.when(
+                (F.col("sm") == F.col("m1")) & (F.col("n_at_m1") == 1),
+                F.col("m2"),
+            ).otherwise(F.col("m1")),
+        )
+        .filter(F.col("n_supp") > 1)
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_suppkey").alias("s"),
+            "other_max",
+        )
+    )
+    su = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        li.join(
+            stats,
+            (F.col("k") == F.col("l_orderkey")) & (F.col("s") == F.col("l_suppkey")),
+        )
+        .filter(F.col("l_shipdate") > F.col("other_max"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )
