@@ -1,0 +1,94 @@
+"""Incremental re-reduce: mergeable aggregation states.
+
+The reference reserved this exact capability and never built it: the
+``current`` parameter of ``Reduce(current, stream)`` exists so "the
+result of a previous reduction" can be folded with new data
+(/root/reference/interfaces.go:52-64; TODO at
+/root/reference/readme.md:43-44 — "incremental updates ... not
+currently supported"). This module is that feature, Spark-first.
+
+An aggregate is maintained as a *state* DataFrame of commutative-
+monoid accumulators per group key:
+
+    n (count), sum (BIGINT, exact), sumsq (BIGINT), min, max
+
+``partial_state`` computes the state for any slice of the data;
+``merge_states`` combines any number of states (the monoid ⊕ — sums of
+n/sum/sumsq, min of min, max of max) WITHOUT touching the raw rows
+that produced them; ``finalize_state`` derives the user-facing
+mean/variance with one deterministic double formula at the end.
+
+Scale shape: a 100 TB corpus aggregates once and persists its state
+(tiny: one row per group); each new ingest batch aggregates only its
+own rows and merges — cost proportional to the delta, never the
+history. This is exactly the contract of Spark partial aggregation
+(map-side partials ⊕ final merge) lifted across job runs, and the same
+algebra Structured Streaming uses for stateful aggregation, so the
+operator is correct for any split of the data by construction
+(associativity + commutativity — proven for arbitrary splits in
+tests/test_incremental.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: state accumulator columns, in canonical order
+STATE_COLS = ("n", "sum_v", "sumsq_v", "min_v", "max_v")
+
+
+def partial_state(
+    df: DataFrame, keys: Sequence[str], value: Column | str
+) -> DataFrame:
+    """Aggregate a slice of raw rows into per-key monoid state.
+
+    ``value`` must be an exact integer column (cast money to cents /
+    e4 first) so partial sums are associative bit-for-bit.
+    """
+    v = F.col(value).cast("long") if isinstance(value, str) else value
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sum_v"),
+        F.sum(v * v).alias("sumsq_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def merge_states(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """⊕ over any number of state frames — no raw data touched.
+
+    Each input must have ``keys`` + STATE_COLS. The merge is a union
+    plus one grouped aggregation over state rows (one row per key per
+    input — trivially small next to the raw data).
+    """
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    return unioned.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.sum("sumsq_v").alias("sumsq_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_state(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Derive the user-facing aggregate from state: one deterministic
+    double formula per derived measure (same expression the DuckDB
+    oracle runs, so results hash-match)."""
+    n = F.col("n")
+    s = F.col("sum_v").cast("double")
+    s2 = F.col("sumsq_v").cast("double")
+    return state.select(
+        *keys,
+        "n",
+        "sum_v",
+        "min_v",
+        "max_v",
+        (s / n).alias("mean_v"),
+        F.when(n > 1, (s2 - s * s / n) / (n - F.lit(1))).alias("var_v"),
+    )

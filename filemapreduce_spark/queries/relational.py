@@ -1306,3 +1306,56 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# Incremental re-reduce (reference readme TODO — merge with `current`).
+# --------------------------------------------------------------------
+@register(
+    "incremental_reduce_merge",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_v,
+           MIN(CAST(l_quantity AS BIGINT)) AS min_v,
+           MAX(CAST(l_quantity AS BIGINT)) AS max_v,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_v,
+           (CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) AS var_v
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("incremental", "agg", "state"),
+)
+def incremental_reduce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-reduce — the reference's reserved-but-unbuilt
+    ``Reduce(current, ...)`` capability (interfaces.go:52-64, TODO
+    readme.md:43-44): the 'history' slice (shipdate < 1997) is reduced
+    to per-group monoid state, the 'delta' slice is reduced
+    separately, and the two STATES are merged and finalized — the
+    delta path never re-aggregates history rows. Oracle: one full
+    aggregation over everything (merge correctness = monoid algebra).
+
+    Scale shape: at 100 TB the history state is one persisted tiny
+    table (rows = |groups|); each ingest batch pays only its own scan
+    + a state-sized merge shuffle.
+    """
+    from filemapreduce_spark.operators.incremental import (
+        finalize_state,
+        merge_states,
+        partial_state,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    qty = F.col("l_quantity").cast("long")
+    history = partial_state(
+        li.filter(F.col("l_shipdate") < "1997-01-01"), keys, qty
+    )
+    delta = partial_state(
+        li.filter(F.col("l_shipdate") >= "1997-01-01"), keys, qty
+    )
+    merged = merge_states([history, delta], keys)
+    return finalize_state(merged, keys).orderBy(*keys)
