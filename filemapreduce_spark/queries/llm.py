@@ -1361,3 +1361,167 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# Repetition-based quality scoring (Gopher-style rules).
+# --------------------------------------------------------------------
+@register(
+    "repetition_quality_scores",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS word FROM d
+    ), wc AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+    ), pd AS (
+      SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+             MAX(c) AS top_cnt
+      FROM wc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS g
+      FROM d WHERE len(ws) >= 2
+    ), bgs AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             COUNT(DISTINCT g) AS n_distinct_bigrams
+      FROM bg GROUP BY doc_id
+    )
+    SELECT pd.doc_id, n_words,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6)
+             AS dup_word_frac,
+           round(CAST(top_cnt AS DOUBLE) / n_words, 6) AS top_word_frac,
+           round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
+             AS dup_bigram_frac
+    FROM pd JOIN bgs ON bgs.doc_id = pd.doc_id
+    ORDER BY pd.doc_id
+    """,
+    tags=("llm", "quality", "repetition"),
+)
+def repetition_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    word fraction, most-frequent-word fraction, duplicate bigram
+    fraction — the standard filters for boilerplate/spam in LLM
+    corpus curation (high repetition → drop).
+
+    Scale shape: explode + two grouped aggs, both keyed by doc_id —
+    the second agg consumes the first's output partitioning, so the
+    corpus-size shuffle happens once per signal family; fractions are
+    one double division rounded at the end (hash-stable).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("ws")
+    )
+    wc = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pd_stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+        ),
+    )
+    bgs = (
+        d.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigram).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("g").alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        pd_stats.join(bgs, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.col("top_cnt").cast("double") / F.col("n_words"), 6
+            ).alias("top_word_frac"),
+            F.round(
+                1.0
+                - F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams"),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap vs a held-out test source.
+# --------------------------------------------------------------------
+@register(
+    "contamination_8gram_overlap",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(ws)-6),
+               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '
+                    ||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7])))
+               AS ng
+      FROM d WHERE len(ws) >= 8
+    )
+    SELECT a.doc_id, COUNT(DISTINCT a.ng) AS n_shared_ngrams,
+           COUNT(DISTINCT b.doc_id) AS n_test_docs
+    FROM g a JOIN g b ON a.ng = b.ng
+    WHERE b.source = 'src0' AND a.source <> 'src0'
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+    tags=("llm", "dedup", "contamination"),
+)
+def contamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: training docs sharing any 8-gram
+    with the held-out 'test' source (src0) — the standard benchmark-
+    leak detector run before LLM training. Emits, per contaminated
+    training doc, how many distinct 8-grams leak and from how many
+    test docs.
+
+    Scale shape: the test side of the join is the benchmark corpus —
+    tiny next to 100 TB of training data — so its exploded n-gram set
+    is broadcast and the training side streams through map-side
+    without a shuffle; only the per-doc count agg shuffles (contaminated
+    docs only, a sliver of the corpus).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", words("text").alias("ws")
+    )
+    gram8 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 7),
+            lambda i: F.array_join(F.slice("ws", i, 8), " "),
+        )
+    )
+    g = d.filter(F.size("ws") >= 8).select(
+        "doc_id", "source", F.explode(gram8).alias("ng")
+    )
+    test = F.broadcast(
+        g.filter(F.col("source") == "src0").select(
+            F.col("ng").alias("t_ng"), F.col("doc_id").alias("t_doc")
+        )
+    )
+    train = g.filter(F.col("source") != "src0")
+    return (
+        train.join(test, F.col("ng") == F.col("t_ng"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.countDistinct("t_doc").alias("n_test_docs"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1359,3 +1359,82 @@ def incremental_reduce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = merge_states([history, delta], keys)
     return finalize_state(merged, keys).orderBy(*keys)
+
+
+# --------------------------------------------------------------------
+# Ordered string aggregation (listagg/string_agg).
+# --------------------------------------------------------------------
+@register(
+    "string_agg_nation_suppliers",
+    """
+    SELECT n_name, COUNT(*) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("agg", "string"),
+)
+def string_agg_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI LISTAGG): per nation, the
+    comma-joined supplier names in deterministic name order —
+    ``sort_array(collect_list(...))`` then join, the order-stable
+    formulation (a bare collect_list is partition-order-dependent).
+
+    Scale shape: one grouped agg; the sort is per-group over small
+    arrays, not a global sort.
+    """
+    na = F.broadcast(t(spark, sf_dir, "nation"))
+    su = t(spark, sf_dir, "supplier")
+    return (
+        su.join(na, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias(
+                "supplier_csv"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------
+# Distribution-position analytics (percent_rank / cume_dist).
+# --------------------------------------------------------------------
+@register(
+    "window_percentile_position",
+    """
+    SELECT c_mktsegment, c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WHERE c_acctbal > 9000
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY round(c_acctbal * 100), c_custkey)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("window", "analytic"),
+)
+def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within groups — where each row sits in
+    its segment's balance distribution. Ties broken by custkey so both
+    engines rank identically; balances compared in exact cents.
+
+    Scale shape: one shuffle on the partition key; no global sort; the
+    rich-customer filter pushes to the scan.
+    """
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.round(F.col("c_acctbal") * 100), "c_custkey")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )

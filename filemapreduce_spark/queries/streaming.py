@@ -301,3 +301,56 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(dedup.writeStream, name, "append")
     return spark.table(name).orderBy("user_id", "event_type")
+
+
+@register(
+    "streaming_static_join_enrich",
+    """
+    SELECT c_mktsegment,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2 ORDER BY c_mktsegment, day
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream is enriched against the
+    static customer dimension inside the streaming query (per
+    micro-batch lookup join), then aggregated per segment and day.
+    A bounded stream processed to completion matches the batch join —
+    the oracle.
+
+    Scale shape: the static side is a broadcast lookup re-used across
+    micro-batches — the standard streaming-enrichment topology; state
+    is only the windowless agg keyed by (segment, day).
+    """
+    stream = _events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    # exact COUNT(DISTINCT) isn't supported inside a streaming agg, so
+    # the stream aggregates per (segment, day, user) and the exact
+    # distinct is the row count of that state — the standard two-level
+    # exact-distinct formulation for streams.
+    pre = (
+        stream.join(dim, F.col("c_custkey") == F.col("user_id"))
+        .groupBy(
+            "c_mktsegment",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_to_memory(pre.writeStream, name, "complete")
+    per_user = spark.table(name)
+    return (
+        per_user.groupBy("c_mktsegment", "day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .orderBy("c_mktsegment", "day")
+    )
