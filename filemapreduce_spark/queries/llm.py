@@ -1525,3 +1525,134 @@ def contamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# Composite quality-filter pipeline (FineWeb/C4-style keep decision).
+# --------------------------------------------------------------------
+@register(
+    "quality_filter_pipeline",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+    ), sig AS (
+      SELECT doc_id, source,
+             len(ws) AS n_tokens,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+             CAST(len(list_filter(ws, w -> w IN
+               ('the','a','an','of','and','to','in','is','on','for')))
+               AS DOUBLE) / len(ws) AS stop_ratio
+      FROM d
+    ), dec AS (
+      SELECT source, n_tokens,
+             (n_tokens >= 30 AND uniq_ratio >= 0.40
+              AND stop_ratio >= 0.02) AS keep
+      FROM sig
+    )
+    SELECT source, keep, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS n_tokens
+    FROM dec GROUP BY source, keep ORDER BY source, keep
+    """,
+    tags=("llm", "quality", "pipeline"),
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-curation filter (C4/FineWeb style): each doc
+    is kept only if it passes ALL of — minimum length, minimum unique-
+    token ratio, minimum stopword ratio. Emits the per-source
+    keep/drop ledger (doc and token counts), i.e. the yield report a
+    curation run produces before writing the surviving corpus.
+
+    Scale shape: every signal is a row-local array expression computed
+    in one scan pass — no joins, no explode; the only shuffle is the
+    final tiny (source, keep) agg. This is the cheapest possible
+    shape for a 100 TB filter sweep: one read, map-side signals,
+    partial aggregation.
+    """
+    ws = words("text")
+    stop = F.size(
+        F.filter(ws, lambda w: w.isin(*STOPWORDS))
+    ).cast("double") / F.size(ws)
+    uniq = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    keep = (
+        (F.size(ws) >= 30) & (uniq >= 0.40) & (stop >= 0.02)
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(ws).cast("long").alias("n_tokens"),
+            keep.alias("keep"),
+        )
+        .groupBy("source", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source", "keep")
+    )
+
+
+# --------------------------------------------------------------------
+# Corpus-internal duplicated n-gram mass per source.
+# --------------------------------------------------------------------
+@register(
+    "dup_ngram_mass_by_source",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(ws)-3),
+               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])))
+               AS ng
+      FROM d WHERE len(ws) >= 5
+    ), cnt AS (
+      SELECT ng, COUNT(*) AS n_docs FROM g GROUP BY ng
+    )
+    SELECT g.source,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared,
+           round(CAST(SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS shared_frac
+    FROM g JOIN cnt ON g.ng = cnt.ng
+    GROUP BY g.source ORDER BY g.source
+    """,
+    tags=("llm", "dedup", "ngram"),
+)
+def dup_ngram_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal duplication mass: per source, the fraction of
+    (doc, distinct 5-gram) occurrences whose gram appears in 2+ docs
+    corpus-wide — the aggregate signal dedup dashboards report to
+    decide which sources need near-dedup before training.
+
+    Scale shape: one explode → gram-keyed count agg → join back on the
+    gram. Both the agg and the join shuffle on the same key, so AQE
+    coalesces them onto one exchange; the gram table never needs to
+    broadcast (it scales with corpus size).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", words("text").alias("ws")
+    )
+    gram5 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 4),
+            lambda i: F.array_join(F.slice("ws", i, 5), " "),
+        )
+    )
+    g = d.filter(F.size("ws") >= 5).select(
+        "doc_id", "source", F.explode(gram5).alias("ng")
+    )
+    cnt = g.groupBy("ng").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        g.join(cnt, "ng")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(shared).alias("n_shared"),
+            F.round(
+                F.sum(shared).cast("double") / F.count(F.lit(1)), 6
+            ).alias("shared_frac"),
+        )
+        .orderBy("source")
+    )

@@ -1438,3 +1438,93 @@ def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+# --------------------------------------------------------------------
+# Lateral join (correlated per-row subquery with LIMIT).
+# --------------------------------------------------------------------
+@register(
+    "lateral_topk_per_nation",
+    """
+    SELECT n_name, c.c_name, c.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+    ORDER BY n_name, c.c_acctbal DESC, c.c_name
+    """,
+    tags=("join", "lateral", "subquery"),
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LATERAL join: for each nation, the two richest customers —
+    a correlated per-row subquery with ORDER BY + LIMIT, the SQL shape
+    users reach for before discovering window functions.
+
+    Scale shape: Catalyst decorrelates the lateral subquery into a
+    WindowGroupLimit (per-group top-k pushed below the join) rather
+    than executing the inner query once per outer row — verified in
+    the physical plan; the nation side broadcasts.
+    """
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_name, c.c_acctbal
+        FROM nation_lat, LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lat
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) c
+        ORDER BY n_name, c.c_acctbal DESC, c.c_name
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# Null-safe equality join (IS NOT DISTINCT FROM / <=>).
+# --------------------------------------------------------------------
+@register(
+    "join_null_safe_segment",
+    """
+    WITH c AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    ), d AS (
+      SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg,
+             COALESCE(nullif(c_mktsegment, 'BUILDING'), 'UNSEGMENTED') AS label
+      FROM customer
+    )
+    SELECT d.label, COUNT(*) AS n_customers
+    FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.label ORDER BY d.label
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantics CDC and
+    dimension lookups with "unknown" buckets need. The BUILDING
+    segment is nulled out to exercise the NULL-matching path.
+
+    Scale shape: `<=>` is a hashable equi-join key in Spark (NULLs
+    hash to one bucket), so this stays a broadcast/hash join, not a
+    cartesian filter.
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    d = (
+        c.select("seg")
+        .distinct()
+        .select(
+            "seg", F.coalesce("seg", F.lit("UNSEGMENTED")).alias("label")
+        )
+    )
+    return (
+        c.join(F.broadcast(d), c["seg"].eqNullSafe(d["seg"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("label")
+    )

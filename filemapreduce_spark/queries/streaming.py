@@ -354,3 +354,119 @@ def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "day")
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+    SELECT c.user_id, COUNT(*) AS n_pairs,
+           MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS min_lag_us
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    tags=("streaming", "join", "watermark"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to the same user's
+    purchases within the following hour, both sides watermarked. The
+    joined pairs stream to an append sink; the per-user pair counts
+    are a batch agg over that output, so the bounded replay matches
+    the batch time-range self-join oracle exactly.
+
+    Scale shape: the time-range condition plus both watermarks bound
+    the join state — each side buffers only rows younger than
+    (watermark + 1 h), evicting as event time advances; the join
+    itself shuffles both streams on user_id only.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(pairs.writeStream, name, "append")
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(
+                F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            ).alias("min_lag_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "streaming_session_window_native",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ep, ts FROM events
+    ), l AS (
+      SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e
+    ), f AS (
+      SELECT *, CASE WHEN prev IS NULL OR ep - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id, COUNT(*) AS n_events, MIN(ep) AS start_epoch_us
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, start_epoch_us
+    """,
+    tags=("streaming", "session", "window"),
+)
+def streaming_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native ``session_window`` sessionization (30-min gap) run as a
+    real streaming aggregation with a watermark — Spark merges
+    overlapping per-event windows into sessions in the state store,
+    the built-in equivalent of the lag+cumsum batch formulation (same
+    oracle as ``sessionize_events``).
+
+    Scale shape: session state is keyed by (user, session) and merged
+    incrementally; the watermark closes sessions whose gap has
+    definitively passed, so state stays proportional to OPEN sessions,
+    not history — the property that makes gap sessionization feasible
+    on an unbounded 100 TB/day stream.
+    """
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(agg.writeStream, name, "complete")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros(F.col("w.start")).alias("start_epoch_us"),
+        )
+        .orderBy("user_id", "start_epoch_us")
+    )

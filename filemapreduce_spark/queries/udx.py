@@ -107,3 +107,57 @@ def apply_in_pandas_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(top3, schema="event_type string, event_id long, rnk long")
         .orderBy("event_type", "rnk")
     )
+
+
+@register(
+    "udtf_shared_shingles",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(str_split(text, ' ')) - 2),
+               i -> array_to_string(str_split(text, ' ')[i:i+3], ' ')
+             ))) AS shingle
+      FROM documents
+    )
+    SELECT shingle, COUNT(*) AS n_docs
+    FROM g GROUP BY shingle HAVING COUNT(*) >= 3
+    ORDER BY n_docs DESC, shingle
+    """,
+    tags=("udx", "udtf", "llm"),
+)
+def udtf_shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) in lateral position: a class-based
+    ``@udtf`` explodes each document into its distinct 4-word shingles;
+    the outer query counts cross-document shingle sharing (the raw
+    signal under every shingle-based dedup).
+
+    Scale shape: the UDTF runs Arrow-batched per partition exactly
+    where the document rows live — the lateral apply adds no shuffle;
+    only the shingle-count agg shuffles. This is the template for any
+    one-row→many-rows Python operator (parsers, tokenizers,
+    chunkers) that SQL can't express.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="shingle string")
+    class DistinctShingles:
+        def eval(self, text: str):
+            ws = text.split(" ")
+            seen = set()
+            for i in range(len(ws) - 3):
+                s = " ".join(ws[i : i + 4])
+                if s not in seen:
+                    seen.add(s)
+                    yield (s,)
+
+    spark.udtf.register("fmr_distinct_shingles", DistinctShingles)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT s.shingle, COUNT(*) AS n_docs
+        FROM documents_udtf d, LATERAL fmr_distinct_shingles(d.text) s
+        GROUP BY s.shingle HAVING COUNT(*) >= 3
+        ORDER BY n_docs DESC, shingle
+        """
+    )

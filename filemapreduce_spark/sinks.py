@@ -70,3 +70,44 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    format: str = "parquet",
+) -> int:
+    """Rewrite a dataset into ~``target_file_bytes`` files and return
+    the output file count — the small-files compaction every long-
+    running ingest needs (streaming sinks and over-parallel writers
+    leave thousands of KB-sized files; each costs a task + an open at
+    every downstream read).
+
+    Sizing comes from the source's actual on-disk bytes (Hadoop
+    ``getContentSummary``), not a driver-side collect; the rewrite is
+    a single ``repartition(n)`` pass, so it scales as one shuffle of
+    the data and parallelizes across the cluster. Row-group locality
+    within files is preserved per-partition; pair with
+    ``write_partitioned``/`sortWithinPartitions`` when the layout must
+    also cluster by key.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(path).getLength()
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = spark.read.format(format).load(src_path)
+    df.repartition(n_files).write.mode("overwrite").format(format).save(
+        dest_path
+    )
+    dest = jvm.org.apache.hadoop.fs.Path(dest_path)
+    out = [
+        f
+        for f in fs.listStatus(dest)
+        if f.getPath().getName().startswith("part-")
+    ]
+    return len(out)

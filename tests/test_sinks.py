@@ -82,3 +82,29 @@ def test_bucketed_join_has_no_shuffle(spark, lineitem):
         )
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS od_bucketed")
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    """compact_files rewrites a fragmented dataset into the file count
+    implied by total-bytes / target — the small-files remedy."""
+    from filemapreduce_spark.sinks import compact_files
+
+    src = str(tmp_path / "frag")
+    dest = str(tmp_path / "compact")
+    # 200 tiny files
+    spark.range(0, 20000).repartition(200).write.parquet(src)
+    n_src = len([p for p in (tmp_path / "frag").iterdir()
+                 if p.name.startswith("part-")])
+    assert n_src == 200
+
+    # target big enough that everything fits in a couple of files
+    n_out = compact_files(spark, src, dest, target_file_bytes=512 * 1024)
+    n_disk = len([p for p in (tmp_path / "compact").iterdir()
+                  if p.name.startswith("part-")])
+    assert n_out == n_disk
+    assert n_out < 20  # ~200 tiny files collapsed
+    # content preserved
+    assert (
+        spark.read.parquet(dest).agg({"id": "sum"}).collect()[0][0]
+        == sum(range(20000))
+    )
