@@ -1656,3 +1656,192 @@ def dup_ngram_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# Iterative algorithm: Lloyd k-means over embeddings (driver loop).
+# --------------------------------------------------------------------
+_KM_K = 4
+_KM_ITERS = 2
+
+# DuckDB oracle: the same 2 Lloyd iterations unrolled as CTEs, all in
+# round(x*1e6) BIGINT space so every distance/mean is exact integer
+# arithmetic in both engines (no float-order nondeterminism).
+_KM_ASSIGN = """
+  SELECT vec_id, sv,
+         CAST(MIN((dist << 2) | cid) % 4 AS BIGINT) AS cid
+  FROM (
+    SELECT v.vec_id, v.sv, c.cid,
+           list_sum(list_transform(range(1, 65),
+             i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS dist
+    FROM {vecs} v CROSS JOIN {cents} c
+  )
+  GROUP BY vec_id, sv
+"""
+_KM_UPDATE = """
+  SELECT cid, list(sm ORDER BY i) AS cv FROM (
+    SELECT cid, i, CAST(round(SUM(sv[i]) / COUNT(*)) AS BIGINT) AS sm
+    FROM {assign}, (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+"""
+
+
+@register(
+    "kmeans_lloyd_2iter",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x*1000000) AS BIGINT))
+               AS sv
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, sv AS cv FROM vecs WHERE vec_id < {_KM_K}
+    ), a1 AS ({_KM_ASSIGN.format(vecs='vecs', cents='c0')}
+    ), c1 AS ({_KM_UPDATE.format(assign='a1')}
+    ), a2 AS ({_KM_ASSIGN.format(vecs='vecs', cents='c1')}
+    )
+    SELECT cid, COUNT(*) AS n_members,
+           CAST(MIN(vec_id) AS BIGINT) AS min_member
+    FROM a2 GROUP BY cid ORDER BY cid
+    """,
+    tags=("llm", "iterative", "clustering", "embedding"),
+)
+def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means (k={_KM_K}, 2 iterations, deterministic
+    init = first k vectors) as a driver-side loop of DataFrame stages —
+    the canonical Spark shape for iterative ML: broadcast the small
+    model state (centroids), recompute assignments distributed, reduce
+    to the next model state, repeat. All arithmetic is exact
+    (embeddings scaled to BIGINT micro-units) so the unrolled-CTE
+    oracle hash-matches.
+
+    Scale shape: per iteration, one broadcast of k×64 integers + one
+    map-side assignment pass + one (cid, dim)-keyed agg — the data
+    never re-shuffles on cluster id; centroids stay driver-side tiny.
+    Ties in the argmin are broken by cluster id via integer key
+    packing ((dist << 2) | cid), identically in both engines.
+    """
+    vecs = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x * 1000000.0).cast("bigint"),
+            ).alias("sv"),
+        )
+    )
+    vecs = vecs.persist()
+    centroids = (
+        vecs.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc + d,
+        )
+        key = F.shiftleft(dist, 2).bitwiseOR(F.col("cid"))
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "sv", key.alias("key"))
+            .groupBy("vec_id", "sv")
+            .agg((F.min("key") % _KM_K).alias("cid"))
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select(
+                "cid", F.posexplode("sv").alias("i", "x")
+            )
+            .groupBy("cid", "i")
+            .agg(
+                F.round(F.sum("x") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("sm")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "sm"))
+                    ),
+                    lambda s: s["sm"],
+                ).alias("cv")
+            )
+        )
+
+    for _ in range(_KM_ITERS - 1):
+        centroids = update(assign(centroids))
+    final = assign(centroids)
+    out = (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .orderBy("cid")
+    )
+    return out
+
+
+# --------------------------------------------------------------------
+# Multimodal frame sampling (video-style binary → sampled frames).
+# --------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(i*32 + 1 AS BIGINT), 32)) AS frame_md5
+    FROM documents, (SELECT unnest(range(0, 64)) AS i)
+    WHERE i % 4 = 0 AND (i + 1) * 32 <= len(text)
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "llm", "udx"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a video-shaped binary column: the payload is
+    treated as fixed-width (32-byte) frames; every 4th complete frame
+    is extracted by an Arrow-batched ``mapInPandas`` decoder emitting
+    (doc_id, frame_idx, frame checksum). A real codec only replaces
+    the slice with a decode call — the schema, batch iteration, and
+    one-row→many-frames fan-out are the production plumbing, and
+    because the fake frames are deterministic byte slices the whole
+    path is hash-gated against the SQL oracle (no rows-only waiver).
+
+    Scale shape: sampling is row-local inside the Arrow batch — no
+    shuffle, no explode through the JVM; output rows are a strided
+    subset so downstream size is len/stride, decided before any heavy
+    decode work runs.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    FRAME, STRIDE = 32, 4
+
+    def sample_frames(batches):
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for k in range(0, len(b) // FRAME, STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sums.append(
+                        hashlib.md5(b[k * FRAME:(k + 1) * FRAME]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": sums}
+            )
+
+    return d.mapInPandas(
+        sample_frames, schema="doc_id long, frame_idx long, frame_md5 string"
+    ).orderBy("doc_id", "frame_idx")

@@ -1528,3 +1528,172 @@ def join_null_safe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------
+# Mergeable HLL sketch columns (re-aggregatable distinct state).
+# --------------------------------------------------------------------
+@register(
+    "hll_sketch_daily_users",
+    """
+    WITH per_type AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             event_type, user_id
+      FROM events
+    )
+    SELECT day, COUNT(DISTINCT user_id) AS n_users
+    FROM per_type GROUP BY day ORDER BY day
+    """,
+    tags=("agg", "sketch", "incremental"),
+)
+def hll_sketch_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count state: per-(day, type) Datasketches HLL
+    sketches built first, then UNIONED per day and estimated — the
+    two-level shape proving the sketch column is re-aggregatable
+    (store fine-grained sketches once; answer any coarser distinct
+    query by merging, never rescanning raw data).
+
+    The oracle is the exact COUNT(DISTINCT): at this per-day
+    cardinality the sketch is still in sparse (coupon) mode, where
+    Datasketches HLL is exact — so the hash gate holds while the plan
+    exercises the real sketch_agg → union_agg → estimate pipeline.
+
+    Scale shape: raw 100 TB events reduce to one ~KB sketch per
+    (day, type) in a single map-side-combined agg; every later rollup
+    (day, week, global) merges those sketches — constant-size state,
+    no re-shuffle of raw rows.
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    per_type = e.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        per_type.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users")
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------
+# SCD2 / change-data-capture interval derivation.
+# --------------------------------------------------------------------
+@register(
+    "scd2_user_type_intervals",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS version,
+           event_type, COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS valid_from_us
+    FROM runs GROUP BY user_id, run_id, event_type
+    ORDER BY user_id, version
+    """,
+    tags=("window", "cdc", "temporal"),
+)
+def scd2_user_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style history derivation (change data capture): collapse
+    each user's event stream into versioned validity runs — a new
+    version starts whenever the observed attribute (event_type)
+    changes. This is the gaps-and-islands shape behind dimension
+    history tables and CDC compaction.
+
+    Scale shape: one shuffle on user_id serves both window passes and
+    the final agg (same partitioning reused); no global sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "chg",
+            F.when(
+                ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("version", F.sum("chg").over(wrun))
+    )
+    return (
+        runs.groupBy("user_id", "version", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("valid_from_us"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --------------------------------------------------------------------
+# Map-typed columns: build, merge, explode.
+# --------------------------------------------------------------------
+@register(
+    "map_ops_type_values",
+    """
+    WITH per_user AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id < 20 GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type,
+           CAST(cents / 100.0 AS DOUBLE) AS type_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS INT) AS n_types
+    FROM per_user ORDER BY user_id, event_type
+    """,
+    tags=("scalar", "map"),
+)
+def map_ops_type_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user totals are packed into a
+    map<event_type, value> column (`map_from_entries` over a
+    collected struct array), measured (`map_keys`/`size`), then
+    exploded back to rows — the schema-flexible per-entity-attributes
+    pattern (feature maps, sparse counters) that avoids a fixed wide
+    schema.
+
+    Scale shape: one grouped agg builds the map per user; explode is
+    row-local; nothing leaves the user_id partitioning.
+    """
+    per_user = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    packed = per_user.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("event_type", "cents"))
+            )
+        ).alias("m")
+    )
+    return (
+        packed.select(
+            "user_id",
+            F.size(F.col("m")).alias("n_types"),
+            F.explode(F.col("m")).alias("event_type", "cents"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            (F.col("cents") / 100.0).cast("double").alias("type_value"),
+            F.col("n_types").cast("int").alias("n_types"),
+        )
+        .orderBy("user_id", "event_type")
+    )
