@@ -1,0 +1,322 @@
+"""Training-corpus assembly operators (SURVEY.md §2 Part B, north-star
+extensions): the steps that turn a cleaned document corpus into model-
+ready token streams — sequence packing, chunking with overlap,
+corpus-wide segment dedup, and mixture resampling with epochs.
+
+Like the rest of the LLM suite these use exact, order-independent
+arithmetic (whitespace token counts, md5 content hashes, integer
+window math) so every operator has a bit-exact DuckDB oracle twin.
+
+Reference scope note: the reference (`/root/reference/`) has no
+corpus-assembly surface — these operators are the north-star additions
+required by BASELINE.json, built on the same engine substrate
+(`mapreduce.go:319-342`'s map stage generalizes to the per-row
+expressions here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.textops import words
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+# DuckDB twin of operators.textops.words (see llm.py's _SQL_WORDS).
+_SQL_WORDS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+_SQL_TOK = f"len({_SQL_WORDS})"
+
+
+# --------------------------------------------------------------------
+# Sequence packing (concat-and-chop, per-source streams).
+# --------------------------------------------------------------------
+@register(
+    "sequence_pack_streams",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST({_SQL_TOK} AS BIGINT) AS tok
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, tok,
+             COALESCE(SUM(tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(tok) AS total_tokens,
+           (SUM(tok) - 1) // 256 + 1 AS n_seqs,
+           SUM(CASE WHEN cum_before // 256
+                      != (cum_before + tok - 1) // 256 THEN 1 ELSE 0 END)
+             AS n_crossing
+    FROM c GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "packing"),
+)
+def sequence_pack_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate each source's documents
+    in doc_id order and chop the token stream into fixed 256-token
+    training sequences; report per-source sequence counts and how many
+    documents cross a sequence boundary. The bin assignment is pure
+    window arithmetic (cumulative token offset // capacity) — no
+    driver loop, no per-bin state.
+
+    Scale shape: one shuffle on the stream key (source; at 100 TB the
+    key is (source, shard) so each window partition stays
+    executor-sized), then map-side aggregation.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(words(F.col("text"))).cast("long").alias("tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    start_seq = F.floor(F.col("cum_before") / 256)
+    end_seq = F.floor((F.col("cum_before") + F.col("tok") - 1) / 256)
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            (F.floor((F.sum("tok") - 1) / 256) + 1).alias("n_seqs"),
+            F.sum(F.when(start_seq != end_seq, 1).otherwise(0)).alias("n_crossing"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# Chunking with overlap (context windows for embedding / retrieval).
+# --------------------------------------------------------------------
+@register(
+    "chunk_overlap_windows",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST({_SQL_TOK} AS BIGINT) AS tok FROM documents
+    ), n AS (
+      SELECT doc_id, tok,
+             1 + CASE WHEN tok > 64 THEN (tok - 64 + 47) // 48 ELSE 0 END
+               AS n_chunks
+      FROM d
+    )
+    SELECT doc_id, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_idx,
+           tok, n_chunks
+    FROM n
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "chunking"),
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document's token stream becomes
+    64-token chunks with 16-token overlap (stride 48) — the standard
+    retrieval/embedding preparation step. Chunk enumeration is a
+    row-local ``sequence`` + ``explode`` (closed-form chunk count), so
+    the operator is embarrassingly parallel: no shuffle until the
+    presentation sort.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("tok")
+    )
+    n_chunks = F.lit(1) + F.when(
+        F.col("tok") > 64, F.floor((F.col("tok") - 64 + 47) / 48)
+    ).otherwise(0)
+    return (
+        d.withColumn("n_chunks", n_chunks.cast("long"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+            "tok",
+            "n_chunks",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# --------------------------------------------------------------------
+# Corpus-wide segment-level exact dedup (C4-style line dedup,
+# generalized to fixed-width word segments).
+# --------------------------------------------------------------------
+@register(
+    "segment_dedup_corpus",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, {_SQL_WORDS} AS ws FROM documents
+    ), s AS (
+      SELECT source, doc_id,
+             CAST(unnest(range((len(ws) + 7) // 8)) AS BIGINT) AS seg_idx,
+             ws
+      FROM d
+    ), seg AS (
+      SELECT source, doc_id, seg_idx,
+             array_to_string(
+               list_slice(ws, seg_idx * 8 + 1,
+                          LEAST(len(ws), (seg_idx + 1) * 8)), ' ') AS seg_text
+      FROM s
+    ), ranked AS (
+      SELECT source, doc_id, seg_idx, seg_text,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx
+             ) AS rn
+      FROM seg
+    )
+    SELECT source,
+           COUNT(*) AS n_segments,
+           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS segs_removed,
+           SUM(CASE WHEN rn > 1
+                    THEN len(string_split(seg_text, ' ')) ELSE 0 END)
+             AS words_removed
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "dedup"),
+)
+def segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact segment dedup (the C4 line-dedup rule applied
+    to fixed 8-word segments, since the corpus is single-line): every
+    segment whose content appears earlier anywhere in the corpus —
+    first occurrence by (doc_id, seg_idx) — is dropped; report removal
+    mass per source. The keep-first choice is a row_number over the
+    segment content hash.
+
+    Scale shape: explode to segments (row-local), one shuffle on the
+    128-bit segment hash (uniformly distributed — no skew), map-side
+    partial aggregation for the accounting.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", words(F.col("text")).alias("ws")
+    )
+    s = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.floor((F.size("ws") + 7) / 8) - 1)
+        ).alias("seg_idx"),
+        "ws",
+    )
+    seg = s.select(
+        "source",
+        "doc_id",
+        "seg_idx",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("ws"),
+                (F.col("seg_idx") * 8 + 1).cast("int"),
+                F.least(
+                    F.lit(8),
+                    (F.size("ws") - F.col("seg_idx") * 8).cast("int"),
+                ),
+            ),
+        ).alias("seg_text"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("seg_text")).orderBy("doc_id", "seg_idx")
+    )
+    return (
+        seg.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("segs_removed"),
+            F.sum(
+                F.when(
+                    F.col("rn") > 1, F.size(F.split("seg_text", " "))
+                ).otherwise(0)
+            ).alias("words_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# Mixture resampling with epochs (corpus reweighting).
+# --------------------------------------------------------------------
+@register(
+    "mixture_resample_epochs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST({_SQL_TOK} AS BIGINT) AS tok,
+             ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
+               AS bucket
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, tok,
+             CASE lang
+               WHEN 'en' THEN CASE WHEN bucket < 32768 THEN 1 ELSE 0 END
+               WHEN 'zh' THEN 2 + CASE WHEN bucket < 16384 THEN 1 ELSE 0 END
+               ELSE 1
+             END AS n_copies
+      FROM d
+    ), e AS (
+      SELECT doc_id, lang, tok, unnest(range(n_copies)) AS epoch
+      FROM c WHERE n_copies > 0
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS docs_in,
+           COUNT(*) AS rows_out,
+           SUM(tok) AS tokens_out
+    FROM e GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "sampling"),
+)
+def mixture_resample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting with multi-epoch upsampling: per-language
+    target weights (en 0.5× — downsample; zh 2.25× — two full epochs
+    plus a 25% hash-gated partial epoch; others 1.0×) applied as
+    deterministic content-hash decisions + ``explode(sequence(...))``
+    replication. This is the "data mixture" step of a training
+    pipeline (FineWeb/Dolma-style source weights), reproducible
+    across engines and runs — unlike rand()-based sampling.
+
+    Scale shape: row-local hash + replication (output rows ≈ Σ wᵢ·nᵢ,
+    no shuffle); only the per-language accounting aggregates.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(words(F.col("text"))).cast("long").alias("tok"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    n_copies = (
+        F.when(
+            F.col("lang") == "en",
+            F.when(bucket < 32768, 1).otherwise(0),
+        )
+        .when(
+            F.col("lang") == "zh",
+            F.lit(2) + F.when(bucket < 16384, 1).otherwise(0),
+        )
+        .otherwise(1)
+    )
+    e = (
+        d.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "tok",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+        )
+    )
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_in"),
+            F.count("*").alias("rows_out"),
+            F.sum("tok").alias("tokens_out"),
+        )
+        .orderBy("lang")
+    )

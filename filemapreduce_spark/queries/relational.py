@@ -1697,3 +1697,272 @@ def map_ops_type_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------
+# Time-series gap filling + forward fill (date spine per group).
+# --------------------------------------------------------------------
+@register(
+    "gapfill_daily_event_counts",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), span AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      FROM daily GROUP BY event_type
+    ), spine AS (
+      SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ), joined AS (
+      SELECT s.event_type, s.day, d.cnt
+      FROM spine s LEFT JOIN daily d
+        ON s.event_type = d.event_type AND s.day = d.day
+    )
+    SELECT event_type, day,
+           COALESCE(cnt, 0) AS cnt,
+           LAST_VALUE(cnt IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_observed
+    FROM joined
+    ORDER BY event_type, day
+    """,
+    tags=("window", "timeseries"),
+)
+def gapfill_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling over a generated date spine plus forward fill: each
+    event type's daily counts are densified to every calendar day in
+    its own [min, max] span (``explode(sequence(d0, d1))`` — the spine
+    is generated distributed, per group, never on the driver), missing
+    days become 0, and ``last(ignorenulls)`` carries the last observed
+    count forward.
+
+    Scale shape: one grouped agg (map-side partial), a per-group spine
+    explode whose output is |groups| × span-days, a broadcast-sized
+    left join back, and one window shuffle on event_type (at 100 TB
+    the spine key gains a shard component like any tall window).
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.last("cnt", ignorenulls=True).over(w).alias("last_observed"),
+    ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------
+# Correlation / simple linear regression from exact accumulators.
+# --------------------------------------------------------------------
+@register(
+    "stats_corr_regression",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_qty_price,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_cents_per_qty
+    FROM a ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and OLS slope (price-cents vs quantity) per
+    return flag, computed from exact integer co-moment accumulators
+    (sum, sum-of-squares, cross-sum as BIGINT / DECIMAL) with one
+    deterministic double formula at the end — the order-independent
+    alternative to corr()/regr_slope() whose float partials are
+    run-order-dependent. syy (cents²) exceeds int64 at scale, so that
+    one accumulator sums as DECIMAL before the final double cast.
+
+    Scale shape: a plain grouped agg — all six moments are map-side
+    partial, one shuffle on the group key.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = cents("l_extendedprice")
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    cov_n = n_d * sxy_d - sx_d * sy_d
+    var_x_n = n_d * sxx_d - sx_d * sx_d
+    var_y_n = n_d * F.col("syy") - sy_d * sy_d
+    return a.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_x_n * var_y_n), 6).alias("corr_qty_price"),
+        F.round(cov_n / var_x_n, 6).alias("slope_cents_per_qty"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------
+# Multiset set ops (EXCEPT ALL / INTERSECT ALL).
+# --------------------------------------------------------------------
+@register(
+    "setop_all_priorities",
+    """
+    WITH a AS (
+      SELECT o_orderpriority AS p FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    ), b AS (
+      SELECT o_orderpriority AS p FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    ), ea AS (
+      SELECT 'except_all' AS op, p FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+    ), ia AS (
+      SELECT 'intersect_all' AS op, p FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+    )
+    SELECT op, p AS o_orderpriority, COUNT(*) AS n
+    FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia)
+    GROUP BY op, p ORDER BY op, o_orderpriority
+    """,
+    tags=("setop",),
+)
+def setop_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations: EXCEPT ALL (per-value surplus of 1995
+    order priorities over 1996) and INTERSECT ALL (per-value overlap),
+    preserving duplicate multiplicity — the bag semantics `exceptAll`
+    / `intersectAll` implement with a count-and-compare aggregation
+    under the hood (one shuffle each, no row-by-row anti join).
+    """
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"), "o_orderdate"
+    )
+    a = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("p")
+    b = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("p")
+    ea = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    ia = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    return (
+        ea.unionByName(ia)
+        .groupBy("op", F.col("p").alias("o_orderpriority"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("op", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# Fixed-width histogram binning.
+# --------------------------------------------------------------------
+@register(
+    "histogram_price_bins",
+    """
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000 AS bin,
+           COUNT(*) AS n,
+           MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_cents
+    FROM lineitem
+    GROUP BY bin ORDER BY bin
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket-style): extended price in
+    exact cents floored into $10,000 bins with per-bin extrema — the
+    single-pass, map-side-partial profile every column-stats collector
+    runs. Bin count is data-range-bound, so the aggregate output stays
+    tiny no matter the input scale.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    c = cents("l_extendedprice")
+    return (
+        li.select(F.floor(c / 1000000).alias("bin"), c.alias("c"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------
+# Deterministic mode (most frequent value, ties broken by value).
+# --------------------------------------------------------------------
+@register(
+    "mode_priority_by_status",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY cnt DESC, o_orderpriority DESC
+      ) AS rn FROM c
+    ) WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "mode"),
+)
+def mode_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent order priority per status,
+    ties broken by the larger value — built as count + max(struct)
+    rather than mode(), whose tie behavior is engine-defined. The
+    max(struct(cnt, value)) reduction is associative/commutative, so
+    it stays a two-phase hash agg (no window shuffle at all).
+    """
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    best = c.groupBy("o_orderstatus").agg(
+        F.max(F.struct("cnt", "o_orderpriority")).alias("b")
+    )
+    return best.select(
+        "o_orderstatus",
+        F.col("b.o_orderpriority").alias("mode_priority"),
+        F.col("b.cnt").alias("mode_count"),
+    ).orderBy("o_orderstatus")
