@@ -50,20 +50,26 @@ from filemapreduce_spark.sources.files import files_from_memory, read_files
 LoaderSpec = Callable[[Column], Column] | str | None
 
 
-def _loader_column(loader: LoaderSpec) -> Column:
+def _loader_column(loader: LoaderSpec, strict: bool = False) -> Column:
     content = F.col("content")
+    # strict=True → FAILFAST: the first malformed record aborts the
+    # job with Spark's parse error (the reference's loader-error
+    # propagation, filesystem.go:49-65 + first-error-wins abort,
+    # mapreduce.go:25-31). Default PERMISSIVE yields null fields and
+    # lets the mapper decide.
+    options = {"mode": "FAILFAST"} if strict else {}
     if loader is None or loader == "bytes":
         return content
     if loader == "text":
         return F.decode(content, "UTF-8")
     if isinstance(loader, str) and loader.startswith("json:"):
         schema_ddl = loader[len("json:"):]
-        return F.from_json(F.decode(content, "UTF-8"), schema_ddl)
+        return F.from_json(F.decode(content, "UTF-8"), schema_ddl, options)
     if isinstance(loader, str) and loader.startswith("csv:"):
         # one CSV record per file (header-less); multi-record files go
         # through a mapper that splits lines before from_csv
         schema_ddl = loader[len("csv:"):]
-        return F.from_csv(F.decode(content, "UTF-8"), F.lit(schema_ddl))
+        return F.from_csv(F.decode(content, "UTF-8"), F.lit(schema_ddl), options)
     if callable(loader):
         return loader(content)
     raise ValueError(f"unknown loader spec: {loader!r}")
@@ -90,6 +96,12 @@ class Job:
       (mapreduce.go:344-354).
     - finalizer: DataFrame → Any action (sink). None = return the
       (lazy) DataFrame (Finalizer, interfaces.go:68-78).
+    - strict_parse: False (default) parses json:/csv: PERMISSIVE —
+      malformed content yields null fields and the pipeline keeps
+      going, the mapper decides. True parses FAILFAST: the first
+      malformed record aborts the job — the reference's loader-error
+      semantics (filesystem.go:49-65 error return; first-error-wins
+      abort, mapreduce.go:25-31).
     """
 
     name: str
@@ -101,6 +113,7 @@ class Job:
     sort_key: Any = None
     reducer: Callable[[DataFrame], DataFrame] | None = None
     finalizer: Callable[[DataFrame], Any] | None = None
+    strict_parse: bool = False
 
 
 @dataclass
@@ -136,10 +149,14 @@ class FileEngine:
         files = files if files is not None else self._files()
         flt = as_filter(job.path_filter)
         data = files.filter(F.col("path").rlike(flt.to_regex()))
-        data = data.withColumn("data", _loader_column(job.loader))
+        data = data.withColumn(
+            "data", _loader_column(job.loader, strict=job.strict_parse)
+        )
 
         if job.directory_files is not None:
-            payload = _loader_column(job.dir_loader or job.loader)
+            payload = _loader_column(
+                job.dir_loader or job.loader, strict=job.strict_parse
+            )
             data = attach_parents(
                 files, data, job.directory_files, payload
             )

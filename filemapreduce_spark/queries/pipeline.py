@@ -320,3 +320,131 @@ def mixture_resample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# Broadcast-model scoring (quality classifier inference).
+# --------------------------------------------------------------------
+@register(
+    "classifier_score_quality",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_filter(ws, w -> len(w) > 5)) AS BIGINT) AS n_long,
+             n_chars
+      FROM d
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(
+             -2.0
+             + 0.05 * CAST(n_words AS DOUBLE)
+             - 0.1  * CAST(n_long AS DOUBLE)
+             + 0.002 * CAST(n_chars AS DOUBLE)
+           ))), 6) AS quality_prob,
+           (0.05 * CAST(n_words AS DOUBLE)
+             - 0.1 * CAST(n_long AS DOUBLE)
+             + 0.002 * CAST(n_chars AS DOUBLE)) >= 2.0 AS keep
+    FROM f ORDER BY doc_id
+    """,
+    tags=("llm", "scoring"),
+)
+def classifier_score_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference as a row-local expression: a (fixed-weight)
+    logistic quality classifier scored over per-document features —
+    the fastText-style keep/drop scorer every curation pipeline runs.
+    The weight vector rides the plan as literals (at real scale: a
+    broadcast variable feeding a Pandas UDF for wide models); the
+    sigmoid stays in whole-stage codegen, so scoring 100 TB is a pure
+    map with zero shuffles.
+
+    The double formula is identical on both engines (same operation
+    order), so 6-decimal rounding hash-matches.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        words(F.col("text")).alias("ws"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    f = d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.filter("ws", lambda w: F.length(w) > 5))
+        .cast("long")
+        .alias("n_long"),
+        "n_chars",
+    )
+    logit = (
+        F.lit(-2.0)
+        + 0.05 * F.col("n_words").cast("double")
+        - 0.1 * F.col("n_long").cast("double")
+        + 0.002 * F.col("n_chars").cast("double")
+    )
+    margin = (
+        0.05 * F.col("n_words").cast("double")
+        - 0.1 * F.col("n_long").cast("double")
+        + 0.002 * F.col("n_chars").cast("double")
+    )
+    return f.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "quality_prob"
+        ),
+        (margin >= 2.0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# BPE-style vocabulary induction (one merge round of pair counts).
+# --------------------------------------------------------------------
+@register(
+    "bpe_pair_counts_top50",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ), w AS (
+      SELECT unnest(ws) AS word FROM d
+    ), pairs AS (
+      SELECT substring(word, i, 2) AS pair
+      FROM w, unnest(range(1, len(word))) AS t(i)
+      WHERE len(word) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+    tags=("llm", "tokenizer"),
+)
+def bpe_pair_counts_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE vocabulary induction: count every adjacent
+    character pair across the corpus and rank the top 50 merge
+    candidates — the inner loop of tokenizer training, expressed as
+    explode + grouped count.
+
+    Scale shape: pair generation is row-local (sequence+transform,
+    no Python); the count shuffles once on the pair key (≤ alphabet²
+    distinct keys, heavily combined map-side); top-50 is
+    TakeOrderedAndProject.
+    """
+    d = t(spark, sf_dir, "documents").select(words(F.col("text")).alias("ws"))
+    w = d.select(F.explode("ws").alias("word")).filter(F.length("word") >= 2)
+    # substring with a dynamic start needs expr(): substring(word, i, 2)
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )

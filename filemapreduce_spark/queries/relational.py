@@ -1966,3 +1966,155 @@ def mode_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.o_orderpriority").alias("mode_priority"),
         F.col("b.cnt").alias("mode_count"),
     ).orderBy("o_orderstatus")
+
+
+# --------------------------------------------------------------------
+# SQL text interface (spark.sql over registered views).
+# --------------------------------------------------------------------
+@register(
+    "sql_text_monthly_revenue",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           COUNT(*) AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS gross
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY y, m ORDER BY y, m
+    """,
+    tags=("sql", "agg"),
+)
+def sql_text_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL text entry point: the same catalog the
+    DataFrame queries use, registered as temp views and queried with
+    ``spark.sql`` — proving a user can bring plain ANSI SQL instead of
+    the DataFrame API and get the identical Catalyst plan (filter
+    pushdown, partial aggregation, the lot).
+    """
+    from filemapreduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS gross
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        GROUP BY y, m ORDER BY y, m
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# Higher-order array functions (transform/filter/exists/aggregate).
+# --------------------------------------------------------------------
+@register(
+    "higher_order_array_ops",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')
+               AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ws, w -> len(w) > 5)) AS BIGINT) AS n_long_words,
+           len(list_filter(ws, w -> regexp_matches(w, '[0-9]'))) > 0 AS has_digit,
+           CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS chars_folded,
+           CAST(list_max(list_transform(ws, w -> len(w))) AS INT) AS longest_word
+    FROM d ORDER BY doc_id
+    """,
+    tags=("scalar", "arrays"),
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions in one pass: ``filter`` (long-word
+    count), ``exists`` (digit detection), ``aggregate`` (character
+    fold), ``transform`` + ``array_max`` (longest token). All four
+    evaluate row-locally inside whole-stage codegen — the JVM-side
+    alternative to a Python UDF for per-row collection logic.
+    """
+    from filemapreduce_spark.operators.textops import words
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", words(F.col("text")).alias("ws")
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.filter("ws", lambda w: F.length(w) > 5))
+        .cast("long")
+        .alias("n_long_words"),
+        F.exists("ws", lambda w: w.rlike("[0-9]")).alias("has_digit"),
+        F.aggregate(
+            "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("chars_folded"),
+        F.array_max(F.transform("ws", lambda w: F.length(w))).alias(
+            "longest_word"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Graph: triangle counting on the co-purchase graph.
+# --------------------------------------------------------------------
+@register(
+    "triangle_count_copurchase",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM tri) AS n_triangles
+    """,
+    tags=("graph",),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts are
+    adjacent when they appear in the same order; sampled to every 4th
+    part key): the canonical two-hash-join graph pattern. Edges are
+    canonically oriented (u < v), so each triangle is produced exactly
+    once — no /6 correction, no cross join anywhere.
+
+    Scale shape: edge generation shuffles on order key (bounded fanout
+    — orders have ≤7 lines, so ≤21 pairs each); the triangle closure
+    is two shuffles on edge endpoints. Skew guard at 100 TB: cap or
+    salt super-node degrees before the closure join (AQE skew-join
+    handles moderate cases).
+    """
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_edges.crossJoin(n_tri)

@@ -412,3 +412,41 @@ def test_mapper_error_propagates(spark):
 
     with _pytest.raises(ValueError, match="mapper exploded"):
         eng.run([Job(name="boom", path_filter="**", mapper=bad_mapper)])
+
+
+def test_strict_parse_failfast_vs_permissive(spark):
+    """Loader error semantics: default PERMISSIVE nulls malformed
+    json fields and the job completes; strict_parse=True aborts on
+    the first malformed record (the reference returns the loader's
+    error and cancels everything — filesystem.go:49-65,
+    mapreduce.go:25-31)."""
+    tree = {
+        "good.json": '{"value": 3}',
+        "bad.json": "{definitely not json",
+    }
+    eng = FileEngine.from_memory(spark, tree)
+
+    permissive = Job(
+        name="p",
+        path_filter="*.json",
+        loader="json:value BIGINT",
+        finalizer=lambda df: sorted(
+            (r.path, r.data["value"] if r.data else None)
+            for r in df.select("path", "data").collect()
+        ),
+    )
+    out = eng.run([permissive])
+    assert out["p"] == [("bad.json", None), ("good.json", 3)]
+
+    strict = Job(
+        name="s",
+        path_filter="*.json",
+        loader="json:value BIGINT",
+        strict_parse=True,
+        finalizer=lambda df: df.collect(),
+    )
+    with pytest.raises(Exception) as exc:
+        eng.run([strict])
+    assert "MALFORMED_RECORD" in str(exc.value) or "FAILFAST" in str(
+        exc.value
+    )

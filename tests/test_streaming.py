@@ -49,3 +49,45 @@ def test_foreach_batch_parquet_sink(spark, events, tmp_path):
 
     assert len(seen_batches) >= 2, seen_batches
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_checkpoint_recovery_exactly_once(spark, events, tmp_path):
+    """Stop/restart with the same checkpoint must not reprocess
+    delivered batches: file source + checkpoint = exactly-once into an
+    idempotent (append-parquet counted) sink. This is the recovery
+    contract a 100 TB ingestion pipeline leans on."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = events.limit(40)
+    rest = events.subtract(first).limit(25)
+    first.write.parquet(str(src / "f1"))
+
+    schema = events.schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    run_stream()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    # new file arrives while the stream is down; restart from checkpoint
+    rest.write.parquet(str(src / "f2"))
+    run_stream()
+    got = spark.read.parquet(out)
+    assert got.count() == 65  # 40 + 25, nothing replayed
+    assert got.select("event_id").distinct().count() == 65
