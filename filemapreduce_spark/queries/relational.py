@@ -2118,3 +2118,124 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e.agg(F.count("*").alias("n_edges"))
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     return n_edges.crossJoin(n_tri)
+
+
+# --------------------------------------------------------------------
+# Positional explode (posexplode / WITH ORDINALITY).
+# --------------------------------------------------------------------
+@register(
+    "posexplode_leading_words",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')
+               AS ws
+      FROM documents
+    ), w AS (
+      SELECT doc_id, CAST(t.i AS INT) AS pos, ws[t.i + 1] AS word
+      FROM d, unnest(range(LEAST(3, len(ws)))) AS t(i)
+    )
+    SELECT doc_id, pos, word FROM w ORDER BY doc_id, pos
+    """,
+    tags=("scalar", "arrays"),
+)
+def posexplode_leading_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: each document's first three tokens with
+    their 0-based positions (``posexplode`` = SQL's UNNEST WITH
+    ORDINALITY). Slicing before exploding keeps the fanout bounded —
+    the row-local guard that matters when a 100 TB corpus would
+    otherwise explode to trillions of token rows.
+    """
+    from filemapreduce_spark.operators.textops import words
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(words(F.col("text")), 1, 3).alias("ws")
+    )
+    return (
+        d.select("doc_id", F.posexplode("ws").alias("pos", "word"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------
+# Null-preserving explode (explode_outer).
+# --------------------------------------------------------------------
+@register(
+    "explode_outer_long_words",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           w -> w != ''),
+               w -> len(w) > 8) AS rare
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(rare) = 0 THEN [NULL] ELSE rare END) AS word
+    FROM d ORDER BY doc_id, word NULLS FIRST
+    """,
+    tags=("scalar", "arrays"),
+)
+def explode_outer_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode: documents keep a row (word = NULL)
+    even when they have no >8-char tokens — ``explode_outer``'s
+    left-join semantics, which an inner explode would silently drop.
+    Essential for audit joins where every input row must survive.
+    """
+    from filemapreduce_spark.operators.textops import words
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(words(F.col("text")), lambda w: F.length(w) > 8).alias(
+            "rare"
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode_outer("rare").alias("word"))
+        .orderBy("doc_id", F.col("word").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------
+# Window navigation (first_value / nth_value / last_value frames).
+# --------------------------------------------------------------------
+@register(
+    "window_nav_supplier_balance",
+    """
+    SELECT s_nationkey, s_suppkey,
+           FIRST_VALUE(s_suppkey) OVER w AS richest,
+           NTH_VALUE(s_suppkey, 2) OVER w AS second_richest,
+           LAST_VALUE(s_suppkey) OVER (
+             PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS poorest
+    FROM supplier
+    WINDOW w AS (
+      PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    ORDER BY s_nationkey, s_suppkey
+    """,
+    tags=("window",),
+)
+def window_nav_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation functions over an explicit full-partition
+    frame: first/second/last supplier by account balance within each
+    nation. The UNBOUNDED...UNBOUNDED frame makes last_value actually
+    mean "partition last" (the default frame stops at CURRENT ROW — a
+    classic silent-wrong-answer trap).
+    """
+    s = t(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.first("s_suppkey").over(w).alias("richest"),
+        F.nth_value("s_suppkey", 2).over(w).alias("second_richest"),
+        F.last("s_suppkey").over(w).alias("poorest"),
+    ).orderBy("s_nationkey", "s_suppkey")
