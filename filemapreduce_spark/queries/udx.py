@@ -161,3 +161,64 @@ def udtf_shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_docs DESC, shingle
         """
     )
+
+
+# --------------------------------------------------------------------
+# mapInArrow: zero-copy Arrow-batch Python (the fastest Python path).
+# --------------------------------------------------------------------
+@register(
+    "map_in_arrow_vector_norms",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("udx", "arrow", "llm"),
+)
+def map_in_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: per-batch pyarrow compute with no pandas
+    conversion at all — the lowest-overhead Python execution path
+    (RecordBatch in, RecordBatch out, zero copies on the JVM side).
+    Computes embedding L2 norms batch-wise in numpy.
+
+    Scale shape: embarrassingly parallel map over Arrow batches;
+    norms are rounded to 4 decimals so the float64 fold (same
+    element order both engines) hash-matches the SQL oracle.
+    """
+    import pyarrow as pa
+    import numpy as np
+
+    def norms(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            ids = tbl.column("vec_id")
+            embs = tbl.column("embedding").to_pylist()
+            dims = [len(e) for e in embs]
+            l2 = [
+                round(
+                    float(
+                        np.sqrt(
+                            np.sum(np.asarray(e, dtype=np.float64) ** 2)
+                        )
+                    ),
+                    4,
+                )
+                for e in embs
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.combine_chunks()
+                    if isinstance(ids, pa.ChunkedArray)
+                    else ids,
+                    pa.array(dims, type=pa.int32()),
+                    pa.array(l2, type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(
+        norms, "vec_id long, dim int, l2_norm double"
+    ).orderBy("vec_id")
