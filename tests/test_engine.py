@@ -450,3 +450,51 @@ def test_strict_parse_failfast_vs_permissive(spark):
     assert "MALFORMED_RECORD" in str(exc.value) or "FAILFAST" in str(
         exc.value
     )
+
+
+def test_vfs_datasource_end_to_end(spark, tmp_path):
+    """The reference's pluggable FileSystem interface
+    (interfaces.go:89-94) as a registered Spark data source: a JSON
+    manifest served through format('fmr_vfs') drives a full
+    FileEngine job — custom backends need only implement List/Open
+    (here: the manifest reader), everything downstream is unchanged."""
+    import json as _json
+
+    from filemapreduce_spark.sources.vfs_datasource import (
+        register_vfs_source,
+    )
+
+    manifest = {
+        "a/b/d.txt": "1\n23\n4",
+        "a/b/e.txt": "23\n4\n5\n8",
+        "a/c/f.txt": "123\n4",
+    }
+    mpath = tmp_path / "manifest.json"
+    mpath.write_text(_json.dumps(manifest))
+
+    register_vfs_source(spark)
+    files = (
+        spark.read.format("fmr_vfs")
+        .option("manifest", str(mpath))
+        .option("partitions", "4")
+        .load()
+    )
+    assert files.count() == 3
+    eng = FileEngine(spark, files_df=files)
+    out = eng.run(
+        [
+            Job(
+                name="sum",
+                path_filter="**/*.txt",
+                loader="text",
+                mapper=lambda df: df.select(
+                    F.explode(F.split(F.col("data"), "\n")).alias("line")
+                )
+                .filter(F.col("line") != "")
+                .select(F.col("line").cast("long").alias("v")),
+                reducer=lambda df: df.agg(F.sum("v").alias("s")),
+                finalizer=lambda df: df.collect()[0]["s"],
+            )
+        ]
+    )
+    assert out["sum"] == 195
