@@ -33,7 +33,7 @@ Spark-native translation:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -178,13 +178,23 @@ class FileEngine:
             return job.reducer(mapped)
         return mapped
 
-    def run(self, jobs: list[Job]) -> dict[str, Any]:
+    def run(
+        self, jobs: list[Job], with_metrics: bool = False
+    ) -> dict[str, Any]:
         """Execute all jobs over a single shared scan.
 
         The files DF is persisted so each file is read and parsed once
         no matter how many jobs consume it (the reference's scan
         sharing, jobs.go:3-5); each job then triggers exactly one
         action (its finalizer, or nothing if it stays lazy).
+
+        ``with_metrics=True`` attaches an ``Observation`` to each
+        job's mapped frame: the returned dict gains a ``"_metrics"``
+        entry mapping job name → {rows_mapped} collected DURING the
+        job's own action — observability with zero extra scans (an
+        `observe()` rides the existing plan; a separate count() would
+        re-run it). Jobs without a finalizer stay lazy and report no
+        metrics.
         """
         if not jobs:
             return {}
@@ -198,12 +208,31 @@ class FileEngine:
             files = files.persist(self.persist_level)
         try:
             results: dict[str, Any] = {}
+            metrics: dict[str, dict[str, Any]] = {}
             for job in jobs:
+                obs = None
+                if with_metrics and job.finalizer is not None:
+                    from pyspark.sql import Observation
+
+                    obs = Observation(f"fmr_{job.name}")
+                    orig_mapper = job.mapper
+
+                    def observed_mapper(df, _orig=orig_mapper, _obs=obs):
+                        mapped = _orig(df) if _orig is not None else df
+                        return mapped.observe(
+                            _obs, F.count(F.lit(1)).alias("rows_mapped")
+                        )
+
+                    job = replace(job, mapper=observed_mapper)
                 out = self.plan(job, files)
                 if job.finalizer is not None:
                     results[job.name] = job.finalizer(out)
+                    if obs is not None:
+                        metrics[job.name] = obs.get
                 else:
                     results[job.name] = out
+            if with_metrics:
+                results["_metrics"] = metrics
             return results
         finally:
             if shared:

@@ -498,3 +498,37 @@ def test_vfs_datasource_end_to_end(spark, tmp_path):
         ]
     )
     assert out["sum"] == 195
+
+
+def test_run_with_metrics_observes_without_extra_scan(spark):
+    """with_metrics=True reports per-job mapped-row counts collected
+    by observe() during each job's own action — no second scan, no
+    count() re-run. Mirrors the reference's per-job accounting, which
+    also rode the single traversal."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    out = eng.run(
+        [
+            Job(
+                name="sum",
+                path_filter="**/*.txt",
+                loader="text",
+                mapper=lambda df: df.select(
+                    F.explode(F.split(F.col("data"), "\n")).alias("line")
+                )
+                .filter(F.col("line") != "")
+                .select(F.col("line").cast("long").alias("v")),
+                reducer=lambda df: df.agg(F.sum("v").alias("s")),
+                finalizer=lambda df: df.collect()[0]["s"],
+            ),
+            Job(
+                name="files",
+                path_filter="**/*.txt",
+                finalizer=lambda df: df.count(),
+            ),
+        ],
+        with_metrics=True,
+    )
+    assert out["sum"] == 195
+    assert out["files"] == 3
+    assert out["_metrics"]["sum"]["rows_mapped"] == 9
+    assert out["_metrics"]["files"]["rows_mapped"] == 3

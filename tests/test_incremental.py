@@ -74,3 +74,18 @@ def test_persisted_state_roundtrip(spark, tmp_path):
     )
     merged = finalize_state(merge_states([history, delta], KEYS), KEYS).orderBy(*KEYS)
     assert _canon(merged) == _canon(_full(spark))
+
+
+def test_cents_roundtrip_property():
+    """Property: cents() exactly represents any 2-decimal money value
+    (the basis of every hash-gated money aggregate). Pure-Python twin
+    of the column expression: round(x*100) must invert /100 for all
+    representable cents in the data's range."""
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=-10**12, max_value=10**12))
+    def check(c):
+        x = c / 100.0  # the parquet double for c cents
+        assert round(x * 100) == c
+
+    check()
