@@ -2239,3 +2239,115 @@ def window_nav_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("s_suppkey", 2).over(w).alias("second_richest"),
         F.last("s_suppkey").over(w).alias("poorest"),
     ).orderBy("s_nationkey", "s_suppkey")
+
+
+# --------------------------------------------------------------------
+# Order-independent table checksum (data validation).
+# --------------------------------------------------------------------
+@register(
+    "table_checksum_by_flag",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           BIT_XOR(('0x' || substring(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 15))::BIGINT) AS checksum
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "validation"),
+)
+def table_checksum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: XOR-fold of a 60-bit
+    per-row content hash, grouped by return flag. XOR is commutative/
+    associative with no overflow, so the checksum is identical for any
+    row order, partitioning, or engine — the cheap way to certify two
+    100 TB copies (or a migration) match without sorting anything.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        cents("l_extendedprice").cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.bit_xor(row_hash).alias("checksum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# Snapshot diff (CDC between two as-of states).
+# --------------------------------------------------------------------
+@register(
+    "snapshot_diff_order_activity",
+    """
+    WITH a AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem WHERE l_shipdate < DATE '1996-06-01'
+      GROUP BY l_orderkey
+    ), b AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem WHERE l_shipdate < DATE '1997-06-01'
+      GROUP BY l_orderkey
+    )
+    SELECT CASE WHEN a.l_orderkey IS NULL THEN 'added'
+                WHEN a.n_lines != b.n_lines THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           COUNT(*) AS n_orders,
+           SUM(COALESCE(b.n_lines, 0) - COALESCE(a.n_lines, 0)) AS line_delta
+    FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
+    GROUP BY change ORDER BY change
+    """,
+    tags=("join", "cdc"),
+)
+def snapshot_diff_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: per-order shipped-line counts as of two dates,
+    full-outer-joined on the key and classified added / changed /
+    unchanged — the CDC reconciliation pattern for comparing a table
+    against its next snapshot (no deletes here since shipments only
+    accrue; the removed class falls out of the same expression).
+
+    Scale shape: two partial-agg scans (one filter each) and one
+    shuffle join on the key — AQE merges the agg and join exchanges
+    since both hash on l_orderkey.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    a = (
+        li.filter(F.col("l_shipdate") < "1996-06-01")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .alias("a")
+    )
+    b = (
+        li.filter(F.col("l_shipdate") < "1997-06-01")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .alias("b")
+    )
+    j = a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.l_orderkey").isNull(), "added")
+        .when(F.col("a.n_lines") != F.col("b.n_lines"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            change.alias("change"),
+            F.coalesce(F.col("b.n_lines"), F.lit(0)).alias("bn"),
+            F.coalesce(F.col("a.n_lines"), F.lit(0)).alias("an"),
+        )
+        .groupBy("change")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("bn") - F.col("an")).alias("line_delta"),
+        )
+        .orderBy("change")
+    )
