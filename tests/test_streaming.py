@@ -91,3 +91,84 @@ def test_checkpoint_recovery_exactly_once(spark, events, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 65  # 40 + 25, nothing replayed
     assert got.select("event_id").distinct().count() == 65
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark must DROP a row that
+    arrives after the watermark passed its window — the state-eviction
+    contract that keeps streaming state bounded at scale. Files are
+    processed as separate micro-batches (maxFilesPerTrigger=1, mtimes
+    ordered): f1 fills 10:0x windows, f2 advances the watermark to
+    11:00, f3 carries a 09:00 straggler (dropped — a batch AFTER the
+    watermark passed it) plus a 12:00 row whose trailing no-data batch
+    flushes all finalized windows."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+
+    def write_file(name, ts_list, mtime):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(ts_list),
+                "k": ["x"] * len(ts_list),
+            }
+        )
+        p = str(src / name)
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(p)
+        for root, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    t0 = _time.time() - 1000
+    write_file(
+        "f1",
+        ["2024-01-01 10:00:30", "2024-01-01 10:01:10", "2024-01-01 10:04:50"],
+        t0,
+    )
+    write_file("f2", ["2024-01-01 11:00:00"], t0 + 100)
+    write_file(
+        "f3", ["2024-01-01 09:00:00", "2024-01-01 12:00:00"], t0 + 200
+    )
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the 09:00 straggler
+
+    rows = {
+        r.start.strftime("%H:%M"): r.n
+        for r in spark.read.parquet(out)
+        .select(F.col("w.start").alias("start"), "n")
+        .collect()
+    }
+    assert "09:00" not in rows  # late row never reached the result
+    assert rows == {"10:00": 1, "10:01": 1, "10:04": 1, "11:00": 1}
