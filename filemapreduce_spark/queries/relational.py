@@ -2351,3 +2351,152 @@ def snapshot_diff_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+# --------------------------------------------------------------------
+# Rolling-window distinct (WAU-style trailing 7-day active users).
+# --------------------------------------------------------------------
+@register(
+    "rolling_7day_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS active_7d
+    FROM days d
+    JOIN du u ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+    tags=("window", "timeseries", "analytics"),
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (WAU). COUNT
+    DISTINCT isn't frame-able in a window, so the scalable form is a
+    range join of the (day, user) de-dup against the day spine, then a
+    grouped distinct — two shuffles total, both on small post-dedup
+    data (days × users-per-week, not raw events).
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    du = e.distinct()
+    days = du.select("day").distinct().alias("d")
+    u = du.alias("u")
+    j = days.join(
+        u,
+        (F.col("u.day") > F.date_sub(F.col("d.day"), 7))
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    return (
+        j.groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------
+# Retention cohorts (first-seen day → day-offset return rates).
+# --------------------------------------------------------------------
+@register(
+    "retention_cohorts_weekly",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(day) AS d0 FROM du GROUP BY user_id
+    )
+    SELECT c.d0 AS cohort_day,
+           CAST(du.day - c.d0 AS BIGINT) // 7 AS week_offset,
+           COUNT(DISTINCT du.user_id) AS n_active
+    FROM cohort c JOIN du ON du.user_id = c.user_id
+    GROUP BY cohort_day, week_offset
+    ORDER BY cohort_day, week_offset
+    """,
+    tags=("agg", "analytics"),
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users bucketed by first-seen day, activity
+    counted per week offset from that day — the standard retention
+    triangle. The cohort assignment is a grouped MIN joined back on
+    the user key; everything stays keyed on user_id so AQE reuses the
+    exchange between the cohort agg and the join.
+    """
+    du = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    cohort = du.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = du.join(cohort, "user_id")
+    return (
+        j.groupBy(
+            F.col("d0").alias("cohort_day"),
+            F.floor(F.datediff("day", "d0") / 7).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------
+# Funnel analysis (ordered stage progression per user).
+# --------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(t_view) AS stage_view,
+      COUNT(CASE WHEN t_click > t_view THEN 1 END) AS stage_click,
+      COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+        AS stage_purchase
+    FROM s
+    """,
+    tags=("agg", "analytics"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked after viewing,
+    then purchased after clicking — first-touch timestamps per stage
+    via conditional MIN aggregation, stage ordering enforced by
+    timestamp comparison (NULL-safe by SQL three-valued logic: a
+    missing earlier stage disqualifies later ones).
+
+    Scale shape: ONE grouped agg over events (map-side partial
+    conditional mins) and a single-row final reduce — the whole funnel
+    is two shuffles regardless of corpus size.
+    """
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    return s.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "stage_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("stage_purchase"),
+    )
