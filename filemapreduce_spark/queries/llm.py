@@ -273,8 +273,16 @@ def neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d.filter(F.size("ws") >= 3).select(
         "doc_id", word_shingles(F.col("ws"), 3).alias("shingles")
     )
-    sh = d2.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Persist the ARRAY-level frame, then explode from the cache.
+    # Two reasons: (a) three plan branches read the shingles (both
+    # self-join sides + the size table); (b) explode with the shingle
+    # construction inline as the generator child is pathologically
+    # slow (measured 15.7s vs 0.3s from a cached array column —
+    # Generate evaluates outside whole-stage codegen).
+    arr = d2.persist()
+    arr.count()  # materialize before the fan-out
+    sh = arr.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = arr.select("doc_id", F.size("shingles").alias("n"))
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
     inter = (
