@@ -1,0 +1,270 @@
+"""Corpus-curation operators: fuzzy matching, language-model quality
+scoring, and budgeted selection.
+
+These extend the LLM-pipeline surface (SURVEY.md §2) with the
+operators a curation run applies AFTER near-dedup: edit-distance
+fuzzy pairing inside blocking buckets, corpus-level bigram LM
+scoring, per-language top-p token budgeting, and decile tiering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.textops import words
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+)
+
+
+# --------------------------------------------------------------------
+# Blocked fuzzy dedup: Levenshtein inside (lang, length-bucket) blocks.
+# --------------------------------------------------------------------
+@register(
+    "fuzzy_pairs_levenshtein",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 32 AS len_bucket,
+             substr(text, 1, 96) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 24
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "fuzzy", "llm"),
+)
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy-duplicate candidate pairs with blocking:
+    documents pair only within (lang, length-bucket) blocks, and the
+    Levenshtein distance runs on a fixed 96-char head so per-pair cost
+    is bounded O(96²) regardless of document length.
+
+    Scale: the self-join shuffles on the blocking key, so pair count
+    is Σ block² — the blocking key (language × 32-char length band)
+    is what keeps blocks small; at 100 TB add more discriminating
+    blocking (e.g. + minhash band) and a per-block pair cap.
+    Levenshtein evaluates JVM-side in whole-stage codegen (built-in
+    ``F.levenshtein``), never Python.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 32).cast("long").alias("len_bucket"),
+        F.substring("text", 1, 96).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.levenshtein("a.head", "b.head").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 24)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------
+# Bigram language-model scoring (corpus model → per-doc avg logprob).
+# --------------------------------------------------------------------
+@register(
+    "bigram_lm_doc_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, t.i AS i, ws[t.i+1] AS w, ws[t.i+2] AS nxt
+      FROM (SELECT doc_id, lang, {_SQL_WORDS} AS ws FROM documents),
+           unnest(range(len(ws))) AS t(i)
+    ),
+    uni AS (
+      SELECT lang, w, COUNT(*) AS cw
+      FROM toks GROUP BY lang, w
+    ),
+    bi AS (
+      SELECT lang, w, nxt, COUNT(*) AS cwn
+      FROM toks WHERE nxt IS NOT NULL GROUP BY lang, w, nxt
+    ),
+    scored AS (
+      SELECT tk.doc_id,
+             ln((bi.cwn + 1.0) / (uni.cw + 50000.0)) AS lp
+      FROM toks tk
+      JOIN uni ON uni.lang = tk.lang AND uni.w = tk.w
+      JOIN bi  ON bi.lang = tk.lang AND bi.w = tk.w AND bi.nxt = tk.nxt
+      WHERE tk.nxt IS NOT NULL
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(SUM(lp) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("quality", "lm", "llm"),
+)
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score under a corpus-trained bigram LM:
+    count unigrams and bigrams per language across the corpus, then
+    score each document's bigrams with add-one-smoothed conditional
+    log-probabilities ln((c(w,next)+1)/(c(w)+V)) and average.
+
+    Two-pass shape (train then score) — exactly how n-gram quality
+    filters (e.g. CCNet's LM perplexity filter) run at scale: the
+    model tables are aggregates (map-side partials), and scoring joins
+    the token stream against them on (lang, w[, next]) hash keys.
+    Count tables stay exact BIGINT; the per-token log is computed in
+    one fixed op order and the per-doc mean is rounded to 6 decimals
+    for cross-engine hash parity (sum order over equal doubles can
+    differ, so the tolerance absorbs last-ulp wiggle).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", words("text").alias("ws")
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode("ws").alias("i", "w"),
+        F.col("ws").alias("ws"),
+    ).select(
+        "doc_id",
+        "lang",
+        "w",
+        F.get("ws", F.col("i") + 1).alias("nxt"),
+    )
+    uni = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cw"))
+    bi = (
+        toks.where(F.col("nxt").isNotNull())
+        .groupBy("lang", "w", "nxt")
+        .agg(F.count(F.lit(1)).alias("cwn"))
+    )
+    scored = (
+        toks.where(F.col("nxt").isNotNull())
+        .join(uni, ["lang", "w"])
+        .join(bi, ["lang", "w", "nxt"])
+        .select(
+            "doc_id",
+            F.log((F.col("cwn") + 1.0) / (F.col("cw") + 50000.0)).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Per-language top-p (nucleus) token budgeting.
+# --------------------------------------------------------------------
+@register(
+    "corpus_topp_tokens_by_lang",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang) AS total_tokens
+      FROM d
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens,
+           CASE WHEN cum_tokens * 10 <= total_tokens * 8
+                THEN 1 ELSE 0 END AS kept
+    FROM ranked ORDER BY doc_id
+    """,
+    tags=("sampling", "selection", "llm"),
+)
+def corpus_topp_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) corpus selection with a per-language token
+    budget: rank documents by token count (unique (count, doc_id)
+    order), take the prefix holding ≤ 80% of that language's tokens.
+    The 80% test is exact integer arithmetic (cum·10 ≤ total·8).
+
+    Scale: the cumulative window partitions BY LANGUAGE, so no global
+    single-partition sort; the per-language total reuses the same
+    partitioning (one shuffle serves both windows). For a truly
+    skewed partition (one language = 90% of corpus) the scale fix is
+    a two-pass threshold: aggregate a per-quality-bucket histogram,
+    pick the cutoff bucket on the driver, then filter — same answer,
+    no wide window.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(cum_w).alias("cum_tokens"),
+        F.sum("n_tokens").over(tot_w).alias("total_tokens"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        F.when(
+            F.col("cum_tokens") * 10 <= F.col("total_tokens") * 8, 1
+        )
+        .otherwise(0)
+        .alias("kept"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Decile tiering: ntile over per-language quality order.
+# --------------------------------------------------------------------
+@register(
+    "quality_tiers_ntile",
+    """
+    SELECT doc_id, lang,
+           ntile(10) OVER (
+             PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS tier
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("sampling", "window", "llm"),
+)
+def quality_tiers_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile tier assignment per language (the shape used to mix
+    training data by quality tier): ``ntile(10)`` over a unique
+    (score desc, doc_id) order — deterministic because the order has
+    no ties, and both engines share the ANSI remainder rule (earlier
+    buckets get the extra rows).
+
+    Scale: window partitioned by language; for the histogram-sized
+    version at 100 TB, replace ntile with precomputed quantile cuts
+    (one agg) + a row-local bucket lookup, avoiding the sort.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return d.select(
+        "doc_id", "lang", F.ntile(10).over(w).alias("tier")
+    ).orderBy("doc_id")
