@@ -238,6 +238,97 @@ def corpus_topp_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Fixed-size uniform sample per group (deterministic reservoir twin).
+# --------------------------------------------------------------------
+@register(
+    "sample_fixed_k_per_lang",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('fix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, rn FROM r WHERE rn <= 20
+    ORDER BY lang, rn
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample per group, deterministically: rank
+    rows within each language by a seeded content hash (md5 hex
+    strings compare identically everywhere) and keep the first 20.
+    This is the reproducible twin of reservoir sampling — same
+    marginal uniformity, but stable across runs, engines, and
+    partitionings.
+
+    Scale: one shuffle on the group key; the per-group sort is
+    top-k-pruned (WindowGroupLimit pushes rn<=20 below the sort, so
+    each partition keeps a 20-row heap, not the full group).
+    """
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("fix:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .orderBy("lang", "rn")
+    )
+
+
+# --------------------------------------------------------------------
+# Weighted Bernoulli sampling: inclusion probability ∝ row weight.
+# --------------------------------------------------------------------
+@register(
+    "weighted_sample_by_length",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, bucket
+    FROM h
+    WHERE bucket < least(65536, n_chars * 32)
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "llm"),
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling with inclusion probability
+    proportional to document length (P = min(1, n_chars·32/65536)):
+    a seeded 16-bit hash bucket compared against a per-row threshold.
+    Token-weighted corpus sampling is this exact shape (weight =
+    token count), and the hash seed makes the draw reproducible and
+    engine-independent, unlike rand()-based sampling.
+
+    Scale: entirely row-local (hash + compare — no shuffle, no
+    state); survives any repartitioning because the draw depends
+    only on the row's key.
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return (
+        d.select("doc_id", "lang", "n_chars", bucket.alias("bucket"))
+        .where(F.col("bucket") < F.least(F.lit(65536), F.col("n_chars") * 32))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
 # Decile tiering: ntile over per-language quality order.
 # --------------------------------------------------------------------
 @register(

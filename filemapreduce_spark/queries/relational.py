@@ -2121,6 +2121,117 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Graph: PageRank (2 unrolled iterations, exact integer arithmetic).
+# --------------------------------------------------------------------
+@register(
+    "pagerank_trade_2iter",
+    """
+    WITH e AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    params AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT n, 1000000000000 // p.n_nodes AS r
+           FROM nodes CROSS JOIN params p),
+    it1 AS (
+      SELECT nd.n, (150000000000 // p.n_nodes)
+             + COALESCE(SUM((r0.r * 85) // (100 * dg.d)), 0) AS r
+      FROM nodes nd CROSS JOIN params p
+      LEFT JOIN e ON e.dst = nd.n
+      LEFT JOIN r0 ON r0.n = e.src
+      LEFT JOIN deg dg ON dg.src = e.src
+      GROUP BY nd.n, p.n_nodes
+    ),
+    it2 AS (
+      SELECT nd.n, (150000000000 // p.n_nodes)
+             + COALESCE(SUM((it1.r * 85) // (100 * dg.d)), 0) AS r
+      FROM nodes nd CROSS JOIN params p
+      LEFT JOIN e ON e.dst = nd.n
+      LEFT JOIN it1 ON it1.n = e.src
+      LEFT JOIN deg dg ON dg.src = e.src
+      GROUP BY nd.n, p.n_nodes
+    )
+    SELECT it2.n AS nationkey, nn.n_name AS nation, it2.r AS rank_e12
+    FROM it2 JOIN nation nn ON nn.n_nationkey = it2.n
+    ORDER BY nationkey
+    """,
+    tags=("graph", "iterative"),
+)
+def pagerank_trade_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 2 unrolled iterations) on the
+    supplier-nation → customer-nation trade graph, in EXACT integer
+    arithmetic: ranks are scaled to 1e12 units and every contribution
+    is the floor division (r·85) div (100·deg), so partial-agg order
+    cannot perturb the result and the oracle matches bit-for-bit.
+    Dangling-node mass is dropped (the standard simplification);
+    floor-division remainders shrink total mass deterministically.
+
+    Scale shape — the canonical iterative-graph pattern: per
+    iteration, join the rank table to edges on src (broadcast when
+    ranks are node-count-small; shuffle-hash on the key otherwise)
+    and re-aggregate on dst. The driver loop only composes plans; no
+    data visits the driver except the node count.
+    """
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = nodes.count()  # the only driver-side scalar
+    r0_val = 10**12 // n_nodes
+    base = 150000000000 // n_nodes
+
+    ew = e.join(deg, "src")  # (src, dst, d) — degree attached once
+    ranks = nodes.withColumn("r", F.lit(r0_val).cast("long"))
+    for _ in range(2):
+        contribs = ew.join(ranks, ew.src == ranks.n).select(
+            F.col("dst"),
+            F.expr("(r * 85) div (100 * d)").alias("contrib"),
+        )
+        incoming = contribs.groupBy("dst").agg(
+            F.sum("contrib").alias("in_mass")
+        )
+        ranks = nodes.join(incoming, nodes.n == incoming.dst, "left").select(
+            F.col("n"),
+            (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
+            .cast("long")
+            .alias("r"),
+        )
+    nn = t(spark, sf_dir, "nation")
+    return (
+        ranks.join(F.broadcast(nn), ranks.n == nn.n_nationkey)
+        .select(
+            F.col("n").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("r").alias("rank_e12"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------
 # Positional explode (posexplode / WITH ORDINALITY).
 # --------------------------------------------------------------------
 @register(
