@@ -108,3 +108,37 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
         spark.read.parquet(dest).agg({"id": "sum"}).collect()[0][0]
         == sum(range(20000))
     )
+
+
+def test_clustered_write_disjoint_file_ranges(spark, lineitem, tmp_path):
+    """write_clustered must produce files whose key ranges do not
+    overlap (that disjointness is what makes parquet min/max footer
+    stats skip whole files on range predicates)."""
+    import glob as pyglob
+
+    from filemapreduce_spark.sinks import write_clustered
+
+    out = str(tmp_path / "clustered")
+    write_clustered(lineitem, out, ["l_shipdate"], n_files=4)
+
+    files = sorted(pyglob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4, files
+    ranges = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("l_shipdate").alias("lo"),
+                F.max("l_shipdate").alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
+        )
+        assert row.n > 0
+        ranges.append((row.lo, row.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, ranges
+
+    # content round-trip: clustering must not lose or duplicate rows
+    assert spark.read.parquet(out).count() == lineitem.count()
