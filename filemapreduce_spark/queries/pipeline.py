@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from filemapreduce_spark.operators.money import cents
 from filemapreduce_spark.operators.textops import words
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
@@ -448,3 +449,217 @@ def bpe_pair_counts_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------
+# 2-D skyline (Pareto front): cheapest-vs-largest parts.
+# --------------------------------------------------------------------
+@register(
+    "skyline_parts_price_size",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             p_size FROM part
+    )
+    SELECT a.price_cents, a.p_size AS size,
+           (SELECT COUNT(*) FROM part p
+             WHERE CAST(round(p.p_retailprice * 100) AS BIGINT) = a.price_cents
+               AND p.p_size = a.p_size) AS n_parts
+    FROM pairs a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs b
+      WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    ORDER BY price_cents
+    """,
+    tags=("skyline", "window", "analytics"),
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) over (minimize price, maximize
+    size): a part survives iff nothing is both cheaper-or-equal and
+    larger-or-equal with one strict. Computed the scalable way — NOT
+    the O(n²) dominance anti-join the oracle uses: (1) aggregate to
+    per-price max size (map-side partials); (2) running max WITHIN
+    price buckets (window partitioned by bucket — parallel); (3) the
+    cross-bucket prefix max comes from a scalar agg of ~|buckets|
+    maxima, turned into per-bucket prefixes row-locally and broadcast
+    back. No unpartitioned window, no global sort — the classic
+    "aggregate the boundaries, broadcast them back" two-level scan.
+    The oracle's NOT EXISTS formulation independently proves the
+    algebra.
+    """
+    p = t(spark, sf_dir, "part").select(
+        cents("p_retailprice").alias("price_cents"), "p_size"
+    )
+    bucket = (F.col("price_cents") / 100000).cast("long")
+    per_price = (
+        p.groupBy("price_cents")
+        .agg(F.max("p_size").alias("size"))
+        .withColumn("bucket", bucket)
+    )
+    # (2) strictly-cheaper running max inside each price bucket
+    in_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per_price.withColumn(
+        "local_prev", F.max("size").over(in_bucket)
+    )
+    # (3) per-bucket maxima -> one row -> prefix max per bucket
+    bmax = per_price.groupBy("bucket").agg(F.max("size").alias("bmax"))
+    arr = bmax.agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "bmax"))).alias("bs")
+    )
+    prefixes = arr.select(
+        F.explode(
+            F.transform(
+                "bs",
+                lambda s, i: F.struct(
+                    s["bucket"].alias("bucket"),
+                    F.when(
+                        i > 0,
+                        F.array_max(
+                            F.transform(
+                                F.slice("bs", 1, i), lambda q: q["bmax"]
+                            )
+                        ),
+                    ).alias("prefix_prev"),
+                ),
+            )
+        ).alias("pb")
+    ).select("pb.bucket", "pb.prefix_prev")
+    front = (
+        local.join(F.broadcast(prefixes), "bucket")
+        .where(
+            F.col("size")
+            > F.greatest(
+                F.coalesce("local_prev", F.lit(-1)),
+                F.coalesce("prefix_prev", F.lit(-1)),
+            )
+        )
+        .select("price_cents", "size")
+    )
+    counts = p.groupBy("price_cents", F.col("p_size").alias("size")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    return front.join(counts, ["price_cents", "size"]).orderBy("price_cents")
+
+
+# --------------------------------------------------------------------
+# Robust statistics: median absolute deviation per group.
+# --------------------------------------------------------------------
+@register(
+    "robust_stats_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(MAX(m.med), 6) AS median,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+           COUNT(*) AS n
+    FROM events e JOIN med m ON m.event_type = e.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    tags=("stats", "robust", "analytics"),
+)
+def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the outlier-robust
+    spread measure (quality-score distributions are heavy-tailed, so
+    std-dev-based cutoffs misbehave; MAD-based ones don't). Two exact
+    interpolated-percentile passes: group medians, broadcast back,
+    then the median of absolute deviations.
+
+    Scale: each pass is a grouped exact percentile (sort within hash
+    partition); the join-back is a broadcast of |groups| rows. At
+    100 TB swap pass 2's exact percentile for percentile_approx and
+    keep pass 1 exact (group count is small).
+    """
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("median"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Contingency analysis: chi-square cells for lang × source.
+# --------------------------------------------------------------------
+@register(
+    "contingency_chi2_cells",
+    """
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+      SELECT o.lang, o.source, o.n,
+             SUM(o.n) OVER (PARTITION BY o.lang) AS row_total,
+             SUM(o.n) OVER (PARTITION BY o.source) AS col_total,
+             SUM(o.n) OVER () AS grand_total
+      FROM obs o
+    )
+    SELECT lang, source, n, row_total, col_total,
+           round((CAST(row_total AS DOUBLE) * col_total) / grand_total, 6)
+             AS expected,
+           round(
+             ((n - (CAST(row_total AS DOUBLE) * col_total) / grand_total)
+              * (n - (CAST(row_total AS DOUBLE) * col_total) / grand_total))
+             / ((CAST(row_total AS DOUBLE) * col_total) / grand_total), 6)
+             AS chi2_term
+    FROM margins ORDER BY lang, source
+    """,
+    tags=("stats", "analytics"),
+)
+def contingency_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence analysis of the lang × source
+    contingency table, emitted per cell (observed, margins, expected,
+    χ² term) so every float is computed row-locally in one fixed op
+    order — no cross-row float summation to perturb hashes; the
+    caller folds the rounded terms for the statistic.
+
+    Scale: one exact grouped count over raw rows, then margins via
+    broadcast joins of the tiny per-lang/per-source/grand aggregates —
+    no window touches raw data and nothing funnels to one partition.
+    This is the standard pattern for feature×label dependence
+    screening over a corpus.
+    """
+    d = t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = obs.groupBy("lang").agg(F.sum("n").alias("row_total"))
+    col_tot = obs.groupBy("source").agg(F.sum("n").alias("col_total"))
+    grand = obs.agg(F.sum("n").alias("grand_total"))
+    margins = (
+        obs.join(F.broadcast(row_tot), "lang")
+        .join(F.broadcast(col_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select("lang", "source", "n", "row_total", "col_total", "grand_total")
+    )
+    expected = (
+        F.col("row_total").cast("double") * F.col("col_total")
+    ) / F.col("grand_total")
+    return margins.select(
+        "lang",
+        "source",
+        "n",
+        "row_total",
+        "col_total",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            ((F.col("n") - expected) * (F.col("n") - expected)) / expected, 6
+        ).alias("chi2_term"),
+    ).orderBy("lang", "source")
