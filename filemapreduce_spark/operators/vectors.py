@@ -130,3 +130,41 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def gram_partials(df: DataFrame, vec_col: str = "embedding",
+                  dim: int = 64, scale: int = 1_000_000) -> DataFrame:
+    """Per-Arrow-batch partial gram matrices: one numpy int64 matmul
+    per batch over floor(v·scale) integers; output (i, j, gram) rows
+    — d² per batch, independent of row count. Sum over (i, j) to get
+    X^T·X exactly (integer partials are associative/commutative, so
+    partial aggregation cannot perturb the result).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    ii, jj = np.meshgrid(
+        np.arange(dim, dtype=np.int32),
+        np.arange(dim, dtype=np.int32),
+        indexing="ij",
+    )
+    i_flat = pa.array(ii.ravel(), type=pa.int32())
+    j_flat = pa.array(jj.ravel(), type=pa.int32())
+
+    def partial_gram(batches):
+        for batch in batches:
+            col = pa.table(batch).column(vec_col).combine_chunks()
+            if len(col) == 0:
+                continue
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            m = flat.reshape(len(col), dim).astype(np.float64)
+            mi = np.floor(m * scale).astype(np.int64)
+            g = mi.T @ mi
+            yield pa.RecordBatch.from_arrays(
+                [i_flat, j_flat, pa.array(g.ravel(), type=pa.int64())],
+                names=["i", "j", "gram_e12"],
+            )
+
+    return df.select(vec_col).mapInArrow(
+        partial_gram, "i int, j int, gram_e12 long"
+    )

@@ -55,33 +55,10 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on row, group by (i,j)) — same algebra, different
     physical plan; hash equality proves the matmul path correct.
     """
-    import numpy as np
-    import pyarrow as pa
-
-    ii, jj = np.meshgrid(
-        np.arange(_DIM, dtype=np.int32),
-        np.arange(_DIM, dtype=np.int32),
-        indexing="ij",
-    )
-    i_flat = pa.array(ii.ravel(), type=pa.int32())
-    j_flat = pa.array(jj.ravel(), type=pa.int32())
-
-    def partial_gram(batches):
-        for batch in batches:
-            col = pa.table(batch).column("embedding").combine_chunks()
-            if len(col) == 0:
-                continue
-            flat = col.flatten().to_numpy(zero_copy_only=False)
-            m = flat.reshape(len(col), _DIM).astype(np.float64)
-            mi = np.floor(m * _SCALE).astype(np.int64)
-            g = mi.T @ mi
-            yield pa.RecordBatch.from_arrays(
-                [i_flat, j_flat, pa.array(g.ravel(), type=pa.int64())],
-                names=["i", "j", "gram_e12"],
-            )
+    from filemapreduce_spark.operators.vectors import gram_partials
 
     e = t(spark, sf_dir, "embeddings").select("embedding")
-    partials = e.mapInArrow(partial_gram, "i int, j int, gram_e12 long")
+    partials = gram_partials(e, "embedding", _DIM, _SCALE)
     return (
         partials.groupBy("i", "j")
         .agg(F.sum("gram_e12").alias("gram_e12"))

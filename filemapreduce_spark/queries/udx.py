@@ -222,3 +222,64 @@ def map_in_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(
         norms, "vec_id long, dim int, l2_norm double"
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------
+# Grouped-aggregate pandas UDF: a true custom UDAF.
+# --------------------------------------------------------------------
+@register(
+    "pandas_udaf_weighted_price",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           / SUM(CAST(l_quantity AS BIGINT)) AS wavg_price_cents,
+           SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("udx", "udaf", "pandas"),
+)
+def pandas_udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas UDF: quantity-weighted
+    mean price per return flag, computed inside numpy on Arrow
+    batches. The UDAF accumulates exact int64 (cents × quantity)
+    sums — deterministic regardless of row order — and divides once,
+    so it hash-matches the SQL oracle exactly.
+
+    Scale caveat (why built-ins still win): a grouped-agg pandas UDF
+    has no partial aggregation — Spark shuffles the raw group rows to
+    the aggregator. Fine for bounded groups; for 100 TB hot paths,
+    express the same math with built-ins (as the oracle does) to get
+    map-side partials. This query exists to cover the custom-UDAF
+    surface for aggregations built-ins can't express.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price_cents: pd.Series, qty: pd.Series) -> float:
+        num = (price_cents.to_numpy() * qty.to_numpy()).sum()
+        den = qty.to_numpy().sum()
+        return float(num) / float(den)
+
+    # Spark forbids mixing GROUPED_AGG pandas UDFs with JVM
+    # aggregates in one agg() — so the companion sum is a UDAF too.
+    @pandas_udf("long")
+    def qty_sum(qty: pd.Series) -> int:
+        return int(qty.to_numpy().sum())
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            wavg("price_cents", "qty").alias("wavg_price_cents"),
+            qty_sum("qty").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

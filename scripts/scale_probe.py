@@ -103,11 +103,33 @@ def main():
             .save()
         )
 
+    # gram matrix: d^2 partials per partition -> runtime should be
+    # nearly FLAT under row-count growth (the reduction is constant
+    # size; only the scan grows). 100 copies for a visible signal.
+    from filemapreduce_spark.operators.vectors import gram_partials
+
+    em1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(32)
+    em100 = None
+    for i in range(100):
+        c = em1.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        em100 = c if em100 is None else em100.unionAll(c)
+
+    def gram(em):
+        return lambda: (
+            gram_partials(em)
+            .groupBy("i", "j")
+            .agg(F.sum("gram_e12").alias("g"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
     results = {}
     for name, f1, f10 in (
         ("groupby_agg", q1(li1), q1(li10)),
         ("fact_fact_join", join_agg(li1, od1), join_agg(li10, od10)),
         ("minhash_signature", minhash(dc1), minhash(dc10)),
+        ("gram_matrix_100x", gram(em1), gram(em100)),
     ):
         t1, t10 = timed(f1), timed(f10)
         results[name] = {
