@@ -31,12 +31,18 @@ def asof_join(
     right_payload: list[str],
     tiebreak: str | None = None,
     prefix: str = "asof_",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join; right payload columns arrive as ``prefix+name``.
 
     - ``on``: equality key column (same name both sides).
     - ``tiebreak``: right column breaking equal-timestamp ties
       (highest wins); defaults to the first payload column.
+    - ``tolerance``: optional max staleness as an SQL interval string
+      (e.g. ``"30 MINUTES"``); a match older than
+      ``left_time - tolerance`` is nulled out (pandas
+      ``merge_asof(tolerance=...)`` semantics). Applied AFTER the
+      window, so it adds zero shuffles.
     """
     tiebreak = tiebreak or right_payload[0]
     payload_struct = F.struct(
@@ -85,6 +91,13 @@ def asof_join(
         .withColumn("_match", F.last("_rp", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance is not None:
+        fresh = F.col("_match._t") >= F.col("_time") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        joined = joined.withColumn(
+            "_match", F.when(fresh, F.col("_match"))
+        )
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
     out_cols += [
         F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_payload

@@ -1036,6 +1036,131 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+@register(
+    "asof_join_tolerance_30min",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           l.event_id AS asof_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT c.event_id
+        FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTES
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) l ON true
+    ORDER BY purchase_id
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_tolerance_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness (pandas merge_asof
+    ``tolerance`` semantics): the latest same-user click at-or-before
+    each purchase, but only if it happened within the last 30
+    minutes — older matches null out. The tolerance is a row-local
+    post-filter on the window result, so it costs zero extra shuffles
+    over the plain as-of join; the oracle's correlated LATERAL limit
+    proves the semantics independently.
+    """
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["event_id"],
+        tiebreak="event_id",
+        tolerance="30 MINUTES",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof_event_id").alias("asof_click_id"),
+    ).orderBy("purchase_id")
+
+
+@register(
+    "topk_with_ties_orders",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             rank() OVER (ORDER BY round(o_totalprice * 100) DESC) AS rnk
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, price_cents, rnk
+    FROM r WHERE rnk <= 10 ORDER BY rnk, o_orderkey
+    """,
+    tags=("window", "topk"),
+)
+def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (SQL FETCH FIRST k ROWS WITH TIES): rank()
+    instead of row_number() keeps every row tied at the boundary —
+    the semantics row_number-based top-k silently breaks.
+
+    Scale note: the global-rank window is single-partition in
+    principle, but Spark's WindowGroupLimit pushes the rnk<=10
+    predicate below the sort, so each input partition forwards only
+    its local top-10 (+ties) before the final merge — the same
+    physical shape as TakeOrdered, k rows per partition on the wire.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("price_cents").desc())
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            cents("o_totalprice").alias("price_cents"),
+        )
+        .withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 10)
+        .orderBy("rnk", "o_orderkey")
+    )
+
+
+@register(
+    "systematic_sample_user_events",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts FROM r
+    WHERE (rn - 1) % 20 = 0
+    ORDER BY user_id, event_id
+    """,
+    tags=("sampling", "window"),
+)
+def systematic_sample_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-nth) sampling per user stream: keep rows 1,
+    21, 41, … of each user's time-ordered event sequence — the
+    downsampling shape for dense telemetry (fixed fraction per key,
+    evenly spread over time, unlike hash sampling which clusters).
+
+    Scale: one shuffle on user_id; the row_number window is
+    partitioned (parallel) and the modulo filter is row-local.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id", "event_id", "ts", F.row_number().over(w).alias("rn")
+        )
+        .where((F.col("rn") - 1) % 20 == 0)
+        .select("user_id", "event_id", "ts")
+        .orderBy("user_id", "event_id")
+    )
+
+
 # --------------------------------------------------------------------
 # Skew-mitigated join: salting (hot reduce-side keys).
 # --------------------------------------------------------------------

@@ -122,7 +122,17 @@ def test_registry_wide_plan_audit(spark, registry):
         for i, line in enumerate(lines):
             if "Window" in line and "windowspecdefinition" in line:
                 below = "\n".join(lines[i + 1 : i + 4])
-                if "Exchange SinglePartition" in below:
+                # a single-partition window IS scalable when a
+                # partial WindowGroupLimit prunes below the exchange
+                # (each task forwards only its local top-k+ties, so
+                # the final window sees k·partitions rows, not the
+                # table) — the TakeOrdered-equivalent shape for
+                # rank()-based WITH TIES top-k
+                pruned = "\n".join(lines[i + 1 : i + 8])
+                if "Exchange SinglePartition" in below and (
+                    "WindowGroupLimit" not in pruned
+                    or ", Partial" not in pruned
+                ):
                     flags.append("single-partition-window")
                     break
         if flags:
