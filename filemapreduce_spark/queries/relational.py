@@ -2736,3 +2736,56 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("stage_purchase"),
     )
+
+
+# --------------------------------------------------------------------
+# Ratio-to-report: percent of grand total without a global window.
+# --------------------------------------------------------------------
+@register(
+    "revenue_share_by_nation",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT SUM(rev_cents) AS total_cents FROM rev)
+    SELECT nation, rev_cents,
+           round(CAST(rev_cents AS DOUBLE) / total_cents, 9) AS share
+    FROM rev CROSS JOIN tot
+    ORDER BY nation
+    """,
+    tags=("agg", "analytics"),
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (percent of grand total) per supplier nation —
+    computed the scale-safe way: the grand total is a 1-row scalar
+    aggregate of the ALREADY-GROUPED result, broadcast back with a
+    cross join, not a `sum() over ()` window (which would funnel the
+    table through one partition). Exact cents up to the single final
+    division, rounded for hash parity.
+    """
+    l = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(cents("l_extendedprice")).alias("rev_cents"))
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "rev_cents",
+            F.round(
+                F.col("rev_cents").cast("double") / F.col("total_cents"), 9
+            ).alias("share"),
+        )
+        .orderBy("nation")
+    )

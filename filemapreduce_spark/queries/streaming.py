@@ -470,3 +470,63 @@ def streaming_session_window_native(
         )
         .orderBy("user_id", "start_epoch_us")
     )
+
+
+# --------------------------------------------------------------------
+# Native session_window in BATCH mode (same primitive as streaming).
+# --------------------------------------------------------------------
+@register(
+    "session_window_batch_events",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ep, ts FROM events
+    ), l AS (
+      SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e
+    ), f AS (
+      SELECT *, CASE WHEN prev IS NULL OR ep - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           MIN(ep) AS session_start_us,
+           MAX(ep) AS last_event_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+    tags=("session", "window", "agg"),
+)
+def session_window_batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregation run in batch
+    mode (the same operator the streaming variant uses — one code
+    path for both): 30-min-gap sessions per user, directly as a
+    groupBy key, no lag/cumsum plumbing.
+
+    Oracle note: session_window treats a gap of exactly ``gap`` as a
+    NEW session (window end is exclusive: [start, last+gap)), so the
+    gap-mark oracle uses ``>=`` — and the test data has no
+    exact-boundary gap either way. The native operator merges
+    sessions with a dedicated SessionWindow exec (sort within user
+    partitions + linear merge), the same single-shuffle cost as the
+    manual formulation.
+    """
+    e = t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            # window end = last event + gap (exclusive) -> recover last
+            (
+                F.unix_micros("session_window.end") - F.lit(1_800_000_000)
+            ).alias("last_event_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
