@@ -142,3 +142,26 @@ def test_clustered_write_disjoint_file_ranges(spark, lineitem, tmp_path):
 
     # content round-trip: clustering must not lose or duplicate rows
     assert spark.read.parquet(out).count() == lineitem.count()
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution across file generations: an old writer's files
+    lack a column added later. mergeSchema=true must union the
+    schemas (missing column -> nulls); the default fast path reads
+    one footer and may miss it. A 100 TB table accretes schema
+    versions over years — this is the read contract that keeps old
+    partitions queryable."""
+    out = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(
+        out + "/gen=1"
+    )
+    spark.range(5).selectExpr(
+        "id + 10 AS id", "id * 3 AS a", "'new' AS b"
+    ).write.parquet(out + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "a", "b", "gen"}
+    assert merged.count() == 10
+    # old-generation rows surface the new column as null
+    nulls = merged.filter("gen = 1 AND b IS NULL").count()
+    assert nulls == 5
