@@ -165,3 +165,24 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     # old-generation rows surface the new column as null
     nulls = merged.filter("gen = 1 AND b IS NULL").count()
     assert nulls == 5
+
+
+def test_file_metadata_hidden_columns(spark, lineitem, tmp_path):
+    """Row-level provenance via the _metadata hidden struct on file
+    sources: every row can report which file it came from, its size,
+    and modification time — the lineage primitive audits and
+    incremental reprocessing hang off (reprocess only rows whose
+    source file changed)."""
+    out = str(tmp_path / "prov")
+    lineitem.limit(100).repartition(3).write.parquet(out)
+
+    df = spark.read.parquet(out).select(
+        "l_orderkey",
+        F.col("_metadata.file_name").alias("src_file"),
+        F.col("_metadata.file_size").alias("src_bytes"),
+    )
+    per_file = df.groupBy("src_file").count().collect()
+    assert sum(r["count"] for r in per_file) == 100
+    assert all(r["src_file"].endswith(".parquet") for r in per_file)
+    assert len(per_file) == 3
+    assert df.filter("src_bytes <= 0").count() == 0
