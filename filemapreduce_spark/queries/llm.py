@@ -1853,3 +1853,76 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         sample_frames, schema="doc_id long, frame_idx long, frame_md5 string"
     ).orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------
+# LSH quality measurement: recall of banded MinHash vs exact Jaccard.
+# --------------------------------------------------------------------
+_EXACT_JACCARD_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, {words} AS ws FROM documents
+    ), d2 AS (
+      SELECT doc_id, {shingles} AS shingles FROM d WHERE len(ws) >= 3
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM d2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+""".format(words=_SQL_WORDS, shingles=_SQL_SHINGLES3)
+
+
+@register(
+    "minhash_lsh_recall",
+    f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({_EXACT_JACCARD_ORACLE})
+      WHERE jaccard >= 0.5
+    ),
+    cand AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ),
+    found AS (
+      SELECT t.doc_a, t.doc_b FROM truth t
+      JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM found) AS n_found,
+           round(CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall
+    """,
+    tags=("dedup", "quality", "llm"),
+)
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded MinHash-LSH candidate generator against
+    exact-Jaccard ground truth (pairs with J ≥ 0.5): the quality
+    metric that decides band/row tuning before a near-dedup run is
+    trusted at scale. Both the approximate and the exact pipelines
+    run distributed (this query composes the two registered
+    formulations); at 100 TB the exact side runs on a small stratified
+    sample while LSH runs on everything — same recall estimator.
+    """
+    truth = (
+        neardup_jaccard_exact(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    cand = neardup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_truth.crossJoin(n_found).select(
+        "n_truth",
+        "n_found",
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_truth"), 6
+        ).alias("recall"),
+    )
