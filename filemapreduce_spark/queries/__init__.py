@@ -46,6 +46,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: fills REGISTRY)."""
     from filemapreduce_spark.queries import (  # noqa: F401
+        analytics2,
         audit,
         corpus,
         fileops,

@@ -1,0 +1,320 @@
+"""Round-2 analytics batch: event-sequence operators (Markov
+transitions, last-touch attribution), hypertable-style time bucketing
+(arbitrary-origin buckets, multi-grain rollup from one scan), and an
+exact EWMA smoother formulated as a banded equi-join.
+
+Reference parity note: the reference has no sequence/time operators at
+all (its only engine-interpreted value is the int64 sort key,
+`/root/reference/interfaces.go:82-86`) — these are north-star
+extensions per SURVEY.md §2 Part B, built entirely from Spark
+built-ins so Catalyst keeps pushdown/pruning/codegen.
+
+Scale posture: every query here is one scan + at most one shuffle on
+the natural key (user_id / event_type), no cross joins, no windows
+over a single global partition; the EWMA join fans out a fixed 10
+offsets per row (bounded, partition-local after the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.money import cents
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+_MONDAY_OFFSET_US = 4 * 24 * 3600 * 1_000_000  # 1970-01-05 is a Monday
+
+
+# --------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences.
+# --------------------------------------------------------------------
+@register(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)
+             AS prob
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+    tags=("sequence", "window"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + probabilities over each
+    user's time-ordered event stream. One shuffle on user_id for the
+    lag, one grouped count; the per-row normalization reuses the
+    (prev_type) partitioning — no extra scan."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(total)).alias("prob"),
+    ).orderBy("prev_type", "next_type")
+
+
+# --------------------------------------------------------------------
+# Last-touch attribution with a 7-day lookback window.
+# --------------------------------------------------------------------
+@register(
+    "attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS channel,
+             LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS touch_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT channel,
+           COUNT(*) AS purchases,
+           COUNT(DISTINCT user_id) AS users,
+           CAST(SUM(epoch_us(ts) - touch_us) AS DOUBLE)
+             / (60000000.0 * COUNT(*)) AS avg_minutes_to_convert
+    FROM seq
+    WHERE event_type = 'purchase' AND channel IS NOT NULL
+      AND epoch_us(ts) - touch_us <= 604800000000
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    tags=("sequence", "window"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the user's most recent view/click
+    within 7 days (marketing last-touch). `last(ignorenulls)` over a
+    preceding-rows frame carries the touch forward — one shuffle on
+    user_id, no self-join, no as-of pass. Gap average uses an exact
+    BIGINT microsecond sum divided once (deterministic double)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("channel"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    gap = F.col("us") - F.col("touch_us")
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("channel").isNotNull()
+            & (gap <= _WEEK_US)
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.count_distinct("user_id").alias("users"),
+            (
+                F.sum(gap).cast("double")
+                / (60000000.0 * F.count(F.lit(1)))
+            ).alias("avg_minutes_to_convert"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------
+# Arbitrary-origin time buckets (TimescaleDB time_bucket shape).
+# --------------------------------------------------------------------
+@register(
+    "time_bucket_weekly_monday",
+    """
+    SELECT make_timestamp(
+             ((epoch_us(ts) - 345600000000) // 604800000000)
+               * 604800000000 + 345600000000) AS week_start,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY 1
+    ORDER BY week_start
+    """,
+    tags=("timeseries", "agg"),
+)
+def time_bucket_weekly_monday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monday-aligned weekly buckets via `F.window(..., startTime)` —
+    the hypertable `time_bucket(interval, ts, origin)` shape. The
+    bucket is a row-local expression, so this stays one scan + one
+    grouped agg with map-side partials; no window function needed."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "7 days", "7 days", "4 days")
+            .getField("start")
+            .alias("week_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_value_cents"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .orderBy("week_start")
+    )
+
+
+# --------------------------------------------------------------------
+# Multi-grain rollup (continuous-aggregate shape) in one scan.
+# --------------------------------------------------------------------
+@register(
+    "timegrain_rollup_events",
+    """
+    SELECT CASE WHEN GROUPING(day) = 1 THEN 'month' ELSE 'day' END
+             AS grain,
+           month, day,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+    FROM (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(ts AS DATE) AS day, value
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    GROUP BY GROUPING SETS ((month), (month, day))
+    ORDER BY month, grain, day
+    """,
+    tags=("timeseries", "agg"),
+)
+def timegrain_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + monthly purchase rollups from ONE scan via
+    `DataFrame.groupingSets` (Spark 4.0 API) — the hypertable
+    continuous-aggregate pattern. Catalyst expands the sets before the
+    exchange, so partial aggregation still happens map-side."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = e.select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "value",
+    )
+    month, day = F.col("month"), F.col("day")
+    return (
+        base.groupingSets([[month], [month, day]], month, day)
+        .agg(
+            F.grouping("day").alias("_g"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_value_cents"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("month"))
+            .otherwise(F.lit("day"))
+            .alias("grain"),
+            "month",
+            "day",
+            "n_events",
+            "sum_value_cents",
+        )
+        .orderBy("month", "grain", "day")
+    )
+
+
+# --------------------------------------------------------------------
+# Exact EWMA as a banded equi-join (no per-row recursion).
+# --------------------------------------------------------------------
+@register(
+    "ewma_daily_value",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day,
+           COUNT(*) AS n_terms,
+           CAST(SUM(d2.v * (1 << (9 - DATE_DIFF('day', d2.day, d.day))))
+                  AS DOUBLE)
+             / SUM(1 << (9 - DATE_DIFF('day', d2.day, d.day)))
+             AS ewma_cents
+    FROM daily d
+    JOIN daily d2
+      ON d2.event_type = d.event_type
+     AND d2.day BETWEEN d.day - 9 AND d.day
+    GROUP BY d.event_type, d.day
+    ORDER BY d.event_type, d.day
+    """,
+    tags=("timeseries", "join"),
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-1-day EWMA over daily value sums, truncated at 10
+    terms. Formulated as an equi-join on a shifted day key (each row
+    fans out to a fixed 10 offsets) — exact power-of-two integer
+    weights, one double division at the end. Scale path: the explode
+    is bounded (×10) and the join is hash-partitioned on (type, day);
+    nothing is sequential, unlike a recurrence-based EWMA."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents("value")).alias("v"))
+    # contributor side: each day's value is offered at offsets 0..9
+    contrib = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("off"),
+    ).select(
+        "event_type",
+        F.date_add("day", F.col("off")).alias("target_day"),
+        "v",
+        F.expr("shiftleft(1, 9 - off)").alias("w"),
+    )
+    anchor = daily.select("event_type", "day").alias("a")
+    joined = anchor.join(
+        contrib.alias("c"),
+        (F.col("a.event_type") == F.col("c.event_type"))
+        & (F.col("a.day") == F.col("c.target_day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day"),
+        F.col("c.v").alias("v"),
+        F.col("c.w").alias("w"),
+    )
+    return (
+        joined.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            (
+                F.sum(F.col("v") * F.col("w")).cast("double")
+                / F.sum("w")
+            ).alias("ewma_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
