@@ -1,0 +1,405 @@
+"""Round-2 coverage batch: exact re-aggregatable bitmap distinct,
+inverse-distribution percentiles (percentile_disc), corpus token
+entropy, co-purchase association rules (support/confidence/lift),
+URL / key-value / XML scalar parsing, and array set algebra.
+
+Reference parity note: none of these exist in the reference (its
+scalar work happens inside opaque user mappers,
+`/root/reference/interfaces.go:17-27`) — north-star extensions per
+SURVEY.md §2 Part B.
+
+Scale posture: bitmap distinct is the MERGEABLE exact-distinct path
+(day-level partials OR-merge to any coarser grain without rescanning —
+the Apache Spark 3.5 bitmap_* functions); the pair-mining query blocks
+by order so fanout is bounded by basket size; every parse query is
+row-local (whole-stage codegen, zero shuffles before the final agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+
+# --------------------------------------------------------------------
+# Exact distinct via mergeable bitmaps (HLL's exact sibling).
+# --------------------------------------------------------------------
+@register(
+    "bitmap_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT computed as mergeable bitmap partials:
+    (type, day, bucket) bitmaps OR-merge up to (type, bucket) and then
+    sum bitmap_count — the re-aggregatable exact-distinct pattern
+    (rollup tables at 100 TB keep day-level bitmap state and answer
+    any coarser grain without rescanning raw data). The oracle is the
+    plain COUNT(DISTINCT): bitmaps are exact, so hashes match."""
+    e = t(spark, sf_dir, "events")
+    day_partials = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    merged = day_partials.groupBy("event_type", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Inverse-distribution percentiles (actual-value quantiles).
+# --------------------------------------------------------------------
+@register(
+    "percentile_disc_order_prices",
+    """
+    SELECT o_orderstatus,
+           CAST(quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.25)
+                AS BIGINT) AS p25_cents,
+           CAST(quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.50)
+                AS BIGINT) AS median_cents,
+           CAST(quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.75)
+                AS BIGINT) AS p75_cents,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "stats"),
+)
+def percentile_disc_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc (inverse distribution: returns an ACTUAL data
+    value, unlike percentile_cont's interpolation) over integer order
+    cents — exact, hash-safe. Spark 3.4+ WITHIN GROUP syntax."""
+    o = t(spark, sf_dir, "orders")
+    o.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("_pd_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p25_cents,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS median_cents,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p75_cents,
+               COUNT(*) AS n
+        FROM _pd_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# Token-distribution entropy per source (text analysis).
+# --------------------------------------------------------------------
+@register(
+    "entropy_tokens_by_source",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, w, COUNT(*) AS c
+      FROM tok WHERE w <> '' GROUP BY source, w
+    )
+    SELECT source,
+           SUM(c) AS n_tokens,
+           COUNT(*) AS vocab,
+           round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy_nats
+    FROM counts
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "stats"),
+)
+def entropy_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's unigram distribution via
+    H = ln(N) - Σ c·ln(c) / N — one explode + two grouped aggs, both
+    with map-side partials. Rounded to 6 dp for cross-engine float
+    parity (the Σ c·ln c term is a float sum)."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return (
+        counts.groupBy("source")
+        .agg(
+            n.alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(
+                F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+            ).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# Co-purchase association rules: support / confidence / lift.
+# --------------------------------------------------------------------
+@register(
+    "copurchase_lift_top50",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    totals AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+    item AS (
+      SELECT l_partkey, COUNT(*) AS n1 FROM basket GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n12
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p1, p2, n12,
+           CAST(n12 AS DOUBLE) / t.n_orders AS support,
+           CAST(n12 AS DOUBLE) / i1.n1 AS confidence,
+           CAST(n12 AS DOUBLE) * t.n_orders / (i1.n1 * i2.n1) AS lift
+    FROM pairs
+    JOIN item i1 ON i1.l_partkey = p1
+    JOIN item i2 ON i2.l_partkey = p2
+    CROSS JOIN totals t
+    ORDER BY n12 DESC, p1, p2
+    LIMIT 50
+    """,
+    tags=("join", "mining"),
+)
+def copurchase_lift_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair mining with association metrics. The self-join is
+    blocked on l_orderkey (fanout bounded by basket size, never a
+    cross join); item counts broadcast back onto the pair table; the
+    order-count scalar is a 1-row broadcast. Top-50 by raw pair count
+    with a deterministic (n12, p1, p2) tiebreak."""
+    basket = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = basket.select(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n1"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n1").alias("c1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n1").alias("c2"))
+    return (
+        pairs.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n12",
+            (F.col("n12").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n12").cast("double") / F.col("c1")).alias("confidence"),
+            (
+                F.col("n12").cast("double")
+                * F.col("n_orders")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n12"), "p1", "p2")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------
+# URL + key-value string parsing (parse_url, str_to_map).
+# --------------------------------------------------------------------
+@register(
+    "url_kv_parse_events",
+    """
+    WITH urls AS (
+      SELECT event_type, user_id,
+             'https://shop.example.com/' || event_type || '/'
+               || (event_id % 100)
+               || '?user=' || user_id
+               || '&v=' || CAST(round(value) AS BIGINT) AS url
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(regexp_extract(url, 'user=(\\d+)', 1) AS BIGINT))
+             AS sum_user_param,
+           SUM(CAST(regexp_extract(url, 'v=(\\d+)', 1) AS BIGINT))
+             AS sum_v_param,
+           COUNT(DISTINCT regexp_extract(url, 'https://[^/]+(/[^?]*)', 1))
+             AS distinct_paths
+    FROM urls
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("scalar", "text"),
+)
+def url_kv_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with `parse_url` (HOST/PATH/QUERY/param) and
+    query-string → MapType via `str_to_map` — all row-local JVM
+    expressions inside whole-stage codegen. The oracle re-derives the
+    same components with regexes, so the parse path itself is what's
+    being checked."""
+    e = t(spark, sf_dir, "events")
+    urls = e.select(
+        "event_type",
+        F.concat(
+            F.lit("https://shop.example.com/"),
+            F.col("event_type"),
+            F.lit("/"),
+            (F.col("event_id") % 100).cast("string"),
+            F.lit("?user="),
+            F.col("user_id").cast("string"),
+            F.lit("&v="),
+            F.round("value").cast("long").cast("string"),
+        ).alias("url"),
+    )
+    kv = F.str_to_map(F.parse_url("url", F.lit("QUERY")), F.lit("&"), F.lit("="))
+    return (
+        urls.select(
+            "event_type",
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("user"))
+            .cast("long")
+            .alias("user_param"),
+            kv.getItem("v").cast("long").alias("v_param"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_param").alias("sum_user_param"),
+            F.sum("v_param").alias("sum_v_param"),
+            F.count_distinct("path").alias("distinct_paths"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# XML parsing (from_xml, Spark 4.0 native XML support).
+# --------------------------------------------------------------------
+@register(
+    "xml_parse_orders",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("scalar", "format"),
+)
+def xml_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest path: serialize each order to an XML fragment, parse
+    it back with `from_xml` (native XML, Spark 4.0), and aggregate the
+    PARSED fields — proving schema-directed extraction round-trips.
+    Row-local; the oracle aggregates the original columns."""
+    o = t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p><t>"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</t></o>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "k BIGINT, p STRING, t BIGINT").alias("x")
+    ).select("x.k", "x.p", "x.t")
+    return (
+        parsed.groupBy(F.col("p").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("sum_cents"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------
+# Array set algebra (intersect / except / overlap) per group.
+# --------------------------------------------------------------------
+@register(
+    "array_set_ops_order_brands",
+    """
+    WITH brands AS (
+      SELECT l_orderkey,
+             list_sort(list_distinct(list(p_brand))) AS brands
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(brands) AS n_brands,
+           list_sort(list_intersect(brands, ['Brand#1', 'Brand#2']))
+             AS common,
+           len(list_filter(brands,
+                 x -> NOT list_contains(['Brand#1', 'Brand#2'], x)))
+             AS n_other,
+           list_has_any(brands, ['Brand#1', 'Brand#2']) AS hits_target
+    FROM brands
+    WHERE l_orderkey % 7 = 0
+    ORDER BY l_orderkey
+    """,
+    tags=("scalar", "array"),
+)
+def array_set_ops_order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over per-order brand sets: array_intersect /
+    array_except / arrays_overlap against a constant target set, with
+    sort_array canonicalization for cross-engine hash parity. The
+    dimension join broadcasts; set ops are row-local codegen."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    target = F.array(F.lit("Brand#1"), F.lit("Brand#2"))
+    brands = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    return (
+        brands.filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_orderkey",
+            F.size("brands").alias("n_brands"),
+            F.sort_array(F.array_intersect("brands", target)).alias("common"),
+            F.size(F.array_except("brands", target)).alias("n_other"),
+            F.arrays_overlap("brands", target).alias("hits_target"),
+        )
+        .orderBy("l_orderkey")
+    )
