@@ -318,3 +318,114 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------
+# Equi-depth histogram (quantile binning) via partitioned ntile.
+# --------------------------------------------------------------------
+@register(
+    "equidepth_histogram_prices",
+    """
+    WITH b AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+             NTILE(8) OVER (PARTITION BY o_orderstatus
+                            ORDER BY CAST(round(o_totalprice*100) AS BIGINT),
+                                     o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT o_orderstatus, bucket, COUNT(*) AS n,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM b GROUP BY o_orderstatus, bucket
+    ORDER BY o_orderstatus, bucket
+    """,
+    tags=("stats", "window"),
+)
+def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning: ntile(8) per status group with a
+    unique (cents, orderkey) ordering so bucket boundaries are
+    deterministic across engines. Complements the fixed-width
+    histogram (histogram_price_bins) — equal counts per bucket,
+    data-driven edges. Window partitions by status: no single-
+    partition global sort."""
+    o = t(spark, sf_dir, "orders")
+    cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderstatus").orderBy("cents", "o_orderkey")
+    return (
+        o.select("o_orderstatus", "o_orderkey", cents_col.alias("cents"))
+        .withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("o_orderstatus", "bucket")
+    )
+
+
+# --------------------------------------------------------------------
+# Spearman rank correlation with exact integer rank arithmetic.
+# --------------------------------------------------------------------
+@register(
+    "spearman_qty_price",
+    """
+    WITH r AS (
+      SELECT l_returnflag,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS r1,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_extendedprice*100) AS BIGINT),
+                        l_orderkey, l_linenumber, l_partkey, l_suppkey) AS r2
+      FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n,
+           1.0 - 6.0 * SUM((r1 - r2) * (r1 - r2))
+                 / (COUNT(*) * (CAST(COUNT(*) AS BIGINT) * COUNT(*) - 1))
+             AS spearman_rho
+    FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("stats", "window"),
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per return
+    flag: two row_number rankings with a unique composite tiebreak
+    (deterministic cross-engine), Σd² as an exact BIGINT, one double
+    division at the end. Complements Pearson (stats_corr_regression) —
+    rank correlation is robust to monotone transforms/outliers.
+    Two window sorts + one grouped agg, all partitioned by flag."""
+    li = t(spark, sf_dir, "lineitem")
+    cents_col = F.round(F.col("l_extendedprice") * 100).cast("long")
+    w1 = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        cents_col.alias("cents"),
+    ).select(
+        "l_returnflag",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    n = F.count(F.lit(1))
+    d = (F.col("r1") - F.col("r2")).cast("long")
+    d2 = F.sum(d * d)
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            (
+                F.lit(1.0)
+                - F.lit(6.0) * d2 / (n * (n.cast("long") * n - F.lit(1)))
+            ).alias("spearman_rho"),
+        )
+        .orderBy("l_returnflag")
+    )

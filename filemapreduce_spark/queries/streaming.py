@@ -530,3 +530,11 @@ def session_window_batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+# NOTE: transformWithStateInPandas (the Spark 4.x successor to
+# applyInPandasWithState) is intentionally NOT exposed here: its state
+# serialization needs the python protobuf package, which this container
+# lacks (ImportError at stream start). The applyInPandasWithState query
+# above covers the arbitrary-keyed-state semantics; swapping APIs is a
+# mechanical change once protobuf is available.

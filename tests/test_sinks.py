@@ -186,3 +186,39 @@ def test_file_metadata_hidden_columns(spark, lineitem, tmp_path):
     assert all(r["src_file"].endswith(".parquet") for r in per_file)
     assert len(per_file) == 3
     assert df.filter("src_bytes <= 0").count() == 0
+
+
+def test_zordered_write_tight_ranges_both_dims(spark, lineitem, tmp_path):
+    """write_zordered must keep per-file min/max ranges tight on BOTH
+    cluster columns (multi-dim file skipping), where single-column
+    range clustering leaves the second column's per-file range at
+    ~full width."""
+    import glob as pyglob
+
+    from filemapreduce_spark.sinks import write_clustered, write_zordered
+
+    zout = str(tmp_path / "zorder")
+    rout = str(tmp_path / "range1d")
+    write_zordered(lineitem, zout, ("l_orderkey", "l_partkey"), n_files=8)
+    write_clustered(lineitem, rout, ["l_orderkey"], n_files=8)
+
+    def mean_range_fraction(path, col):
+        files = sorted(pyglob.glob(path + "/part-*.parquet"))
+        assert len(files) == 8, files
+        glo, ghi = lineitem.agg(F.min(col), F.max(col)).collect()[0]
+        span = float(ghi - glo)
+        fracs = []
+        for f in files:
+            lo, hi = spark.read.parquet(f).agg(F.min(col), F.max(col)).collect()[0]
+            fracs.append((hi - lo) / span)
+        return sum(fracs) / len(fracs)
+
+    # z-order: both dims tight
+    assert mean_range_fraction(zout, "l_orderkey") < 0.6
+    assert mean_range_fraction(zout, "l_partkey") < 0.6
+    # 1-D clustering: first dim perfect, second dim ~full width
+    assert mean_range_fraction(rout, "l_orderkey") < 0.2
+    assert mean_range_fraction(rout, "l_partkey") > 0.8
+
+    # layout must not lose or duplicate rows
+    assert spark.read.parquet(zout).count() == lineitem.count()
