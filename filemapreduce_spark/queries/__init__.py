@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         fileops,
         linalg,
         llm,
+        llm2,
         pipeline,
         relational,
         streaming,

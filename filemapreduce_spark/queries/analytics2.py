@@ -429,3 +429,77 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------
+# Winsorized statistics (clip at p05/p95 before aggregating).
+# --------------------------------------------------------------------
+@register(
+    "winsorized_stats_prices",
+    """
+    WITH cents AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice*100) AS BIGINT) AS c
+      FROM orders
+    ),
+    bounds AS (
+      SELECT o_orderstatus,
+             CAST(quantile_disc(c, 0.05) AS BIGINT) AS lo,
+             CAST(quantile_disc(c, 0.95) AS BIGINT) AS hi
+      FROM cents GROUP BY o_orderstatus
+    )
+    SELECT c.o_orderstatus,
+           COUNT(*) AS n,
+           SUM(CASE WHEN c.c < b.lo THEN 1 ELSE 0 END) AS n_clipped_low,
+           SUM(CASE WHEN c.c > b.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           SUM(LEAST(GREATEST(c.c, b.lo), b.hi)) AS winsorized_sum_cents,
+           CAST(SUM(LEAST(GREATEST(c.c, b.lo), b.hi)) AS DOUBLE)
+             / (100.0 * COUNT(*)) AS winsorized_avg
+    FROM cents c JOIN bounds b ON b.o_orderstatus = c.o_orderstatus
+    GROUP BY c.o_orderstatus
+    ORDER BY c.o_orderstatus
+    """,
+    tags=("stats", "agg"),
+)
+def winsorized_stats_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clip each group's prices at its own exact
+    p05/p95 (percentile_disc on integer cents — actual data values),
+    then aggregate the clipped BIGINTs exactly. Outlier-robust stats
+    as two grouped passes + a broadcast join-back of the (tiny)
+    per-group bounds table."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    c.createOrReplaceTempView("_wz_cents")
+    bounds = spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY c)
+                    AS BIGINT) AS lo,
+               CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c)
+                    AS BIGINT) AS hi
+        FROM _wz_cents GROUP BY o_orderstatus
+        """
+    )
+    clipped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    return (
+        c.join(F.broadcast(bounds), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.sum(clipped).alias("winsorized_sum_cents"),
+            (
+                F.sum(clipped).cast("double")
+                / (100.0 * F.count(F.lit(1)))
+            ).alias("winsorized_avg"),
+        )
+        .orderBy("o_orderstatus")
+    )

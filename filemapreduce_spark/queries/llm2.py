@@ -1,0 +1,248 @@
+"""Round-2 LLM-pipeline batch: incremental near-dedup against an
+existing corpus, int8 embedding quantization with reconstruction-error
+accounting, and unigram-LM surprisal filtering (CCNet-style perplexity
+gate).
+
+Reference parity note: all north-star extensions (the reference's
+surface ends at file map/reduce, `/root/reference/jobs.go:9-20`).
+
+Scale posture: the incremental LSH join touches only (band, key)
+buckets — new data dedups against a 100 TB base WITHOUT re-clustering
+the base (the base's band keys are a precomputed index in practice);
+quantization is row-local array math in codegen; surprisal scoring is
+one explode + a broadcast-joined count table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.textops import (
+    minhash_signature,
+    word_shingles,
+    words,
+)
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.queries.llm import _SQL_WORDS, _SQL_SHINGLES3
+from filemapreduce_spark.queries.relational import t
+
+
+def _band_keys(sig_df: DataFrame, n_bands: int = 4) -> DataFrame:
+    """(doc_id, sig) → (doc_id, band, key) with 2 minhashes per band."""
+    return sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.element_at("sig", 2 * b + 1),
+                            F.element_at("sig", 2 * b + 2),
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+# --------------------------------------------------------------------
+# Incremental near-dedup: delta batch vs existing base corpus.
+# --------------------------------------------------------------------
+@register(
+    "neardup_incremental_vs_corpus",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ), d2 AS (
+      SELECT doc_id, {_SQL_SHINGLES3} AS shingles
+      FROM d WHERE len(ws) >= 3
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM d2
+    ), sig AS (
+      SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || s)) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j)
+      GROUP BY doc_id, j
+    ), bandkeys AS (
+      SELECT doc_id, j // 2 AS band, string_agg(h, '' ORDER BY j) AS key
+      FROM sig GROUP BY doc_id, j // 2
+    )
+    SELECT delta.doc_id AS doc_id,
+           COUNT(DISTINCT base.doc_id) AS n_base_matches
+    FROM bandkeys delta
+    JOIN bandkeys base
+      ON base.band = delta.band AND base.key = delta.key
+     AND base.doc_id % 10 <> 0
+    WHERE delta.doc_id % 10 = 0
+    GROUP BY delta.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "llm", "incremental"),
+)
+def neardup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: flag documents of a NEW batch
+    (doc_id % 10 == 0) that band-collide with any document of the
+    EXISTING corpus (the other 90%). The join is delta-bands ⨝
+    base-bands on (band, key) — the base side is exactly the LSH
+    index a production pipeline keeps materialized, so arriving data
+    dedups against the full history with one bucket join and zero
+    recomputation over the base. Addresses the reference's unused
+    incremental-reduce hook (`/root/reference/interfaces.go:55-62`,
+    TODO `readme.md:43-44`) for the dedup case."""
+    d = t(spark, sf_dir, "documents").select("doc_id", words("text").alias("ws"))
+    d2 = d.filter(F.size("ws") >= 3).select(
+        "doc_id", word_shingles(F.col("ws"), 3).alias("shingles")
+    )
+    sig = d2.select(
+        "doc_id", minhash_signature(F.col("shingles"), 8).alias("sig")
+    )
+    bands = _band_keys(sig)
+    delta = bands.filter(F.col("doc_id") % 10 == 0).alias("delta")
+    base = bands.filter(F.col("doc_id") % 10 != 0).alias("base")
+    return (
+        delta.join(
+            base,
+            (F.col("base.band") == F.col("delta.band"))
+            & (F.col("base.key") == F.col("delta.key")),
+        )
+        .groupBy(F.col("delta.doc_id").alias("doc_id"))
+        .agg(F.count_distinct(F.col("base.doc_id")).alias("n_base_matches"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Int8 embedding quantization + reconstruction-error accounting.
+# --------------------------------------------------------------------
+@register(
+    "embedding_int8_quantization",
+    """
+    WITH q AS (
+      SELECT label,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), e AS (
+      SELECT label,
+             CASE WHEN scale = 0 THEN 0 ELSE
+               CAST(round(
+                 list_sum(list_transform(v,
+                   x -> abs(x - round(x / scale) * scale))) / len(v) * 1e9)
+               AS BIGINT) END AS err_nano
+      FROM q
+    )
+    SELECT label, COUNT(*) AS n,
+           SUM(err_nano) AS sum_err_nano,
+           CAST(SUM(err_nano) AS DOUBLE) / COUNT(*) AS mean_err_nano
+    FROM e GROUP BY label ORDER BY label
+    """,
+    tags=("vectors", "llm"),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (max-abs / 127 scale per vector,
+    the FAISS/vector-DB storage layout): quantize, dequantize, and
+    account mean |reconstruction error| per label. All row-local
+    higher-order array expressions; per-row errors are rounded to
+    integer nano-units so the per-label aggregation is an exact BIGINT
+    sum (order-independent across engines)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    q = e.select(
+        "label",
+        v.alias("v"),
+        (F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / 127.0).alias(
+            "scale"
+        ),
+    )
+    err_sum = F.aggregate(
+        F.transform(
+            "v",
+            lambda x: F.abs(x - F.round(x / F.col("scale")) * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    err_nano = F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+        F.round(err_sum / F.size("v") * 1e9).cast("long")
+    )
+    per_row = q.select("label", err_nano.alias("err_nano"))
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("err_nano").alias("sum_err_nano"),
+            (F.sum("err_nano").cast("double") / F.count(F.lit(1))).alias(
+                "mean_err_nano"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------
+# Unigram-LM surprisal filtering (perplexity gate).
+# --------------------------------------------------------------------
+@register(
+    "unigram_surprisal_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    total AS (SELECT SUM(c) AS n FROM counts),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(CAST(round((ln(tt.n) - ln(cn.c)) * 1e6) AS BIGINT))
+               AS sum_surprisal_micro
+      FROM tok t
+      JOIN counts cn ON cn.w = t.w
+      CROSS JOIN total tt
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_surprisal_micro,
+           CAST(sum_surprisal_micro AS DOUBLE) / n_tokens
+             AS mean_surprisal_micro,
+           CAST(sum_surprisal_micro AS DOUBLE) / n_tokens < 9000000.0
+             AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate with a corpus-trained unigram LM:
+    per-token surprisal ln(N) - ln(c) is rounded to integer
+    micro-nats, per-doc sums are exact BIGINTs, and docs whose mean
+    surprisal exceeds 9 nats are dropped (kept = common/typical text).
+    The count table is small (vocab) → broadcast join onto the token
+    explode; one shuffle on doc_id for the per-doc sum."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words("text")).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    surprisal_micro = F.round(
+        (F.log(F.col("n").cast("double")) - F.log(F.col("c").cast("double")))
+        * 1e6
+    ).cast("long")
+    scored = (
+        tok.join(F.broadcast(counts), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(surprisal_micro).alias("sum_surprisal_micro"),
+        )
+    )
+    mean = F.col("sum_surprisal_micro").cast("double") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "sum_surprisal_micro",
+        mean.alias("mean_surprisal_micro"),
+        (mean < 9_000_000.0).alias("keep"),
+    ).orderBy("doc_id")
