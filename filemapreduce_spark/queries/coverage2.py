@@ -403,3 +403,51 @@ def array_set_ops_order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+# --------------------------------------------------------------------
+# Governance view: row-level security + masking + pseudonymization.
+# --------------------------------------------------------------------
+@register(
+    "masked_rls_customers",
+    """
+    SELECT c_custkey,
+           repeat('*', len(c_name) - 4) || right(c_name, 4) AS name_masked,
+           md5(c_name) AS name_pseudonym,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_bucket,
+           c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_acctbal >= 0
+    ORDER BY c_custkey
+    """,
+    tags=("governance", "scalar"),
+)
+def masked_rls_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed view over customers: row-level security (segment +
+    balance predicate), column masking (all but the last 4 name
+    chars), join-safe pseudonymization (md5 — equality survives,
+    identity doesn't), and value generalization (balance bucketed to
+    $1000). All row-local expressions — the RLS predicate pushes down
+    to the parquet scan, so the governed view costs the same as the
+    raw one."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & (F.col("c_acctbal") >= 0)
+        )
+        .select(
+            "c_custkey",
+            F.concat(
+                F.repeat(F.lit("*"), F.length("c_name") - 4),
+                F.substring(F.col("c_name"), -4, 4),
+            ).alias("name_masked"),
+            F.md5(F.col("c_name").cast("binary")).alias("name_pseudonym"),
+            (F.floor(F.col("c_acctbal") / 1000) * 1000)
+            .cast("long")
+            .alias("acctbal_bucket"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey")
+    )

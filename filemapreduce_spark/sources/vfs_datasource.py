@@ -31,7 +31,12 @@ import json
 import zlib
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _N_PARTITIONS = 8
 
@@ -62,9 +67,55 @@ class _VfsReader(DataSourceReader):
             yield (path, content, len(content), None)
 
 
+class _VfsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming List/Open: each micro-batch serves the manifest
+    entries that appeared since the last committed offset (offset =
+    count of consumed paths in sorted order — the manifest is
+    append-only, like an object-store listing).
+
+    This is the reference's traversal loop (mapreduce.go:142-205) run
+    CONTINUOUSLY: new files are discovered and mapped incrementally
+    with exactly-once offsets, which is the Spark answer to the
+    reference's unused incremental-reduce hook (readme.md:43-44) at
+    the source level."""
+
+    def __init__(self, options):
+        self.manifest_path = options.get("manifest")
+        if not self.manifest_path:
+            raise ValueError("fmr_vfs requires option 'manifest'")
+
+    def _paths(self):
+        with open(self.manifest_path) as fh:
+            manifest = json.load(fh)
+        return manifest, sorted(manifest)
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def _rows(self, paths, manifest):
+        # a LIST, not a generator: the runtime pickles the batch for
+        # its prefetch cache (replay between read and commit)
+        return [
+            (p, manifest[p].encode("utf-8"), len(manifest[p]), None)
+            for p in paths
+        ]
+
+    def read(self, start):
+        manifest, paths = self._paths()
+        return (
+            self._rows(paths[start["idx"] :], manifest),
+            {"idx": len(paths)},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        manifest, paths = self._paths()
+        return self._rows(paths[start["idx"] : end["idx"]], manifest)
+
+
 class VfsDataSource(DataSource):
     """``fmr_vfs``: the reference's FileSystem interface as a Spark
-    data source (List/Open behind a format string)."""
+    data source (List/Open behind a format string), batch AND
+    streaming (incremental file arrival with exactly-once offsets)."""
 
     @classmethod
     def name(cls) -> str:
@@ -75,6 +126,9 @@ class VfsDataSource(DataSource):
 
     def reader(self, schema):
         return _VfsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _VfsStreamReader(self.options)
 
 
 def register_vfs_source(spark: SparkSession) -> None:

@@ -172,3 +172,51 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     assert "09:00" not in rows  # late row never reached the result
     assert rows == {"10:00": 1, "10:01": 1, "10:04": 1, "11:00": 1}
+
+
+def test_vfs_stream_source_incremental(spark, tmp_path):
+    """The fmr_vfs Python data source must serve NEW manifest entries
+    only, across separate runs sharing a checkpoint (exactly-once
+    incremental file arrival — the streaming form of the reference's
+    traversal loop)."""
+    import json
+
+    from filemapreduce_spark.sources.vfs_datasource import register_vfs_source
+
+    register_vfs_source(spark)
+    manifest = tmp_path / "manifest.json"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    manifest.write_text(json.dumps({"a.txt": "1", "b/b.txt": "22"}))
+
+    stream = (
+        spark.readStream.format("fmr_vfs")
+        .option("manifest", str(manifest))
+        .load()
+    )
+
+    def run_once():
+        q = (
+            stream.selectExpr("path", "length")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = sorted(r.path for r in spark.read.parquet(out).collect())
+    assert got1 == ["a.txt", "b/b.txt"]
+
+    # append one file; a new run on the same checkpoint processes ONLY it
+    manifest.write_text(
+        json.dumps({"a.txt": "1", "b/b.txt": "22", "c.txt": "333"})
+    )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.path for r in rows) == ["a.txt", "b/b.txt", "c.txt"]
+    # exactly-once: no row duplicated across the two runs
+    assert len(rows) == 3
