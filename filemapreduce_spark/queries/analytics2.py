@@ -503,3 +503,50 @@ def winsorized_stats_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------
+# Period-over-period growth (month-over-month revenue).
+# --------------------------------------------------------------------
+@register(
+    "mom_revenue_growth",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT month, rev_cents,
+           LAG(rev_cents) OVER (PARTITION BY year ORDER BY month)
+             AS prev_cents,
+           round((rev_cents - LAG(rev_cents) OVER (PARTITION BY year
+                                                   ORDER BY month))
+                 * 100.0
+                 / LAG(rev_cents) OVER (PARTITION BY year ORDER BY month),
+                 6) AS growth_pct
+    FROM m
+    ORDER BY month
+    """,
+    tags=("timeseries", "window"),
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: exact integer monthly sums,
+    lag within the year partition (first month of each year has null
+    growth — and the window never degenerates to a single global
+    partition), one rounded division per row."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("year", "o_orderdate").cast("date").alias("year"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    w = Window.partitionBy("year").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.round((F.col("rev_cents") - prev) * 100.0 / prev, 6).alias(
+            "growth_pct"
+        ),
+    ).orderBy("month")

@@ -451,3 +451,79 @@ def masked_rls_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------
+# Map algebra: map_from_entries → map_zip_with → transform_values.
+# --------------------------------------------------------------------
+@register(
+    "map_algebra_priority_shift",
+    """
+    WITH c AS (
+      SELECT n_name,
+             o_orderpriority AS pri,
+             COUNT(*) FILTER (WHERE o_orderdate <  TIMESTAMP '1997-01-01')
+               AS n_old,
+             COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+               AS n_new
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name, o_orderpriority
+    )
+    SELECT n_name, pri, n_old, n_new, n_new - n_old AS delta
+    FROM c
+    WHERE n_old > 0 OR n_new > 0
+    ORDER BY n_name, pri
+    """,
+    tags=("scalar", "map"),
+)
+def map_algebra_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType algebra end-to-end: per-nation priority→count maps for
+    two periods built with map_from_entries(collect_list(struct)),
+    combined with map_zip_with (aligned per-key arithmetic), then
+    exploded back to sorted rows. The oracle computes the rows
+    relationally — what's under test is that the map pipeline
+    round-trips the same data. Maps stay bounded (5 priorities), so
+    per-row map values never grow with data size."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.when(F.col("o_orderdate") < cut, 1)).alias("n_old"),
+            F.count(F.when(F.col("o_orderdate") >= cut, 1)).alias("n_new"),
+        )
+    )
+    maps = base.groupBy("n_name").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("pri", "n_old")))
+        ).alias("m_old"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("pri", "n_new")))
+        ).alias("m_new"),
+    )
+    combined = maps.select(
+        "n_name",
+        F.map_zip_with(
+            "m_old",
+            "m_new",
+            lambda k, old, new: F.struct(
+                F.coalesce(old, F.lit(0)).alias("n_old"),
+                F.coalesce(new, F.lit(0)).alias("n_new"),
+                (F.coalesce(new, F.lit(0)) - F.coalesce(old, F.lit(0))).alias(
+                    "delta"
+                ),
+            ),
+        ).alias("m"),
+    )
+    return (
+        combined.select("n_name", F.explode("m").alias("pri", "v"))
+        .select("n_name", "pri", "v.n_old", "v.n_new", "v.delta")
+        .filter((F.col("n_old") > 0) | (F.col("n_new") > 0))
+        .orderBy("n_name", "pri")
+    )

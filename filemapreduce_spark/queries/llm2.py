@@ -246,3 +246,103 @@ def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_surprisal_micro"),
         (mean < 9_000_000.0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# TF-IDF cosine document similarity (sparse IR formulation).
+# --------------------------------------------------------------------
+@register(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    post AS (
+      SELECT t.doc_id, t.word,
+             CAST(round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) * 1e6)
+                  AS BIGINT) AS wm
+      FROM tf t JOIN df d USING (word) CROSS JOIN n
+      WHERE d.df BETWEEN 2 AND 60
+    ),
+    norms AS (
+      SELECT doc_id, SUM(wm * wm) AS n2 FROM post GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wm * b.wm) AS num
+      FROM post a JOIN post b
+        ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           round(CAST(d.num AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)), 6)
+             AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE CAST(d.num AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.35
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("text", "llm", "similarity"),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity over the inverted index — the
+    IR-style near-dup complement to dense embedding cosine. Weights
+    are scaled to integer micro-units so norms and dot products are
+    exact BIGINT sums (order-independent); one sqrt+division at the
+    end. The posting-list self-join is blocked per TERM, and terms
+    with df > 60 are dropped (stop-word pruning — exactly what bounds
+    bucket sizes at corpus scale; without it the most common term
+    alone would be an O(N²) block)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    post = (
+        tf.join(F.broadcast(df.filter(F.col("df").between(2, 60))), "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("wm"),
+        )
+    )
+    norms = post.groupBy("doc_id").agg(
+        F.sum(F.col("wm") * F.col("wm")).alias("n2")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wm") * F.col("b.wm")).alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = F.col("num").cast("double") / (
+        F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.35)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
