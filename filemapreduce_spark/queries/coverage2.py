@@ -527,3 +527,49 @@ def map_algebra_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_old") > 0) | (F.col("n_new") > 0))
         .orderBy("n_name", "pri")
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT child.n_nationkey AS child,
+             MAX(parent.n_nationkey) AS parent
+      FROM nation child
+      JOIN nation parent
+        ON parent.n_regionkey = child.n_regionkey
+       AND parent.n_nationkey < child.n_nationkey
+      GROUP BY child.n_nationkey
+    ),
+    chain AS (
+      SELECT n.n_nationkey AS nationkey,
+             n.n_nationkey AS root,
+             0 AS depth
+      FROM nation n
+      WHERE n.n_nationkey NOT IN (SELECT child FROM edges)
+      UNION ALL
+      SELECT e.child AS nationkey, c.root, c.depth + 1 AS depth
+      FROM chain c JOIN edges e ON e.parent = c.nationkey
+    )
+    SELECT c.nationkey, c.root, c.depth, n.n_name
+    FROM chain c JOIN nation n ON n.n_nationkey = c.nationkey
+    ORDER BY c.nationkey
+"""
+
+
+@register(
+    "recursive_cte_nation_chains",
+    _RECURSIVE_CHAIN_SQL,
+    tags=("sql", "graph", "recursive"),
+)
+def recursive_cte_nation_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4.0 SQL): walk per-region nation
+    chains (each nation's parent = the region's next-smaller key) and
+    emit depth + chain root. Identical recursive SQL runs on DuckDB —
+    the engine parity point is that hierarchy expansion no longer
+    needs a driver-side loop (contrast dedup_clusters_minhash, which
+    predates this and iterates in Python). Iteration count is bounded
+    by the longest chain; each step is a hash join on the (tiny) edge
+    table."""
+    from filemapreduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
