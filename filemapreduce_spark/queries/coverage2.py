@@ -573,3 +573,44 @@ def recursive_cte_nation_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+# --------------------------------------------------------------------
+# Join-strategy hints: result-invariant physical control.
+# --------------------------------------------------------------------
+@register(
+    "join_hint_shuffle_hash",
+    """
+    SELECT s_nationkey,
+           COUNT(*) AS n_items,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_cents
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    tags=("join", "hints"),
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH join hint: forces a shuffled hash join where
+    Catalyst would pick broadcast or sort-merge — the escape hatch
+    when the 'small' side exceeds driver/executor broadcast memory but
+    a sort on the big side is still wasteful (hash beats merge when
+    one side fits a task's memory and the output needn't be
+    key-sorted). The hint changes ONLY the physical strategy — the
+    oracle proves result invariance."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").hint("shuffle_hash")
+    joined = li.join(s, li.l_suppkey == s.s_suppkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:500]
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -346,3 +346,76 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------
+# IVF ANN recall vs brute-force ground truth.
+# --------------------------------------------------------------------
+def _oracle_of(name: str) -> str:
+    from filemapreduce_spark.queries import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+@register(
+    "ivf_recall_measure",
+    f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM ({_oracle_of("similarity_bruteforce_topk")})
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM ({_oracle_of("similarity_ivf_probe2")})
+    ),
+    found AS (
+      SELECT t.query_id, t.neighbor_id
+      FROM truth t
+      JOIN approx a ON a.query_id = t.query_id
+                   AND a.neighbor_id = t.neighbor_id
+    )
+    SELECT t.query_id,
+           COUNT(*) AS n_truth,
+           (SELECT COUNT(*) FROM found f WHERE f.query_id = t.query_id)
+             AS n_found,
+           round((SELECT COUNT(*) FROM found f
+                  WHERE f.query_id = t.query_id) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS recall_at_5
+    FROM truth t
+    GROUP BY t.query_id
+    ORDER BY t.query_id
+    """,
+    tags=("similarity", "ann", "quality", "llm"),
+)
+def ivf_recall_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 2-probe IVF index against brute-force cosine
+    ground truth, per query — the acceptance metric for any ANN
+    config before it replaces exact search at scale (the IVF cost
+    dial is nprobe; this query is how you price it in recall). Both
+    sides run distributed; composes the two registered formulations
+    exactly like minhash_lsh_recall does for LSH."""
+    from filemapreduce_spark.queries.llm import (
+        similarity_bruteforce_topk,
+        similarity_ivf_probe2,
+    )
+
+    truth = similarity_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity_ivf_probe2(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    found = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_truth = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    n_found = found.groupBy("query_id").agg(F.count(F.lit(1)).alias("nf"))
+    return (
+        n_truth.join(n_found, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("nf", F.lit(0)).alias("n_found"),
+            F.round(
+                F.coalesce("nf", F.lit(0)) / F.col("n_truth").cast("double"),
+                6,
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

@@ -222,3 +222,56 @@ def test_zordered_write_tight_ranges_both_dims(spark, lineitem, tmp_path):
 
     # layout must not lose or duplicate rows
     assert spark.read.parquet(zout).count() == lineitem.count()
+
+
+def test_compression_codec_tradeoff(spark, lineitem, tmp_path):
+    """Codec choice is a first-order storage decision at 100 TB:
+    zstd must compress tighter than snappy, snappy tighter than none,
+    and every codec must round-trip identical data."""
+    import glob as pyglob
+    import os
+
+    sizes = {}
+    n = lineitem.count()
+    for codec in ("none", "snappy", "zstd"):
+        out = str(tmp_path / f"codec_{codec}")
+        (
+            lineitem.coalesce(1)
+            .write.option("compression", codec)
+            .parquet(out)
+        )
+        sizes[codec] = sum(
+            os.path.getsize(f) for f in pyglob.glob(out + "/part-*.parquet")
+        )
+        assert spark.read.parquet(out).count() == n
+    assert sizes["zstd"] < sizes["snappy"] < sizes["none"], sizes
+
+
+def test_partition_evolution_union_read(spark, tmp_path):
+    """Partition-layout evolution: an old generation partitioned by
+    month and a new one by day must stay queryable as ONE dataset,
+    with partition pruning still effective inside each generation
+    (100 TB tables change their partitioning over the years; readers
+    can't require a rewrite)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 60).cast("int")).alias("d"),
+    ).withColumn("month", F.date_format("d", "yyyy-MM")).withColumn(
+        "day", F.date_format("d", "yyyy-MM-dd")
+    )
+    old = str(tmp_path / "gen_month")
+    new = str(tmp_path / "gen_day")
+    df.filter(F.col("d") < "2024-02-01").write.partitionBy("month").parquet(old)
+    df.filter(F.col("d") >= "2024-02-01").write.partitionBy("day").parquet(new)
+
+    merged = spark.read.parquet(old).unionByName(
+        spark.read.parquet(new), allowMissingColumns=True
+    )
+    assert merged.count() == 100
+    # a date filter prunes via month dirs in gen 1 and day dirs in gen 2
+    jan = merged.filter(F.col("month") == "2024-01")
+    feb10 = merged.filter(F.col("day") == "2024-02-10")
+    assert jan.count() == df.filter(F.col("month") == "2024-01").count()
+    assert feb10.count() == df.filter(F.col("day") == "2024-02-10").count()
