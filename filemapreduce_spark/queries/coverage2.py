@@ -17,7 +17,7 @@ row-local (whole-stage codegen, zero shuffles before the final agg).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.queries import register
@@ -613,4 +613,248 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("s_nationkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Merkle-style two-level partition checksums (replica diffing).
+# --------------------------------------------------------------------
+@register(
+    "merkle_partition_checksums",
+    """
+    SELECT l_returnflag,
+           CASE WHEN GROUPING(strftime(l_shipdate, '%Y-%m')) = 1
+                THEN NULL ELSE strftime(l_shipdate, '%Y-%m') END AS month,
+           CASE WHEN GROUPING(strftime(l_shipdate, '%Y-%m')) = 1
+                THEN 'root' ELSE 'leaf' END AS level,
+           COUNT(*) AS n,
+           BIT_XOR(('0x' || substring(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 15))::BIGINT) AS checksum
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag),
+                            (l_returnflag, strftime(l_shipdate, '%Y-%m')))
+    ORDER BY l_returnflag, level, month
+    """,
+    tags=("agg", "validation"),
+)
+def merkle_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style checksum tree: leaf checksums per (flag, month)
+    partition AND root checksums per flag from ONE scan (grouping
+    sets over the same XOR fold — XOR's associativity means the root
+    equals the XOR of its leaves). Two replicas diff by comparing
+    roots first, then descending only into mismatched subtrees —
+    O(changed partitions) re-verification instead of O(table) at
+    100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long")
+                    .cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = li.select(
+        "l_returnflag", month.alias("month"), row_hash.alias("rh")
+    )
+    flag, mo = F.col("l_returnflag"), F.col("month")
+    return (
+        base.groupingSets([[flag], [flag, mo]], flag, mo)
+        .agg(
+            F.grouping("month").alias("_g"),
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor("rh").alias("checksum"),
+        )
+        .select(
+            "l_returnflag",
+            F.when(F.col("_g") == 1, F.lit(None)).otherwise(mo).alias("month"),
+            F.when(F.col("_g") == 1, F.lit("root"))
+            .otherwise(F.lit("leaf"))
+            .alias("level"),
+            "n",
+            "checksum",
+        )
+        .orderBy("l_returnflag", "level", "month")
+    )
+
+
+# --------------------------------------------------------------------
+# Fact-to-SCD2 join (point-in-interval dimension lookup).
+# --------------------------------------------------------------------
+@register(
+    "fact_to_scd2_join",
+    """
+    WITH signup AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS segment
+      FROM events WHERE event_type = 'signup'
+    ), marked AS (
+      SELECT *, CASE WHEN lag(segment) OVER w IS DISTINCT FROM segment
+                     THEN 1 ELSE 0 END AS chg
+      FROM signup WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked
+    ), dim AS (
+      SELECT user_id, version, segment,
+             MIN(ts) AS valid_from,
+             LEAD(MIN(ts)) OVER (PARTITION BY user_id ORDER BY MIN(ts))
+               AS valid_to
+      FROM runs GROUP BY user_id, version, segment
+    )
+    SELECT d.segment,
+           COUNT(*) AS n_purchases,
+           COUNT(DISTINCT f.user_id) AS n_users,
+           SUM(CAST(round(f.value*100) AS BIGINT)) AS sum_cents
+    FROM events f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'purchase'
+    GROUP BY d.segment
+    ORDER BY d.segment
+    """,
+    tags=("join", "temporal", "cdc"),
+)
+def fact_to_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval dimension lookup: purchases join the SCD2
+    segment history derived from signup events (valid_from = run
+    start, valid_to = next run's start, open-ended last version) —
+    the warehouse pattern for 'which dimension version was current
+    when this fact happened'. The join is an equi-join on user_id
+    with the interval predicate as a residual filter: one shuffle,
+    never a cross join, and each user's intervals are non-overlapping
+    by construction so each fact matches at most one version."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signup = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.get_json_object("props", "$.k").cast("long") / 25)
+        .cast("long")
+        .alias("segment"),
+    )
+    runs = signup.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("segment").over(w).eqNullSafe(F.col("segment")), 1
+        ).otherwise(0),
+    ).withColumn("version", F.sum("chg").over(wrun))
+    grouped = runs.groupBy("user_id", "version", "segment").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wd = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = grouped.withColumn("valid_to", F.lead("valid_from").over(wd))
+    f = e.filter(F.col("event_type") == "purchase").alias("f")
+    d = dim.alias("d")
+    return (
+        f.join(
+            d,
+            (F.col("d.user_id") == F.col("f.user_id"))
+            & (F.col("f.ts") >= F.col("d.valid_from"))
+            & (
+                F.col("d.valid_to").isNull()
+                | (F.col("f.ts") < F.col("d.valid_to"))
+            ),
+        )
+        .groupBy("d.segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct(F.col("f.user_id")).alias("n_users"),
+            F.sum(F.round(F.col("f.value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select(
+            F.col("segment"), "n_purchases", "n_users", "sum_cents"
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------
+# GDPR erasure audit (cascading delete accounting).
+# --------------------------------------------------------------------
+@register(
+    "gdpr_erasure_audit",
+    """
+    WITH del AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_orders AS (
+      SELECT o.o_orderkey, d.c_nationkey
+      FROM orders o JOIN del d ON d.c_custkey = o.o_custkey
+    )
+    SELECT n_name,
+           (SELECT COUNT(*) FROM del d2 WHERE d2.c_nationkey = n_nationkey)
+             AS customers_erased,
+           (SELECT COUNT(*) FROM del_orders o2
+            WHERE o2.c_nationkey = n_nationkey) AS orders_erased,
+           (SELECT COUNT(*) FROM del_orders o2
+             JOIN lineitem l ON l.l_orderkey = o2.o_orderkey
+            WHERE o2.c_nationkey = n_nationkey) AS lineitems_erased
+    FROM nation
+    WHERE EXISTS (SELECT 1 FROM del d3 WHERE d3.c_nationkey = n_nationkey)
+    ORDER BY n_name
+    """,
+    tags=("governance", "join"),
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure accounting: for a deletion list (synthetic:
+    custkey % 97 = 0), count the cascade — customers, their orders,
+    and those orders' line items — per nation, BEFORE any delete runs.
+    The delete list broadcasts down the FK chain (customer → orders →
+    lineitem), which is exactly how a 100 TB erasure job scopes its
+    rewrite to affected files; pair with write_clustered on the key so
+    the rewrite touches few files."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    n = t(spark, sf_dir, "nation")
+    dele = c.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    cust_per_nation = dele.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("customers_erased")
+    )
+    del_orders = o.join(F.broadcast(dele), o.o_custkey == dele.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    orders_per_nation = del_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("orders_erased")
+    )
+    li_per_nation = (
+        li.join(F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("lineitems_erased"))
+    )
+    return (
+        cust_per_nation.join(orders_per_nation, "c_nationkey", "left")
+        .join(li_per_nation, "c_nationkey", "left")
+        .join(F.broadcast(n), cust_per_nation.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "customers_erased",
+            F.coalesce("orders_erased", F.lit(0)).alias("orders_erased"),
+            F.coalesce("lineitems_erased", F.lit(0)).alias("lineitems_erased"),
+        )
+        .orderBy("n_name")
     )
