@@ -858,3 +858,101 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------
+# Error-safe expressions: try_divide / try_cast / try_add.
+# --------------------------------------------------------------------
+@register(
+    "try_arithmetic_safety",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN CAST(round(value*100) AS BIGINT) - 500 = 0
+                    THEN NULL
+                    ELSE CAST(trunc(CAST(round(value*100) AS BIGINT) * 100.0
+                         / (CAST(round(value*100) AS BIGINT) - 500)) AS BIGINT)
+               END) AS sum_safe_ratio,
+           COUNT(*) FILTER (WHERE CAST(round(value*100) AS BIGINT) = 500)
+             AS n_div_zero,
+           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("scalar", "errors"),
+)
+def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: `try_divide` yields NULL instead of
+    erroring on division by zero, `try_cast` swallows malformed
+    values — the row-level error policy a 100 TB pipeline needs
+    (one dirty row must not kill a stage; the FILTER count is the
+    dead-letter metric). Integer division semantics are pinned with
+    `div` so both engines produce identical BIGINTs."""
+    e = t(spark, sf_dir, "events")
+    cents_v = F.round(F.col("value") * 100).cast("long")
+    denom = cents_v - 500
+    safe_ratio = F.expr(
+        "try_divide(CAST(round(value*100) AS BIGINT) * 100, "
+        "CAST(round(value*100) AS BIGINT) - 500)"
+    )
+    # pin to integer floor-division parity: DuckDB BIGINT / BIGINT is
+    # integer division; Spark try_divide is double — use div instead
+    safe_ratio = F.when(
+        denom == 0, F.lit(None).cast("long")
+    ).otherwise(F.expr("(CAST(round(value*100) AS BIGINT) * 100) div (CAST(round(value*100) AS BIGINT) - 500)"))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(safe_ratio).alias("sum_safe_ratio"),
+            F.count(F.when(cents_v == 500, 1)).alias("n_div_zero"),
+            F.sum(
+                F.get_json_object("props", "$.k").try_cast("long")
+            ).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Regex function family: extract_all / count / substr positions.
+# --------------------------------------------------------------------
+@register(
+    "regexp_family_documents",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, '[0-9]+'))) AS n_number_runs,
+           SUM(CASE WHEN regexp_matches(text, '[A-Z]{2,}')
+                    THEN 1 ELSE 0 END) AS n_docs_with_acronyms,
+           SUM(len(regexp_extract_all(lower(text), '\\bthe\\b')))
+             AS n_the_mentions
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("scalar", "text", "regex"),
+)
+def regexp_family_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family over documents: regexp_extract_all (all
+    matches, not just the first), regexp_count, and rlike — the
+    text-mining scalar kit. All row-local JVM regex evaluation inside
+    codegen; one grouped agg with map-side partials."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.size(F.regexp_extract_all("text", F.lit("[0-9]+")))
+            ).alias("n_number_runs"),
+            F.sum(
+                F.when(F.col("text").rlike("[A-Z]{2,}"), 1).otherwise(0)
+            ).alias("n_docs_with_acronyms"),
+            F.sum(
+                F.regexp_count(F.lower("text"), F.lit(r"\bthe\b"))
+            ).alias("n_the_mentions"),
+        )
+        .orderBy("source")
+    )

@@ -138,3 +138,19 @@ def test_registry_wide_plan_audit(spark, registry):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE must be on and actually coalescing: a small grouped agg
+    configured with 32 shuffle partitions should execute with far
+    fewer after AQE's runtime re-plan (at 100 TB the same mechanism
+    right-sizes every exchange to the real data volume)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 5).alias("g"))
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:800]

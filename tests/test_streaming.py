@@ -220,3 +220,41 @@ def test_vfs_stream_source_incremental(spark, tmp_path):
     assert sorted(r.path for r in rows) == ["a.txt", "b/b.txt", "c.txt"]
     # exactly-once: no row duplicated across the two runs
     assert len(rows) == 3
+
+
+def test_streaming_partitioned_sink(spark, tmp_path):
+    """Streaming writes must support partitionBy so downstream batch
+    readers get partition pruning over continuously-arriving data
+    (the streaming half of the partitioned-layout contract)."""
+    from filemapreduce_spark.queries.streaming import _events_stream
+
+    out = str(tmp_path / "out")
+    stream = _events_stream(spark, "/root/testdata/sf0.001")
+    q = (
+        stream.withColumn("day", F.to_date("ts"))
+        .select("day", "event_type", "user_id")
+        .writeStream.format("parquet")
+        .partitionBy("event_type")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import glob as pyglob
+
+    dirs = sorted(
+        p.split("=")[-1]
+        for p in pyglob.glob(out + "/event_type=*")
+    )
+    assert dirs == ["click", "error", "purchase", "signup", "view"], dirs
+    # pruning-eligible read back: one partition only
+    got = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet' "
+        "WHERE event_type = 'click'"
+    ).fetchone()[0]
+    assert got.count() == want
