@@ -50,6 +50,13 @@ HEADLINE = [
     "pandas_udf_char_classes",
     "apply_in_pandas_top3",
     "streaming_tumbling_counts",
+    # round-2 operator representatives
+    "bitmap_distinct_users",
+    "attribution_last_touch",
+    "ewma_daily_value",
+    "tfidf_cosine_pairs",
+    "merkle_partition_checksums",
+    "unigram_surprisal_filter",
 ]
 
 

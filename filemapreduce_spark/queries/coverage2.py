@@ -642,9 +642,10 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def merkle_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle-style checksum tree: leaf checksums per (flag, month)
-    partition AND root checksums per flag from ONE scan (grouping
-    sets over the same XOR fold — XOR's associativity means the root
-    equals the XOR of its leaves). Two replicas diff by comparing
+    partition AND root checksums per flag from ONE scan: rows are
+    hashed and folded into leaves once, and roots are the XOR of the
+    leaf checksums (associativity) — the raw data is never read or
+    aggregated twice. Two replicas diff by comparing
     roots first, then descending only into mismatched subtrees —
     O(changed partitions) re-verification instead of O(table) at
     100 TB."""
@@ -668,25 +669,50 @@ def merkle_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    base = li.select(
-        "l_returnflag", month.alias("month"), row_hash.alias("rh")
+    # the test parquet is one row group (one scan task); round-robin
+    # split the skinny key columns BEFORE the md5 fold so hashing uses
+    # every core. On a real multi-file table the scan already
+    # parallelizes and this repartition is a cheap no-op-equivalent.
+    skinny = li.select(
+        "l_returnflag",
+        month.alias("month"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+    ).repartition(li.sparkSession.sparkContext.defaultParallelism)
+    base = skinny.select(
+        "l_returnflag", "month", row_hash.alias("rh")
     )
-    flag, mo = F.col("l_returnflag"), F.col("month")
+    # leaves aggregate the raw rows ONCE; roots re-aggregate the tiny
+    # leaf table (XOR associativity) — cheaper than grouping sets,
+    # whose Expand would double the rows flowing into the aggregate
+    # persist the (tiny) leaf table: BOTH union branches read it, and
+    # without materialization each branch would re-scan + re-hash the
+    # raw rows (the plan showed the md5 subtree twice)
+    leaves = (
+        base.groupBy("l_returnflag", "month")
+        .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("rh").alias("checksum"))
+        .persist()
+    )
+    roots = leaves.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"), F.bit_xor("checksum").alias("checksum")
+    )
     return (
-        base.groupingSets([[flag], [flag, mo]], flag, mo)
-        .agg(
-            F.grouping("month").alias("_g"),
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor("rh").alias("checksum"),
-        )
-        .select(
+        leaves.select(
             "l_returnflag",
-            F.when(F.col("_g") == 1, F.lit(None)).otherwise(mo).alias("month"),
-            F.when(F.col("_g") == 1, F.lit("root"))
-            .otherwise(F.lit("leaf"))
-            .alias("level"),
+            "month",
+            F.lit("leaf").alias("level"),
             "n",
             "checksum",
+        )
+        .unionByName(
+            roots.select(
+                "l_returnflag",
+                F.lit(None).cast("string").alias("month"),
+                F.lit("root").alias("level"),
+                "n",
+                "checksum",
+            )
         )
         .orderBy("l_returnflag", "level", "month")
     )

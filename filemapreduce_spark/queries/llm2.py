@@ -318,6 +318,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("wm"),
         )
+        # four plan branches read the postings (norms ×2 join sides,
+        # dots ×2 join sides) — materialize once, same as the minhash
+        # signature cache
+        .persist()
     )
     norms = post.groupBy("doc_id").agg(
         F.sum(F.col("wm") * F.col("wm")).alias("n2")
