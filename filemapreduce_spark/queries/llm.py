@@ -750,16 +750,19 @@ def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count + interpolated percentiles per event type —
     the exact twins the approximate sketches are graded against."""
     e = t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
-        )
-        .orderBy("event_type")
+    # distinct-count and percentiles aggregate SEPARATELY: combining
+    # them makes Catalyst expand every row for the distinct rewrite
+    # and drag the percentile buffers through the expanded stream —
+    # two lean aggs + a 5-row broadcast join is 2x faster
+    nd = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
     )
+    pct = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+    return nd.join(F.broadcast(pct), "event_type").orderBy("event_type")
 
 
 @register(
