@@ -663,3 +663,226 @@ def contingency_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n") - expected) * (F.col("n") - expected)) / expected, 6
         ).alias("chi2_term"),
     ).orderBy("lang", "source")
+
+
+# --------------------------------------------------------------------
+# Packed-sequence boundary offsets (cu_seqlens for varlen attention).
+# --------------------------------------------------------------------
+@register(
+    "sequence_pack_cu_seqlens",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST({_SQL_TOK} AS BIGINT) AS tok
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, tok,
+             COALESCE(SUM(tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM d
+    ), spans AS (
+      SELECT source, doc_id, tok, cum_before,
+             unnest(range(CAST(cum_before // 256 AS BIGINT),
+                          CAST((cum_before + tok - 1) // 256 + 1 AS BIGINT)))
+               AS seq_idx
+      FROM c WHERE tok > 0
+    )
+    SELECT source, CAST(seq_idx AS BIGINT) AS seq_idx,
+           COUNT(*) AS n_docs,
+           list_sort(list(GREATEST(cum_before - seq_idx * 256, 0)))
+             AS cu_seqlens
+    FROM spans
+    GROUP BY source, seq_idx
+    ORDER BY source, seq_idx
+    """,
+    tags=("llm", "packing"),
+)
+def sequence_pack_cu_seqlens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary offsets inside each packed 256-token training
+    sequence — the cu_seqlens input varlen (flash-)attention needs so
+    packed documents don't attend across boundaries. Each doc explodes
+    to the (≤2 here, always bounded by ceil(doc_len/capacity)+1)
+    sequences it overlaps; offsets are exact window arithmetic. One
+    shuffle on the stream key, one on (source, seq_idx)."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0))
+    ).filter(F.col("tok") > 0)
+    spans = c.select(
+        "source",
+        "doc_id",
+        "tok",
+        "cum_before",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cum_before") / 256),
+                F.floor((F.col("cum_before") + F.col("tok") - 1) / 256),
+            )
+        ).alias("seq_idx"),
+    )
+    return (
+        spans.groupBy("source", "seq_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(
+                F.collect_list(
+                    F.greatest(
+                        F.col("cum_before") - F.col("seq_idx") * 256, F.lit(0)
+                    )
+                )
+            ).alias("cu_seqlens"),
+        )
+        .orderBy("source", "seq_idx")
+    )
+
+
+# --------------------------------------------------------------------
+# Session behavior patterns (event-sequence n-grams per session).
+# --------------------------------------------------------------------
+@register(
+    "session_pattern_top20",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ep, ts, event_type
+      FROM events
+    ), l AS (
+      SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS prev
+      FROM e
+    ), f AS (
+      SELECT *, CASE WHEN prev IS NULL OR ep - prev > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    ), pat AS (
+      SELECT user_id, sid,
+             string_agg(upper(substring(event_type, 1, 1)), ''
+                        ORDER BY ts, event_id) AS pattern
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT pattern, COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM pat
+    GROUP BY pattern
+    ORDER BY n_sessions DESC, pattern
+    LIMIT 20
+    """,
+    tags=("session", "sequence", "llm"),
+)
+def session_pattern_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral session patterns: each 30-min session becomes an
+    ordered string of event-type initials (VCP… = view,click,purchase)
+    and the corpus's 20 most common patterns are reported — the
+    log-to-training-sequence transform behind behavior-cloning /
+    recommendation datasets. Sessionization and the ordered
+    string_agg reuse ONE user_id shuffle; the pattern count is a
+    second small agg."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (
+        e.select("user_id", "event_id", "ts", "event_type",
+                 F.unix_micros("ts").alias("ep"))
+        .withColumn("prev", F.lag("ep").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ep") - F.col("prev") > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(wrun))
+    )
+    pat = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda st: F.upper(F.substring(st["event_type"], 1, 1)),
+            ),
+            "",
+        ).alias("pattern")
+    )
+    return (
+        pat.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "pattern")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# Binary header parsing (multimodal metadata without a decoder).
+# --------------------------------------------------------------------
+@register(
+    "binary_header_parse",
+    """
+    SELECT source,
+           COUNT(*) AS n_blobs,
+           COUNT(*) AS n_valid_magic,
+           SUM(16 + n_chars % 4080) AS sum_width,
+           SUM(16 + (n_chars * 7) % 4080) AS sum_height
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("multimodal", "binary", "llm"),
+)
+def binary_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-header metadata extraction WITHOUT an image library:
+    synthesize a PNG-style binary header (magic + 4-byte big-endian
+    width/height) per document, then parse magic/width/height back by
+    hex-slicing the BINARY column — the cheap metadata pass a
+    multimodal pipeline runs on billions of blobs before deciding
+    what to actually decode. All row-local string/binary codegen; the
+    oracle recomputes the fields arithmetically, so the binary
+    round-trip is what's verified."""
+    d = t(spark, sf_dir, "documents")
+    width = (F.lit(16) + F.col("n_chars") % 4080).cast("long")
+    height = (F.lit(16) + (F.col("n_chars") * 7) % 4080).cast("long")
+    blob = F.unhex(
+        F.concat(
+            F.lit("89504E47"),
+            F.lpad(F.conv(width.cast("string"), 10, 16), 8, "0"),
+            F.lpad(F.conv(height.cast("string"), 10, 16), 8, "0"),
+        )
+    )
+    hexed = F.hex(blob)
+    parsed = d.select(
+        "source",
+        (F.substring(hexed, 1, 8) == "89504E47").alias("magic_ok"),
+        F.conv(F.substring(hexed, 9, 8), 16, 10).cast("long").alias("w"),
+        F.conv(F.substring(hexed, 17, 8), 16, 10).cast("long").alias("h"),
+    )
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum(F.when(F.col("magic_ok"), 1).otherwise(0)).alias(
+                "n_valid_magic"
+            ),
+            F.sum("w").alias("sum_width"),
+            F.sum("h").alias("sum_height"),
+        )
+        .orderBy("source")
+    )
