@@ -1929,3 +1929,91 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found").cast("double") / F.col("n_truth"), 6
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------
+# Cross-document duplicated spans with positions (exact substring
+# dedup targets, Lee et al. 2022 style).
+# --------------------------------------------------------------------
+@register(
+    "crossdoc_span_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, u.pos AS pos, u.ng AS ng
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)-6),
+                 i -> struct_pack(pos := i,
+                   ng := ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+                     ||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7])))
+                 AS u
+        FROM d WHERE len(ws) >= 8
+      )
+    )
+    SELECT ng AS span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occ,
+           MIN(doc_id) AS first_doc,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM g
+    GROUP BY ng
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, span
+    LIMIT 20
+    """,
+    tags=("llm", "dedup", "ngram"),
+)
+def crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated substrings ACROSS documents, with positions —
+    the actionable output of suffix-array-style training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): each row is an 8-word span that appears in 2+
+    distinct docs, with its corpus frequency and a canonical first
+    occurrence (min doc, min offset) a span-removal pass would keep.
+    Complements dup_ngram_mass_by_source (which only measures the
+    aggregate mass): this one names the spans to cut.
+
+    Scale shape: one posexplode per doc (row-local window arithmetic,
+    no self-join), then a single span-keyed agg; top-20 compiles to
+    TakeOrderedAndProject so only each partition's leaders reach the
+    driver. At 100 TB the HAVING n_docs>=2 filter drops the long
+    unique tail during the partial agg's merge phase — nothing
+    quadratic ever materializes, unlike pairwise dedup formulations.
+    Word-position i is 1-based to match the SQL oracle's range().
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("ws")
+    )
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 7),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice("ws", i, 8), " ").alias("ng"),
+        ),
+    )
+    g = (
+        d.filter(F.size("ws") >= 8)
+        .select("doc_id", F.explode(spans).alias("u"))
+        .select("doc_id", F.col("u.pos").alias("pos"), F.col("u.ng").alias("ng"))
+    )
+    return (
+        g.groupBy("ng")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.col("ng").alias("span"),
+            "n_docs",
+            "n_occ",
+            "first_doc",
+            "first_pos",
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "span")
+        .limit(20)
+    )

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Registry-wide physical-plan audit: analyze (never execute) every
+registered batch query and report the plan features that decide
+100 TB behavior — exchange count, join strategies, scan pushdown,
+whole-stage codegen spans, top-k compilation.
+
+Writes PLAN_AUDIT.md. Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from filemapreduce_spark.queries import load_all
+from filemapreduce_spark.session import get_spark
+
+
+def audit_plan(df, jvm):
+    # formatted explain lists each operator exactly ONCE with an id —
+    # unlike plan.toString(), which reprints shared subtrees and
+    # subqueries and so overcounts every feature
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+
+    def n(name):
+        return sum(1 for x in nodes if x == name)
+
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    widths = [
+        s.count(":") for s in re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    ]
+    return {
+        "exchanges": n("Exchange"),
+        "bhj": n("BroadcastHashJoin"),
+        "smj": n("SortMergeJoin"),
+        "bnlj": n("BroadcastNestedLoopJoin"),
+        "cartesian": n("CartesianProduct"),
+        "scans": n("Scan"),
+        "pushed_scans": pushed,
+        "max_scan_cols": max(widths) if widths else 0,
+        "topk": n("TakeOrderedAndProject"),
+        "codegen": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
+        "python_eval": sum(
+            n(x)
+            for x in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "FlatMapGroupsInPandas",
+                "AggregateInPandas",
+                "MapInPandas",
+                "PythonMapInArrow",
+                "MapInArrow",
+            )
+        ),
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plan_audit")
+    reg = load_all()
+
+    rows, skipped, failed = [], [], []
+    for name in sorted(reg):
+        spec = reg[name]
+        if "streaming" in spec.tags:
+            skipped.append(name)
+            continue
+        try:
+            df = spec.fn(spark, sf_dir)
+            rows.append((name, audit_plan(df, spark._jvm)))
+        except Exception as e:  # iterative/collect-based plans
+            failed.append((name, str(e).splitlines()[0][:90]))
+
+    hdr = (
+        "| query | exch | BHJ | SMJ | BNLJ | cart | scans | pushed |"
+        " maxcols | topk | wscg | pyeval |"
+    )
+    sep = "|" + "---|" * 11
+    lines = [
+        "# PLAN_AUDIT — physical-plan quality across the registry",
+        "",
+        f"Analyzed (not executed) against `{sf_dir}`. Columns: shuffle",
+        "exchanges; broadcast-hash / sort-merge / broadcast-NL joins;",
+        "cartesian products (must be 0 outside intentional small-dim",
+        "crosses); parquet scans and how many carry pushed filters;",
+        "widest scan's column count (pruning); TakeOrderedAndProject",
+        "(top-k never full-sorts); distinct WholeStageCodegen spans;",
+        "Python eval nodes (the deliberate Arrow-batched slow path).",
+        "",
+        hdr,
+        sep,
+    ]
+    for name, a in rows:
+        lines.append(
+            f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} |"
+            f" {a['bnlj']} | {a['cartesian']} | {a['scans']} |"
+            f" {a['pushed_scans']} | {a['max_scan_cols']} | {a['topk']} |"
+            f" {a['codegen']} | {a['python_eval']} |"
+        )
+
+    n = len(rows)
+    tot = lambda k: sum(a[k] for _, a in rows)  # noqa: E731
+    cart_names = [
+        nm
+        for nm, a in rows
+        if a["cartesian"] or a["bnlj"]
+    ]
+    lines += [
+        "",
+        "## Summary",
+        "",
+        f"- {n} batch queries audited; {len(skipped)} streaming queries"
+        " skipped (audited in tests/test_streaming.py);"
+        f" {len(failed)} driver-iterative queries not plannable as one"
+        " DataFrame (k-means/PageRank loops, recall composites):"
+        f" {', '.join(nm for nm, _ in failed) or 'none'}",
+        f"- exchanges: {tot('exchanges')} total,"
+        f" {tot('exchanges')/max(n,1):.2f}/query",
+        f"- joins: {tot('bhj')} broadcast-hash, {tot('smj')} sort-merge,"
+        f" {tot('bnlj')} broadcast-NL, {tot('cartesian')} cartesian"
+        + (
+            f" (intentional small-side crosses: {', '.join(cart_names)})"
+            if cart_names
+            else ""
+        ),
+        f"- scans: {tot('scans')} total, {tot('pushed_scans')} with pushed"
+        " filters",
+        f"- top-k via TakeOrderedAndProject: {tot('topk')};"
+        f" whole-stage-codegen spans: {tot('codegen')};"
+        f" Python-eval nodes: {tot('python_eval')}",
+        "",
+    ]
+
+    out = "/root/repo/PLAN_AUDIT.md"
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}: {n} audited, {len(skipped)} skipped,"
+          f" {len(failed)} unplannable")
+    for nm, err in failed:
+        print(f"  unplannable {nm}: {err}")
+
+
+if __name__ == "__main__":
+    main()
