@@ -57,6 +57,8 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "merkle_partition_checksums",
     "unigram_surprisal_filter",
+    "crossdoc_span_dedup",
+    "session_pattern_top20",
 ]
 
 
