@@ -52,6 +52,10 @@ def get_spark(
         # the synthetic events table stores TIMESTAMP(NANOS); read the
         # raw int64 and convert (ts div 1000 → microseconds) on load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # isAdjustedToUTC=false parquet columns: infer TIMESTAMP, not
+        # TIMESTAMP_NTZ — keeps filter pushdown on the scan column and
+        # (with the UTC session tz) matches DuckDB's naive reading
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

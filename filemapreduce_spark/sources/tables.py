@@ -39,6 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # — truncate to microseconds (matches DuckDB's read of the file).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # parquet isAdjustedToUTC=false columns arrive as TIMESTAMP_NTZ;
+    # the session timezone is pinned to UTC, so casting to TIMESTAMP is
+    # value-preserving and keeps unix_micros()/window() applicable.
+    ntz = [c for c, d in df.dtypes if d == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     if name in _COMPUTE_HEAVY:
         # Half the core count, floor 8: measured sweet spot between
         # per-task overhead (Python worker round-trips, tiny-task
