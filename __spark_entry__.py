@@ -25,13 +25,34 @@ _REGISTRY = load_all()
 
 
 def _ensure_conf(spark: SparkSession) -> None:
-    """Confs the queries rely on when the driver built the session."""
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Confs the queries rely on when the driver built the session.
+
+    Correctness confs (timezone, nanos) plus the perf confs the repo's
+    own session factory (filemapreduce_spark/session.py) sets: without
+    them a default driver session runs every query with 200 shuffle
+    partitions, no AQE and no Arrow — multi-× slower at sf0.01.
+    Each set is wrapped individually so one forbidden conf doesn't
+    block the rest.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    settings = {
+        "spark.sql.session.timeZone": "UTC",
         # events.parquet stores TIMESTAMP(NANOS); read nanos as long
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # non-fatal: session may forbid runtime conf changes
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        # perf: small-SF oracle runs want few, fat partitions
+        "spark.sql.shuffle.partitions": str(max(8, min(cores, 32))),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    for k, v in settings.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-fatal: session may forbid runtime conf changes
 
 
 def entry(spark: SparkSession) -> DataFrame:

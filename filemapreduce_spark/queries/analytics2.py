@@ -164,7 +164,8 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
              ((epoch_us(ts) - 345600000000) // 604800000000)
                * 604800000000 + 345600000000) AS week_start,
            COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
            COUNT(DISTINCT user_id) AS users
     FROM events
     GROUP BY 1
@@ -201,9 +202,11 @@ def time_bucket_weekly_monday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CASE WHEN GROUPING(day) = 1 THEN 'month' ELSE 'day' END
              AS grain,
-           month, day,
+           strftime(month, '%Y-%m-%d') AS month,
+           strftime(day, '%Y-%m-%d') AS day,
            COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
     FROM (
       SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
              CAST(ts AS DATE) AS day, value
@@ -238,8 +241,8 @@ def timegrain_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_g") == 1, F.lit("month"))
             .otherwise(F.lit("day"))
             .alias("grain"),
-            "month",
-            "day",
+            F.date_format("month", "yyyy-MM-dd").alias("month"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n_events",
             "sum_value_cents",
         )
@@ -353,7 +356,7 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderstatus").orderBy("cents", "o_orderkey")
     return (
         o.select("o_orderstatus", "o_orderkey", cents_col.alias("cents"))
-        .withColumn("bucket", F.ntile(8).over(w))
+        .withColumn("bucket", F.ntile(8).over(w).cast("long"))
         .groupBy("o_orderstatus", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -450,9 +453,12 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.o_orderstatus,
            COUNT(*) AS n,
-           SUM(CASE WHEN c.c < b.lo THEN 1 ELSE 0 END) AS n_clipped_low,
-           SUM(CASE WHEN c.c > b.hi THEN 1 ELSE 0 END) AS n_clipped_high,
-           SUM(LEAST(GREATEST(c.c, b.lo), b.hi)) AS winsorized_sum_cents,
+           CAST(SUM(CASE WHEN c.c < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN c.c > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(LEAST(GREATEST(c.c, b.lo), b.hi)) AS BIGINT)
+             AS winsorized_sum_cents,
            CAST(SUM(LEAST(GREATEST(c.c, b.lo), b.hi)) AS DOUBLE)
              / (100.0 * COUNT(*)) AS winsorized_avg
     FROM cents c JOIN bounds b ON b.o_orderstatus = c.o_orderstatus
@@ -514,7 +520,8 @@ def winsorized_stats_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
              CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
       FROM orders GROUP BY 1, 2
     )
     SELECT month, rev_cents,

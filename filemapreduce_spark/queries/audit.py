@@ -227,7 +227,7 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(price_cents) AS low_cents,
            max_by(price_cents, ord) AS close_cents,
            COUNT(*) AS n_orders,
-           SUM(price_cents) AS volume_cents
+           CAST(SUM(price_cents) AS BIGINT) AS volume_cents
     FROM px GROUP BY month ORDER BY month
     """,
     tags=("timeseries", "agg"),
@@ -290,8 +290,8 @@ def ohlc_monthly_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq WHERE t_next_us IS NOT NULL
     )
     SELECT day, event_type,
-           SUM(num) AS weighted_cents_us,
-           SUM(dt_us) AS span_us,
+           CAST(SUM(num) AS BIGINT) AS weighted_cents_us,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
            CAST(SUM(num) AS DOUBLE) / SUM(dt_us) AS twap_cents
     FROM w GROUP BY day, event_type
     ORDER BY day, event_type
@@ -362,7 +362,7 @@ def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS UNBOUNDED PRECEDING) AS live
       FROM deltas
     )
-    SELECT day, MAX(live) AS peak_concurrent
+    SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent
     FROM run GROUP BY day ORDER BY day
     """,
     tags=("timeseries", "interval", "window"),
@@ -429,8 +429,8 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(t.custkey, s.custkey) AS custkey,
            COALESCE(t.n_orders, 0) + COALESCE(s.n_orders, 0) AS n_orders,
-           COALESCE(t.revenue_cents, 0) + COALESCE(s.revenue_cents, 0)
-             AS revenue_cents,
+           CAST(COALESCE(t.revenue_cents, 0) + COALESCE(s.revenue_cents, 0)
+             AS BIGINT) AS revenue_cents,
            CASE WHEN t.custkey IS NULL THEN 'insert'
                 WHEN s.custkey IS NULL THEN 'keep'
                 ELSE 'update' END AS merge_action

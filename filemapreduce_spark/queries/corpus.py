@@ -73,7 +73,7 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.lang").alias("lang"),
-            F.levenshtein("a.head", "b.head").alias("edit_dist"),
+            F.levenshtein("a.head", "b.head").cast("long").alias("edit_dist"),
         )
         .where(F.col("edit_dist") <= 24)
         .orderBy("doc_a", "doc_b")
@@ -180,11 +180,11 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (
+             CAST(SUM(n_tokens) OVER (
                PARTITION BY lang
                ORDER BY n_tokens DESC, doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang) AS total_tokens
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang) AS BIGINT) AS total_tokens
       FROM d
     )
     SELECT doc_id, lang, n_tokens, cum_tokens,
@@ -274,7 +274,9 @@ def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
     )
     return (
-        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        d.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+        )
         .where(F.col("rn") <= 20)
         .orderBy("lang", "rn")
     )
@@ -357,5 +359,5 @@ def quality_tiers_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").desc(), F.col("doc_id")
     )
     return d.select(
-        "doc_id", "lang", F.ntile(10).over(w).alias("tier")
+        "doc_id", "lang", F.ntile(10).over(w).cast("long").alias("tier")
     ).orderBy("doc_id")

@@ -121,7 +121,7 @@ def percentile_disc_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok WHERE w <> '' GROUP BY source, w
     )
     SELECT source,
-           SUM(c) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
            COUNT(*) AS vocab,
            round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy_nats
     FROM counts
@@ -255,10 +255,10 @@ def copurchase_lift_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(regexp_extract(url, 'user=(\\d+)', 1) AS BIGINT))
-             AS sum_user_param,
-           SUM(CAST(regexp_extract(url, 'v=(\\d+)', 1) AS BIGINT))
-             AS sum_v_param,
+           CAST(SUM(CAST(regexp_extract(url, 'user=(\\d+)', 1) AS BIGINT))
+             AS BIGINT) AS sum_user_param,
+           CAST(SUM(CAST(regexp_extract(url, 'v=(\\d+)', 1) AS BIGINT))
+             AS BIGINT) AS sum_v_param,
            COUNT(DISTINCT regexp_extract(url, 'https://[^/]+(/[^?]*)', 1))
              AS distinct_paths
     FROM urls
@@ -316,7 +316,8 @@ def url_kv_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority AS priority,
            COUNT(*) AS n,
-           SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
            MAX(o_orderkey) AS max_key
     FROM orders
     GROUP BY o_orderpriority
@@ -366,12 +367,13 @@ def xml_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           len(brands) AS n_brands,
-           list_sort(list_intersect(brands, ['Brand#1', 'Brand#2']))
-             AS common,
-           len(list_filter(brands,
+           CAST(len(brands) AS BIGINT) AS n_brands,
+           COALESCE(array_to_string(
+             list_sort(list_intersect(brands, ['Brand#1', 'Brand#2'])), ','),
+             '') AS common,
+           CAST(len(list_filter(brands,
                  x -> NOT list_contains(['Brand#1', 'Brand#2'], x)))
-             AS n_other,
+             AS BIGINT) AS n_other,
            list_has_any(brands, ['Brand#1', 'Brand#2']) AS hits_target
     FROM brands
     WHERE l_orderkey % 7 = 0
@@ -396,9 +398,11 @@ def array_set_ops_order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         brands.filter(F.col("l_orderkey") % 7 == 0)
         .select(
             "l_orderkey",
-            F.size("brands").alias("n_brands"),
-            F.sort_array(F.array_intersect("brands", target)).alias("common"),
-            F.size(F.array_except("brands", target)).alias("n_other"),
+            F.size("brands").cast("long").alias("n_brands"),
+            F.array_join(
+                F.sort_array(F.array_intersect("brands", target)), ","
+            ).alias("common"),
+            F.size(F.array_except("brands", target)).cast("long").alias("n_other"),
             F.arrays_overlap("brands", target).alias("hits_target"),
         )
         .orderBy("l_orderkey")
@@ -583,7 +587,8 @@ def recursive_cte_nation_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT s_nationkey,
            COUNT(*) AS n_items,
-           SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     GROUP BY s_nationkey
@@ -746,7 +751,7 @@ def merkle_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.segment,
            COUNT(*) AS n_purchases,
            COUNT(DISTINCT f.user_id) AS n_users,
-           SUM(CAST(round(f.value*100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(round(f.value*100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events f
     JOIN dim d
       ON d.user_id = f.user_id
@@ -894,14 +899,15 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN CAST(round(value*100) AS BIGINT) - 500 = 0
+           CAST(SUM(CASE WHEN CAST(round(value*100) AS BIGINT) - 500 = 0
                     THEN NULL
                     ELSE CAST(trunc(CAST(round(value*100) AS BIGINT) * 100.0
                          / (CAST(round(value*100) AS BIGINT) - 500)) AS BIGINT)
-               END) AS sum_safe_ratio,
+               END) AS BIGINT) AS sum_safe_ratio,
            COUNT(*) FILTER (WHERE CAST(round(value*100) AS BIGINT) = 500)
              AS n_div_zero,
-           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -949,11 +955,12 @@ def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '[0-9]+'))) AS n_number_runs,
-           SUM(CASE WHEN regexp_matches(text, '[A-Z]{2,}')
-                    THEN 1 ELSE 0 END) AS n_docs_with_acronyms,
-           SUM(len(regexp_extract_all(lower(text), '\\bthe\\b')))
-             AS n_the_mentions
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+             AS n_number_runs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[A-Z]{2,}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_acronyms,
+           CAST(SUM(len(regexp_extract_all(lower(text), '\\bthe\\b')))
+             AS BIGINT) AS n_the_mentions
     FROM documents
     GROUP BY source
     ORDER BY source

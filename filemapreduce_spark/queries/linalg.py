@@ -60,7 +60,10 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("embedding")
     partials = gram_partials(e, "embedding", _DIM, _SCALE)
     return (
-        partials.groupBy("i", "j")
+        partials.groupBy(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+        )
         .agg(F.sum("gram_e12").alias("gram_e12"))
         .orderBy("i", "j")
     )
@@ -104,7 +107,7 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("i", "x"),
     ).select(
         "label",
-        "i",
+        F.col("i").cast("long").alias("i"),
         F.floor(F.col("x").cast("double") * _SCALE).cast("long").alias("vi"),
     )
     return (

@@ -1387,7 +1387,8 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), wc AS (
       SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
     ), pd AS (
-      SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             COUNT(*) AS n_distinct,
              MAX(c) AS top_cnt
       FROM wc GROUP BY doc_id
     ), bg AS (
@@ -1561,7 +1562,7 @@ def contamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig
     )
     SELECT source, keep, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS n_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM dec GROUP BY source, keep ORDER BY source, keep
     """,
     tags=("llm", "quality", "pipeline"),
@@ -1622,7 +1623,8 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g.source,
            COUNT(*) AS n_grams,
-           SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared,
+           CAST(SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
            round(CAST(SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END)
                  AS DOUBLE) / COUNT(*), 6) AS shared_frac
     FROM g JOIN cnt ON g.ng = cnt.ng

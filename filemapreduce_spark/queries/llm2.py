@@ -136,7 +136,7 @@ def neardup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM q
     )
     SELECT label, COUNT(*) AS n,
-           SUM(err_nano) AS sum_err_nano,
+           CAST(SUM(err_nano) AS BIGINT) AS sum_err_nano,
            CAST(SUM(err_nano) AS DOUBLE) / COUNT(*) AS mean_err_nano
     FROM e GROUP BY label ORDER BY label
     """,
@@ -197,8 +197,8 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT t.doc_id,
              COUNT(*) AS n_tokens,
-             SUM(CAST(round((ln(tt.n) - ln(cn.c)) * 1e6) AS BIGINT))
-               AS sum_surprisal_micro
+             CAST(SUM(CAST(round((ln(tt.n) - ln(cn.c)) * 1e6) AS BIGINT))
+               AS BIGINT) AS sum_surprisal_micro
       FROM tok t
       JOIN counts cn ON cn.w = t.w
       CROSS JOIN total tt

@@ -48,11 +48,11 @@ _SQL_TOK = f"len({_SQL_WORDS})"
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(tok) AS total_tokens,
-           (SUM(tok) - 1) // 256 + 1 AS n_seqs,
-           SUM(CASE WHEN cum_before // 256
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(tok) - 1) // 256 + 1 AS BIGINT) AS n_seqs,
+           CAST(SUM(CASE WHEN cum_before // 256
                       != (cum_before + tok - 1) // 256 THEN 1 ELSE 0 END)
-             AS n_crossing
+             AS BIGINT) AS n_crossing
     FROM c GROUP BY source ORDER BY source
     """,
     tags=("llm", "packing"),
@@ -170,10 +170,11 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_segments,
-           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS segs_removed,
-           SUM(CASE WHEN rn > 1
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS segs_removed,
+           CAST(SUM(CASE WHEN rn > 1
                     THEN len(string_split(seg_text, ' ')) ELSE 0 END)
-             AS words_removed
+             AS BIGINT) AS words_removed
     FROM ranked GROUP BY source ORDER BY source
     """,
     tags=("llm", "dedup"),
@@ -262,7 +263,7 @@ def segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(DISTINCT doc_id) AS docs_in,
            COUNT(*) AS rows_out,
-           SUM(tok) AS tokens_out
+           CAST(SUM(tok) AS BIGINT) AS tokens_out
     FROM e GROUP BY lang ORDER BY lang
     """,
     tags=("llm", "sampling"),
@@ -608,8 +609,8 @@ def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     margins AS (
       SELECT o.lang, o.source, o.n,
-             SUM(o.n) OVER (PARTITION BY o.lang) AS row_total,
-             SUM(o.n) OVER (PARTITION BY o.source) AS col_total,
+             CAST(SUM(o.n) OVER (PARTITION BY o.lang) AS BIGINT) AS row_total,
+             CAST(SUM(o.n) OVER (PARTITION BY o.source) AS BIGINT) AS col_total,
              SUM(o.n) OVER () AS grand_total
       FROM obs o
     )
@@ -690,7 +691,8 @@ def contingency_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, CAST(seq_idx AS BIGINT) AS seq_idx,
            COUNT(*) AS n_docs,
-           list_sort(list(GREATEST(cum_before - seq_idx * 256, 0)))
+           array_to_string(list_sort(list(
+             CAST(GREATEST(cum_before - seq_idx * 256, 0) AS BIGINT))), ',')
              AS cu_seqlens
     FROM spans
     GROUP BY source, seq_idx
@@ -734,12 +736,16 @@ def sequence_pack_cu_seqlens(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.groupBy("source", "seq_idx")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(
-                F.collect_list(
-                    F.greatest(
-                        F.col("cum_before") - F.col("seq_idx") * 256, F.lit(0)
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.greatest(
+                            F.col("cum_before") - F.col("seq_idx") * 256,
+                            F.lit(0),
+                        )
                     )
-                )
+                ).cast("array<string>"),
+                ",",
             ).alias("cu_seqlens"),
         )
         .orderBy("source", "seq_idx")
@@ -840,8 +846,8 @@ def session_pattern_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_blobs,
            COUNT(*) AS n_valid_magic,
-           SUM(16 + n_chars % 4080) AS sum_width,
-           SUM(16 + (n_chars * 7) % 4080) AS sum_height
+           CAST(SUM(16 + n_chars % 4080) AS BIGINT) AS sum_width,
+           CAST(SUM(16 + (n_chars * 7) % 4080) AS BIGINT) AS sum_height
     FROM documents
     GROUP BY source
     ORDER BY source

@@ -1119,7 +1119,7 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             cents("o_totalprice").alias("price_cents"),
         )
-        .withColumn("rnk", F.rank().over(w))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
         .where(F.col("rnk") <= 10)
         .orderBy("rnk", "o_orderkey")
     )
@@ -1220,8 +1220,9 @@ def join_salted_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
-           SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sumsq_q,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+             AS BIGINT) AS sumsq_q,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_q,
            (CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
              - CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
@@ -1364,7 +1365,7 @@ def window_range_30day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_order_parts",
     """
     SELECT l_orderkey,
-           list_sort(list(l_partkey)) AS parts,
+           array_to_string(list_sort(list(l_partkey)), ',') AS parts,
            CAST(len(list(l_partkey)) AS INT) AS n_parts,
            CAST(list_sort(list(l_partkey))[1] AS BIGINT) AS first_part
     FROM lineitem
@@ -1385,7 +1386,7 @@ def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_orderkey")
         .agg(
-            parts.alias("parts"),
+            F.array_join(parts.cast("array<string>"), ",").alias("parts"),
             F.size(F.collect_list("l_partkey")).alias("n_parts"),
             F.element_at(parts, 1).alias("first_part"),
         )
@@ -1401,7 +1402,8 @@ def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type
@@ -1441,7 +1443,7 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_v,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_v,
            MIN(CAST(l_quantity AS BIGINT)) AS min_v,
            MAX(CAST(l_quantity AS BIGINT)) AS max_v,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_v,
@@ -2282,7 +2284,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN deg dg ON dg.src = e.src
       GROUP BY nd.n, p.n_nodes
     )
-    SELECT it2.n AS nationkey, nn.n_name AS nation, it2.r AS rank_e12
+    SELECT it2.n AS nationkey, nn.n_name AS nation, CAST(it2.r AS BIGINT) AS rank_e12
     FROM it2 JOIN nation nn ON nn.n_nationkey = it2.n
     ORDER BY nationkey
     """,
@@ -2538,7 +2540,8 @@ def table_checksum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN a.n_lines != b.n_lines THEN 'changed'
                 ELSE 'unchanged' END AS change,
            COUNT(*) AS n_orders,
-           SUM(COALESCE(b.n_lines, 0) - COALESCE(a.n_lines, 0)) AS line_delta
+           CAST(SUM(COALESCE(b.n_lines, 0) - COALESCE(a.n_lines, 0)) AS BIGINT)
+             AS line_delta
     FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
     GROUP BY change ORDER BY change
     """,
@@ -2753,7 +2756,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY n.n_name
     ),
     tot AS (SELECT SUM(rev_cents) AS total_cents FROM rev)
-    SELECT nation, rev_cents,
+    SELECT nation, CAST(rev_cents AS BIGINT) AS rev_cents,
            round(CAST(rev_cents AS DOUBLE) / total_cents, 9) AS share
     FROM rev CROSS JOIN tot
     ORDER BY nation

@@ -662,10 +662,10 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
                 WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'normal'
                 ELSE 'slow' END AS delay_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= o_orderdate
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -710,7 +710,7 @@ def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q16_supplier_count_by_part",
     """
-    SELECT p_type, p_size // 10 AS size_decade,
+    SELECT p_type, CAST(p_size // 10 AS BIGINT) AS size_decade,
            COUNT(DISTINCT l_suppkey) AS supplier_cnt
     FROM part JOIN lineitem ON l_partkey = p_partkey
     WHERE p_brand <> 'Brand#1' AND p_name NOT LIKE 'red%'

@@ -234,7 +234,7 @@ def map_in_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
                     * CAST(l_quantity AS BIGINT)) AS DOUBLE)
            / SUM(CAST(l_quantity AS BIGINT)) AS wavg_price_cents,
-           SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("udx", "udaf", "pandas"),

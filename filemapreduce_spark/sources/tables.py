@@ -33,6 +33,28 @@ TABLE_NAMES = (
 _COMPUTE_HEAVY = {"documents", "embeddings"}
 
 
+def _input_file_count(spark: SparkSession, path: str) -> int:
+    """File count under ``path`` via the Hadoop FS API (no job run)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return 1
+        status = fs.getFileStatus(p)
+        if status.isFile():
+            return 1
+        return sum(
+            1
+            for s in fs.listStatus(p)
+            if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+        )
+    except Exception:
+        return 1
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS); the session reads nanos as int64
@@ -40,19 +62,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # parquet isAdjustedToUTC=false columns arrive as TIMESTAMP_NTZ;
-    # the session timezone is pinned to UTC, so casting to TIMESTAMP is
+    # with the session timezone pinned to UTC the cast to TIMESTAMP is
     # value-preserving and keeps unix_micros()/window() applicable.
+    # Guard loudly: under a non-UTC session the cast would shift values.
     ntz = [c for c, d in df.dtypes if d == "timestamp_ntz"]
     if ntz:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise RuntimeError(
+                f"load_table({name!r}): TIMESTAMP_NTZ columns {ntz} need a "
+                f"UTC session timezone for a value-preserving cast; session "
+                f"is {tz!r}. Set spark.sql.session.timeZone=UTC."
+            )
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     if name in _COMPUTE_HEAVY:
         # Half the core count, floor 8: measured sweet spot between
         # per-task overhead (Python worker round-trips, tiny-task
         # scheduling) and per-row expression cost — 16-way beats both
         # 1-way (68s) and 32-way (8.5s → 6.0s) for the minhash
-        # signature pipeline on local[32].
+        # signature pipeline on local[32]. Decide from file-count
+        # metadata (no .rdd probe — that forces physical planning in
+        # the very path the driver times); single-file test inputs are
+        # one row group = one scan task regardless of maxPartitionBytes,
+        # while real multi-file datasets already split fine.
         target = max(8, spark.sparkContext.defaultParallelism // 2)
-        if df.rdd.getNumPartitions() < target:
+        if _input_file_count(spark, f"{sf_dir}/{name}.parquet") < target:
             # round-robin split so the downstream hash/fold expressions
             # use every core; the shuffled payload is just the raw rows
             df = df.repartition(target)
