@@ -62,6 +62,40 @@ HEADLINE = [
 ]
 
 
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_anchor(registry, sf_dir: str) -> dict[str, float]:
+    """Single-node anchor: run each headline query's DuckDB oracle twin
+    on the same parquet files (DuckDB uses all cores by default — this
+    is the 'competent single-node engine' the 2× envelope is measured
+    against, since the reference repo publishes no numbers). Same
+    protocol as the Spark side: 3 reps, best kept."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = registry[name].oracle
+        if sql is None:
+            continue
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 3)
+    return times
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -93,6 +127,13 @@ def main():
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+
+    ddb = duckdb_anchor(registry, sf_dir)
+    ddb_total = round(sum(ddb.values()), 3)
+    ratios = {
+        n: round(times[n] / ddb[n], 2) if ddb.get(n) else None
+        for n in times
+    }
     print(
         json.dumps(
             {
@@ -101,6 +142,12 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "duckdb_anchor_sec": ddb_total,
+                "duckdb_queries": ddb,
+                "ratio_vs_duckdb": ratios,
+                "ratio_total": (
+                    round(total / ddb_total, 2) if ddb_total else None
+                ),
             }
         )
     )

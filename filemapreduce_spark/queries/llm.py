@@ -1126,8 +1126,11 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each iteration is one join + groupBy-min (label ←
     min over neighbors); iterations = graph diameter (near-dup
-    clusters are shallow, so a handful); intermediate labels persist
-    so lineage doesn't grow; at billions of edges this is the
+    clusters are shallow, so a handful); each iteration's labels are
+    localCheckpoint()ed — the convergence count materializes them
+    anyway, and truncating lineage keeps the per-iteration plan (and
+    driver re-planning cost) CONSTANT instead of growing with the
+    iteration count; at billions of edges this is the
     large-star/small-star pattern with identical per-step plans.
     """
     pairs = neardup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -1154,7 +1157,10 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label"
                 ),
             )
-            .persist()
+            # eager materialize + lineage truncation: plan depth stays
+            # constant across iterations (vs persist, which caches data
+            # but lets the logical plan grow every round)
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "doc")
@@ -1788,7 +1794,9 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(_KM_ITERS - 1):
-        centroids = update(assign(centroids))
+        # k x d integers: checkpoint is cheap and keeps the per-iteration
+        # plan depth constant however many Lloyd rounds run
+        centroids = update(assign(centroids)).localCheckpoint()
     final = assign(centroids)
     out = (
         final.groupBy("cid")

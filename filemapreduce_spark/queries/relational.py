@@ -2340,11 +2340,17 @@ def pagerank_trade_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming = contribs.groupBy("dst").agg(
             F.sum("contrib").alias("in_mass")
         )
-        ranks = nodes.join(incoming, nodes.n == incoming.dst, "left").select(
-            F.col("n"),
-            (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
-            .cast("long")
-            .alias("r"),
+        ranks = (
+            nodes.join(incoming, nodes.n == incoming.dst, "left")
+            .select(
+                F.col("n"),
+                (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            # one tiny row per node: truncating lineage per iteration
+            # keeps plan depth constant for arbitrary iteration counts
+            .localCheckpoint()
         )
     nn = t(spark, sf_dir, "nation")
     return (

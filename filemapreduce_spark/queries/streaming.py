@@ -11,7 +11,9 @@ window-function formulation with the same oracle.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -20,6 +22,26 @@ from pyspark.sql import functions as F
 
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.queries.relational import t
+
+# Temp dirs (stream-source symlink dirs, checkpoint dirs) live only as
+# long as the bounded query that uses them: _run_to_memory deletes them
+# right after awaitTermination, and atexit sweeps anything left by an
+# aborted run — repeated driver sweeps don't accumulate /tmp litter.
+_PENDING_DIRS: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _PENDING_DIRS.append(d)
+    return d
+
+
+def _cleanup_pending() -> None:
+    while _PENDING_DIRS:
+        shutil.rmtree(_PENDING_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_pending)
 
 
 @register(
@@ -40,17 +62,8 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming query (file source → window agg → memory sink, processed
     to completion with availableNow). The oracle is the batch
     equivalent — identical by the replayability of bounded streams."""
-    static = t(spark, sf_dir, "events")
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    # the file stream source requires a DIRECTORY; expose the single
-    # events.parquet through a temp dir (symlink — no data copy)
-    stream_dir = tempfile.mkdtemp(prefix="fmr_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # same nanos→micros conversion as the batch loader
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -61,18 +74,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="fmr_stream_ckpt_"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _run_to_memory(agg.writeStream, name, "complete")
     return (
         spark.table(name)
         .select(
@@ -143,7 +145,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_stream(spark: SparkSession, sf_dir: str):
     """Bounded file-source stream over events.parquet (symlinked into a
     temp dir — the file stream source requires a directory)."""
-    stream_dir = tempfile.mkdtemp(prefix="fmr_stream_src_")
+    stream_dir = _tmpdir("fmr_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
@@ -157,11 +159,14 @@ def _run_to_memory(agg_writer, name: str, mode: str) -> None:
         agg_writer.outputMode(mode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fmr_stream_ckpt_"))
+        .option("checkpointLocation", _tmpdir("fmr_stream_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # bounded query is done: its source-symlink + checkpoint dirs are
+    # dead weight now (results live in the in-memory sink table)
+    _cleanup_pending()
 
 
 @register(

@@ -154,3 +154,24 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:800]
+
+
+def test_iterative_ops_constant_plan_depth(spark, registry):
+    """The iterative operators (connected components, PageRank,
+    k-means) localCheckpoint() their loop state each round, so the
+    final plan must NOT contain the unrolled join chain of every
+    iteration — lineage stays bounded however many rounds ran.
+    Checkpointed state shows up as a scan, not as the joins that
+    produced it."""
+    for name, max_joins in [
+        ("dedup_clusters_minhash", 6),
+        ("pagerank_trade_2iter", 6),
+        ("kmeans_lloyd_2iter", 8),
+    ]:
+        plan = plan_of(spark, registry, name)
+        n_joins = plan.count("Join")
+        assert n_joins <= max_joins, (
+            f"{name}: {n_joins} joins in final plan — lineage not "
+            f"truncated (expected <= {max_joins})"
+        )
+        assert "ExistingRDD" in plan or "Scan" in plan
