@@ -423,3 +423,265 @@ def ivf_recall_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------
+# SemDeDup: semantic dedup via embedding clusters (Abbas et al. 2023).
+# --------------------------------------------------------------------
+@register(
+    "semdedup_cluster_prune",
+    """
+    WITH sv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ), n2 AS (
+      SELECT vec_id, v,
+             CAST(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))
+                  AS BIGINT) AS nrm2
+      FROM sv
+    ), cent AS (
+      SELECT vec_id AS cid, v AS cv FROM sv WHERE vec_id < 8
+    ), assign AS (
+      SELECT s.vec_id,
+             CAST(MIN(CAST(list_sum(list_transform(range(1, 65),
+                    i -> (s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]))) AS BIGINT)
+                  * 8 + c.cid) % 8 AS BIGINT) AS cid
+      FROM sv s CROSS JOIN cent c
+      GROUP BY s.vec_id
+    ), m AS (
+      SELECT a.vec_id, a.cid, n.v, n.nrm2
+      FROM assign a JOIN n2 n ON n.vec_id = a.vec_id
+    ), sim AS (
+      SELECT b.vec_id,
+             MAX(CAST(list_sum(list_transform(range(1, 65),
+                   i -> a.v[i]*b.v[i])) AS BIGINT)
+                 / (sqrt(a.nrm2) * sqrt(b.nrm2))) AS max_cos
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT m.vec_id, m.cid,
+           COALESCE(CAST(round(sim.max_cos * 1000000) AS BIGINT), -1)
+             AS max_sim_micro,
+           COALESCE(CAST(round(sim.max_cos * 1000000) AS BIGINT), -1)
+             >= 350000 AS is_dup
+    FROM m LEFT JOIN sim ON sim.vec_id = m.vec_id
+    ORDER BY m.vec_id
+    """,
+    tags=("llm", "dedup", "embedding", "clustering"),
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then look for semantic duplicates ONLY within
+    each cluster — the published trick that turns an O(N²) all-pairs
+    cosine dedup into per-cluster blocks. One Lloyd assignment step
+    against k=8 deterministic seed centroids (first k vectors),
+    then a within-cluster self-join computing max cosine to any
+    earlier member; keep-first marks later members above 0.35 as
+    semantic dups.
+
+    Exactness: embeddings are scaled to BIGINT micro-units, so
+    distances/dots are exact integers; the only float math is the
+    final cosine normalize, identical op-for-op in the oracle, and
+    the dup decision compares the ROUNDED integer micro-cosine, so
+    no FP boundary can flip it.
+
+    Scale shape: centroids broadcast (k×d integers); assignment is a
+    map-side fold; the self-join shuffles on cluster id only, and
+    cluster size — not corpus size — bounds the quadratic term. At
+    100 TB, k grows with √N and per-cluster work stays constant;
+    north-star extension (reference surface ends at file map/reduce,
+    /root/reference/jobs.go:9-20)."""
+    sv = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
+        ).alias("v"),
+    )
+    sq = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+    n2 = sv.withColumn("nrm2", sq)
+    cent = sv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+    assign = (
+        n2.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm2", (dist * 8 + F.col("cid")).alias("key"))
+        .groupBy("vec_id", "v", "nrm2")
+        .agg((F.min("key") % 8).cast("long").alias("cid"))
+    )
+    a = assign.select(
+        F.col("cid").alias("cid_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm2").alias("n_a"),
+    )
+    b = assign.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm2").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+    sim = (
+        a.join(
+            b,
+            (F.col("cid_a") == F.col("cid_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            F.col("id_b").alias("vec_id"),
+            (dot / (F.sqrt("n_a") * F.sqrt("n_b"))).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    micro = F.coalesce(
+        F.round(F.col("max_cos") * 1000000).cast("long"), F.lit(-1)
+    )
+    return (
+        assign.join(sim, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            micro.alias("max_sim_micro"),
+            (micro >= 350000).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------
+# DSIR: hashed-ngram importance weights (Xie et al. 2023).
+# --------------------------------------------------------------------
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_SQL_WORDS} AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS g
+      FROM d WHERE len(ws) >= 2
+    ), feat AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(g), 1, 3))::INT AS bucket
+      FROM bg
+    ), cnt AS (
+      SELECT bucket, COUNT(*) AS cr,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM feat GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(cr) AS r_n, SUM(ct) AS t_n FROM cnt
+    ), lr AS (
+      SELECT bucket,
+             CAST(round((ln(ct + 1) - ln(t_n + 4096)
+                       - ln(cr + 1) + ln(r_n + 4096)) * 1000000)
+                  AS BIGINT) AS lr_micro
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT f.doc_id, f.lang,
+           COUNT(*) AS n_feats,
+           CAST(SUM(lr_micro) AS BIGINT) AS weight_micro,
+           CAST(SUM(lr_micro) AS BIGINT) > 0 AS selected
+    FROM feat f JOIN lr ON lr.bucket = f.bucket
+    GROUP BY f.doc_id, f.lang
+    ORDER BY f.doc_id
+    """,
+    tags=("llm", "sampling", "quality"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection with
+    importance resampling over hashed n-gram features. Word bigrams
+    hash into 4096 buckets; a bucket's importance log-ratio compares
+    its add-1-smoothed frequency in the TARGET domain (here: the 'en'
+    slice) against the RAW corpus; a document's weight is the sum of
+    its features' log-ratios, and positive weight selects the doc as
+    target-like.
+
+    Exactness: per-BUCKET log-ratios are doubles of integer counts
+    (bit-identical across engines) rounded to BIGINT micro-units
+    FIRST; per-document weights are then integer sums — no
+    order-dependent float accumulation anywhere.
+
+    Scale shape: feature extraction is row-local codegen; the bucket
+    table is 4096 rows (broadcast); the only data-sized shuffle is
+    the per-doc integer sum. The target distribution comes from one
+    aggregation over the target slice — at 100 TB it is precomputed
+    once and reused, exactly as the paper's estimator intends.
+    North-star extension (reference surface ends at file map/reduce,
+    /root/reference/jobs.go:9-20)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", words(F.col("text")).alias("ws")
+    )
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+        ),
+    )
+    feat = (
+        d.filter(F.size("ws") >= 2)
+        .select("doc_id", "lang", F.explode(bigram).alias("g"))
+        .select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.md5("g"), 1, 3), 16, 10)
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    # ONE aggregation pass builds the whole 4096-row bucket table
+    # (raw count + target count per bucket); grand totals come from the
+    # tiny table itself — the corpus is scanned exactly twice (bucket
+    # stats, then per-doc weights), not four times
+    cnt = feat.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    totals = cnt.agg(
+        F.sum("cr").alias("r_n"), F.sum("ct").alias("t_n")
+    )
+    lr = (
+        cnt.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.col("ct") + F.lit(1))
+                    - F.log(F.col("t_n") + F.lit(4096))
+                    - F.log(F.col("cr") + F.lit(1))
+                    + F.log(F.col("r_n") + F.lit(4096))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    w = F.sum("lr_micro").cast("long")
+    return (
+        feat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            w.alias("weight_micro"),
+            (w > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

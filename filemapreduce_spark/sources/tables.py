@@ -55,7 +55,25 @@ def _input_file_count(spark: SparkSession, path: str) -> int:
         return 1
 
 
+# Analyzed-DataFrame cache. The test tables are immutable, but every
+# load_table call re-reads parquet footers for schema inference and
+# (for the compute-heavy tables) re-checks the file count — pure
+# driver-side overhead that the per-query benchmark pays 37×. Keyed by
+# session id so a restarted session never reuses stale plans.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _DF_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS); the session reads nanos as int64
     # — truncate to microseconds (matches DuckDB's read of the file).
