@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.operators.textops import (
+    TOKEN_REGEX,
     minhash_signature,
+    token_count_regex,
     word_shingles,
     words,
 )
@@ -684,4 +686,168 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (w > 0).alias("selected"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# CCNet-style per-language perplexity terciles (Wenzek et al. 2020).
+# --------------------------------------------------------------------
+@register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    total AS (SELECT SUM(c) AS n FROM counts),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CAST(round((ln(tt.n) - ln(cn.c)) * 1e6) AS BIGINT))
+               AS BIGINT) AS sum_micro
+      FROM tok t
+      JOIN counts cn ON cn.w = t.w
+      CROSS JOIN total tt
+      GROUP BY t.doc_id
+    ),
+    tiered AS (
+      SELECT s.doc_id, d.lang, s.n_tokens, s.sum_micro,
+             NTILE(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY CAST(s.sum_micro AS DOUBLE) / s.n_tokens, s.doc_id
+             ) AS tier
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT lang,
+           CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(sum_micro) AS BIGINT) // CAST(SUM(n_tokens) AS BIGINT)
+             AS avg_surprisal_micro
+    FROM tiered
+    GROUP BY lang, tier
+    ORDER BY lang, bucket
+    """,
+    tags=("llm", "quality", "sampling"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020,
+    arXiv:1911.00359): rank each language's documents by LM perplexity
+    — here the exact unigram surprisal the corpus itself defines — and
+    cut into per-language terciles; downstream pipelines keep 'head'
+    (lowest-perplexity) slices or mix tiers deliberately.
+
+    Exactness: per-token surprisals round to BIGINT micro-units before
+    any sum; tercile ORDER uses the double mean (identical bits both
+    engines) tie-broken by doc_id; the reported per-tier average is
+    exact integer division.
+
+    Scale shape: the vocab count table broadcasts to the scoring join;
+    the ntile window partitions BY LANGUAGE (never a global sort); at
+    100 TB, swap ntile for precomputed per-lang quantile cuts — the
+    CCNet paper's own production shape."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", words(F.col("text")).alias("ws")
+    )
+    tok = d.select("doc_id", F.explode("ws").alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    surprisal_micro = (
+        F.round((F.log("n") - F.log("c")) * 1000000.0).cast("long")
+    )
+    scored = (
+        tok.join(F.broadcast(counts), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(surprisal_micro).cast("long").alias("sum_micro"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("sum_micro").cast("double") / F.col("n_tokens"), F.col("doc_id")
+    )
+    tiered = (
+        scored.join(
+            t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+        )
+        .withColumn("tier", F.ntile(3).over(w))
+    )
+    return (
+        tiered.groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("sum_micro").cast("long").alias("_sum_micro"),
+        )
+        # exact integer floor-division (Spark `div`), matching the
+        # oracle's BIGINT // — no double-division boundary error
+        .withColumn(
+            "avg_surprisal_micro", F.expr("_sum_micro div sum_tokens")
+        )
+        .drop("_sum_micro")
+        .select(
+            "lang",
+            F.when(F.col("tier") == 1, "head")
+            .when(F.col("tier") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "sum_tokens",
+            "avg_surprisal_micro",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# --------------------------------------------------------------------
+# Tokenizer fertility: chars-per-token by language.
+# --------------------------------------------------------------------
+@register(
+    "tokenizer_fertility_by_lang",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(len({_SQL_WORDS})) AS BIGINT) AS sum_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')))
+             AS BIGINT) AS sum_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) * 1000
+             // CAST(SUM(len(regexp_extract_all(lower(text),
+                  '{TOKEN_REGEX}'))) AS BIGINT)
+             AS chars_per_bpe_token_milli
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "tokens", "llm"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per (BPE-ish)
+    token — the compression-rate statistic multilingual-corpus work
+    tracks to budget per-language token counts (higher fertility =
+    more tokens per character = costlier language). Whitespace and
+    regex tokenizations reported side by side; the milli-ratio is
+    exact integer math. Row-local codegen + one small agg — scales
+    as a single pass."""
+    d = t(spark, sf_dir, "documents")
+    bpe = token_count_regex("text")
+    ws_n = F.size(words(F.col("text"))).cast("long")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(ws_n).cast("long").alias("sum_ws_tokens"),
+            F.sum(bpe).cast("long").alias("sum_bpe_tokens"),
+        )
+        # exact integer milli-ratio via `div` (matches BIGINT // )
+        .withColumn(
+            "chars_per_bpe_token_milli",
+            F.expr("(sum_chars * 1000) div sum_bpe_tokens"),
+        )
+        .orderBy("lang")
     )
