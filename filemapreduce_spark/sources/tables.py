@@ -7,6 +7,8 @@ scan and the query plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,8 +35,9 @@ TABLE_NAMES = (
 _COMPUTE_HEAVY = {"documents", "embeddings"}
 
 
-def _input_file_count(spark: SparkSession, path: str) -> int:
-    """File count under ``path`` via the Hadoop FS API (no job run)."""
+def _input_layout(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(file count, total bytes) under ``path`` via the Hadoop FS API
+    (metadata only — no job run)."""
     try:
         jvm = spark.sparkContext._jvm
         jsc = spark.sparkContext._jsc
@@ -42,17 +45,32 @@ def _input_file_count(spark: SparkSession, path: str) -> int:
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(conf)
         if not fs.exists(p):
-            return 1
+            return 1, 0
         status = fs.getFileStatus(p)
         if status.isFile():
-            return 1
-        return sum(
-            1
-            for s in fs.listStatus(p)
-            if s.isFile() and not s.getPath().getName().startswith(("_", "."))
-        )
+            return 1, status.getLen()
+        n = size = 0
+        for s in fs.listStatus(p):
+            if s.isFile() and not s.getPath().getName().startswith(("_", ".")):
+                n += 1
+                size += s.getLen()
+        return max(n, 1), size
     except Exception:
-        return 1
+        return 1, 0
+
+
+# Size-based splitting of RELATIONAL tables was measured and
+# rejected: an A/B at sf0.1 showed repartitioning lineitem (10.8 MB,
+# single row group) REGRESSED the heavy join/agg queries (q8 +0.77 s,
+# q9 +0.71 s, q17 +0.69 s, total 22.5 s → 28.5 s) — the single-task
+# scan is cheap at this size and the extra exchange breaks the
+# scan→partial-agg pipelining that whole-stage codegen gives for
+# free. Only the per-row compute-heavy tables (hashing/shingling/
+# vector folds) benefit from a pre-split; the knob stays for
+# experiments at other scales.
+_SPLIT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPLIT_MIN_BYTES", str(1 << 60))
+)
 
 
 # Analyzed-DataFrame cache. The test tables are immutable, but every
@@ -93,21 +111,25 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
                 f"is {tz!r}. Set spark.sql.session.timeZone=UTC."
             )
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
-    if name in _COMPUTE_HEAVY:
-        # Half the core count, floor 8: measured sweet spot between
-        # per-task overhead (Python worker round-trips, tiny-task
-        # scheduling) and per-row expression cost — 16-way beats both
-        # 1-way (68s) and 32-way (8.5s → 6.0s) for the minhash
-        # signature pipeline on local[32]. Decide from file-count
-        # metadata (no .rdd probe — that forces physical planning in
-        # the very path the driver times); single-file test inputs are
-        # one row group = one scan task regardless of maxPartitionBytes,
-        # while real multi-file datasets already split fine.
-        target = max(8, spark.sparkContext.defaultParallelism // 2)
-        if _input_file_count(spark, f"{sf_dir}/{name}.parquet") < target:
-            # round-robin split so the downstream hash/fold expressions
-            # use every core; the shuffled payload is just the raw rows
-            df = df.repartition(target)
+    # Single-row-group test files give Spark ONE scan task no matter
+    # what maxPartitionBytes says, serializing everything downstream.
+    # Split when the input is under-parallelized AND either the table's
+    # queries are per-row compute-heavy (hashing/shingling — worth it
+    # at any size) or the file is big enough that the serialized scan
+    # outweighs one cheap exchange. Decided from filesystem metadata
+    # (no .rdd probe — that forces physical planning in the timed
+    # path); real multi-file datasets already split fine and skip this.
+    target = max(8, spark.sparkContext.defaultParallelism // 2)
+    n_files, n_bytes = _input_layout(spark, f"{sf_dir}/{name}.parquet")
+    if n_files < target and (
+        name in _COMPUTE_HEAVY or n_bytes >= _SPLIT_MIN_BYTES
+    ):
+        # round-robin split so the downstream expressions use every
+        # core; the shuffled payload is just the raw rows. Half the
+        # core count, floor 8: measured sweet spot between per-task
+        # overhead and per-row cost (16-way beats both 1-way, 68s,
+        # and 32-way, 8.5s vs 6.0s, for the minhash pipeline).
+        df = df.repartition(target)
     return df
 
 
