@@ -160,9 +160,9 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "time_bucket_weekly_monday",
     """
-    SELECT make_timestamp(
+    SELECT strftime(make_timestamp(
              ((epoch_us(ts) - 345600000000) // 604800000000)
-               * 604800000000 + 345600000000) AS week_start,
+               * 604800000000 + 345600000000), '%Y-%m-%d') AS week_start,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
              AS sum_value_cents,
@@ -189,6 +189,9 @@ def time_bucket_weekly_monday(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(cents("value")).alias("sum_value_cents"),
             F.count_distinct("user_id").alias("users"),
+        )
+        .withColumn(
+            "week_start", F.date_format("week_start", "yyyy-MM-dd")
         )
         .orderBy("week_start")
     )
@@ -261,7 +264,7 @@ def timegrain_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(round(value * 100) AS BIGINT)) AS v
       FROM events GROUP BY 1, 2
     )
-    SELECT d.event_type, d.day,
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
            COUNT(*) AS n_terms,
            CAST(SUM(d2.v * (1 << (9 - DATE_DIFF('day', d2.day, d.day))))
                   AS DOUBLE)
@@ -319,6 +322,7 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("w")
             ).alias("ewma_cents"),
         )
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
         .orderBy("event_type", "day")
     )
 
@@ -524,7 +528,7 @@ def winsorized_stats_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS rev_cents
       FROM orders GROUP BY 1, 2
     )
-    SELECT month, rev_cents,
+    SELECT strftime(month, '%Y-%m-%d') AS month, rev_cents,
            LAG(rev_cents) OVER (PARTITION BY year ORDER BY month)
              AS prev_cents,
            round((rev_cents - LAG(rev_cents) OVER (PARTITION BY year
@@ -550,7 +554,7 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("year").orderBy("month")
     prev = F.lag("rev_cents").over(w)
     return m.select(
-        "month",
+        F.date_format("month", "yyyy-MM-dd").alias("month"),
         "rev_cents",
         prev.alias("prev_cents"),
         F.round((F.col("rev_cents") - prev) * 100.0 / prev, 6).alias(

@@ -221,7 +221,7 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(epoch(o_orderdate) AS BIGINT) * 100000000 + o_orderkey AS ord
       FROM orders
     )
-    SELECT month,
+    SELECT strftime(month, '%Y-%m-%d') AS month,
            min_by(price_cents, ord) AS open_cents,
            MAX(price_cents) AS high_cents,
            MIN(price_cents) AS low_cents,
@@ -265,6 +265,7 @@ def ohlc_monthly_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("volume_cents"),
         )
         .orderBy("month")
+        .withColumn("month", F.date_format("month", "yyyy-MM-dd"))
     )
 
 
@@ -289,7 +290,7 @@ def ohlc_monthly_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
              (t_next_us - t_us) AS dt_us
       FROM seq WHERE t_next_us IS NOT NULL
     )
-    SELECT day, event_type,
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
            CAST(SUM(num) AS BIGINT) AS weighted_cents_us,
            CAST(SUM(dt_us) AS BIGINT) AS span_us,
            CAST(SUM(num) AS DOUBLE) / SUM(dt_us) AS twap_cents
@@ -334,6 +335,7 @@ def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap_cents",
             F.col("weighted_cents_us").cast("double") / F.col("span_us"),
         )
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
         .orderBy("day", "event_type")
     )
 
@@ -362,7 +364,8 @@ def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS UNBOUNDED PRECEDING) AS live
       FROM deltas
     )
-    SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent
     FROM run GROUP BY day ORDER BY day
     """,
     tags=("timeseries", "interval", "window"),
@@ -406,6 +409,12 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         run.groupBy("day")
         .agg(F.max("live").alias("peak_concurrent"))
         .orderBy("day")
+        # render the date as a string so the result is byte-identical
+        # to the oracle under any pandas-based comparator
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_concurrent",
+        )
     )
 
 

@@ -1134,7 +1134,9 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
     )
-    SELECT user_id, event_id, ts FROM r
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+    FROM r
     WHERE (rn - 1) % 20 = 0
     ORDER BY user_id, event_id
     """,
@@ -1156,7 +1158,11 @@ def systematic_sample_user_events(spark: SparkSession, sf_dir: str) -> DataFrame
             "user_id", "event_id", "ts", F.row_number().over(w).alias("rn")
         )
         .where((F.col("rn") - 1) % 20 == 0)
-        .select("user_id", "event_id", "ts")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        )
         .orderBy("user_id", "event_id")
     )
 
@@ -1846,7 +1852,7 @@ def map_ops_type_values(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spine s LEFT JOIN daily d
         ON s.event_type = d.event_type AND s.day = d.day
     )
-    SELECT event_type, day,
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
            COALESCE(cnt, 0) AS cnt,
            LAST_VALUE(cnt IGNORE NULLS) OVER (
              PARTITION BY event_type ORDER BY day
@@ -1890,7 +1896,7 @@ def gapfill_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_type",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.coalesce("cnt", F.lit(0)).alias("cnt"),
         F.last("cnt", ignorenulls=True).over(w).alias("last_observed"),
     ).orderBy("event_type", "day")
@@ -2609,7 +2615,8 @@ def snapshot_diff_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), days AS (
       SELECT DISTINCT day FROM du
     )
-    SELECT d.day, COUNT(DISTINCT u.user_id) AS active_7d
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS active_7d
     FROM days d
     JOIN du u ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
     GROUP BY d.day ORDER BY d.day
@@ -2637,6 +2644,7 @@ def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy(F.col("d.day").alias("day"))
         .agg(F.countDistinct("u.user_id").alias("active_7d"))
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
         .orderBy("day")
     )
 
@@ -2652,7 +2660,7 @@ def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cohort AS (
       SELECT user_id, MIN(day) AS d0 FROM du GROUP BY user_id
     )
-    SELECT c.d0 AS cohort_day,
+    SELECT strftime(c.d0, '%Y-%m-%d') AS cohort_day,
            CAST(du.day - c.d0 AS BIGINT) // 7 AS week_offset,
            COUNT(DISTINCT du.user_id) AS n_active
     FROM cohort c JOIN du ON du.user_id = c.user_id
@@ -2681,6 +2689,9 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.datediff("day", "d0") / 7).alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
+        .withColumn(
+            "cohort_day", F.date_format("cohort_day", "yyyy-MM-dd")
+        )
         .orderBy("cohort_day", "week_offset")
     )
 
