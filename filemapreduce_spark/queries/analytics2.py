@@ -561,3 +561,80 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_pct"
         ),
     ).orderBy("month")
+
+
+# --------------------------------------------------------------------
+# Trailing-window anomaly z-scores (exact integer accumulators).
+# --------------------------------------------------------------------
+@register(
+    "anomaly_zscore_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER tw AS BIGINT) AS s1,
+             CAST(SUM(cents*cents) OVER tw AS BIGINT) AS s2,
+             COUNT(*) OVER tw AS n
+      FROM daily
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents, n,
+           CASE WHEN n >= 2
+                 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n) > 0
+                THEN CAST(round(
+                  (cents - CAST(s1 AS DOUBLE)/n)
+                  / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n)
+                         / (n-1)) * 1000) AS BIGINT)
+                ELSE NULL END AS z_milli
+    FROM w ORDER BY event_type, day
+    """,
+    tags=("timeseries", "stats", "window"),
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day z-score per (event_type, day): how anomalous is
+    today's daily total against its own recent window — the rolling
+    outlier gate monitoring pipelines run per series. The window
+    carries EXACT integer sums (Σx, Σx², n in cents); mean/std/z are
+    derived doubles computed op-for-op identically in the oracle and
+    rounded to milli-units. Degenerate windows (n<2 or zero variance)
+    yield NULL. One shuffle on the series key; the window is
+    partitioned per series — no global sort."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.sum(cents("value")).cast("long").alias("cents"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(tw).cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(tw).cast("long").alias("s2"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+    var_num = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ) / F.col("n")
+    z = F.round(
+        (F.col("cents") - F.col("s1").cast("double") / F.col("n"))
+        / F.sqrt(var_num / (F.col("n") - 1))
+        * 1000
+    ).cast("long")
+    return w.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        "n",
+        F.when((F.col("n") >= 2) & (var_num > 0), z).alias("z_milli"),
+    ).orderBy("event_type", "day")

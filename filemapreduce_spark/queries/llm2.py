@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.operators.textops import (
+    LANG_MARKERS,
     TOKEN_REGEX,
     minhash_signature,
     token_count_regex,
@@ -26,7 +27,11 @@ from filemapreduce_spark.operators.textops import (
     words,
 )
 from filemapreduce_spark.queries import register
-from filemapreduce_spark.queries.llm import _SQL_WORDS, _SQL_SHINGLES3
+from filemapreduce_spark.queries.llm import (
+    _LANG_SCORE_SQL,
+    _SQL_SHINGLES3,
+    _SQL_WORDS,
+)
 from filemapreduce_spark.queries.relational import t
 
 
@@ -850,4 +855,76 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(sum_chars * 1000) div sum_bpe_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------
+# Language-ID confusion matrix (classifier quality accounting).
+# --------------------------------------------------------------------
+@register(
+    "langid_confusion_matrix",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_SQL_WORDS} AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {_LANG_SCORE_SQL} FROM d
+    ), p AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM s
+    ), cm AS (
+      SELECT lang AS actual, predicted, COUNT(*) AS n
+      FROM p GROUP BY lang, predicted
+    )
+    SELECT actual, predicted, n,
+           CAST((n * 1000)
+                // CAST(SUM(n) OVER (PARTITION BY actual) AS BIGINT)
+                AS BIGINT) AS pct_of_actual_milli
+    FROM cm ORDER BY actual, predicted
+    """,
+    tags=("text", "langid", "quality", "llm"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language classifier against
+    the labeled `lang` column — the per-class quality accounting
+    (recall per actual language in exact milli-units) a pipeline runs
+    before trusting a cheap classifier to route 100 TB of documents.
+    Same deterministic tie-break as `lang_id_heuristic` (de<en<es<fr,
+    'und' on zero hits). One scan + one small agg + a window over the
+    tiny matrix — scales as a single pass."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang", words(F.col("text")).alias("ws")
+    )
+
+    def marker_hits(markers):
+        return F.size(F.filter(F.col("ws"), lambda w: w.isin(*markers)))
+
+    scores = {lang: marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .otherwise("fr")
+    )
+    from pyspark.sql import Window
+
+    cm = (
+        d.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("actual")).cast("long")
+    return (
+        cm.withColumn("_total", total)
+        .withColumn(
+            "pct_of_actual_milli", F.expr("(n * 1000) div _total")
+        )
+        .drop("_total")
+        .orderBy("actual", "predicted")
     )
