@@ -989,3 +989,119 @@ def regexp_family_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# Count-Min frequency sketch (mergeable heavy-hitter state).
+# --------------------------------------------------------------------
+@register(
+    "countmin_heavy_hitters",
+    """
+    WITH ev AS (
+      SELECT user_id FROM events
+    ), hashed AS (
+      SELECT user_id, d.d,
+             ('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 4))::INT % 1024 AS b
+      FROM ev CROSS JOIN (SELECT unnest(range(4)) AS d) d
+    ), cells AS (
+      SELECT d, b, COUNT(*) AS cell_n FROM hashed GROUP BY d, b
+    ), hh AS (
+      SELECT user_id, COUNT(*) AS exact_n
+      FROM ev GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 20
+    ), probes AS (
+      SELECT h.user_id, h.exact_n, d.d,
+             ('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':'
+                || CAST(h.user_id AS VARCHAR)), 1, 4))::INT % 1024 AS b
+      FROM hh h CROSS JOIN (SELECT unnest(range(4)) AS d) d
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(c.cell_n) AS BIGINT) AS cms_est,
+           CAST(MIN(c.cell_n) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.d = p.d AND c.b = p.b
+    GROUP BY p.user_id, p.exact_n
+    ORDER BY exact_n DESC, user_id
+    """,
+    tags=("agg", "sketch", "incremental"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a mergeable
+    DataFrame state: a depth-4 × width-1024 grid of integer counters
+    (cell = count of rows hashing there), probed for the exact top-20
+    heavy hitters. Unlike HLL, every bit of the sketch is plain
+    integer arithmetic on md5-derived buckets, so the oracle
+    recomputes the IDENTICAL estimate — the exact count, the CMS
+    estimate, and the (provably non-negative) overcount all
+    hash-match across engines at any scale.
+
+    Scale shape: the sketch build is one map-side-combined agg to
+    4096 cells (the 4× hashed fanout folds before the shuffle);
+    cells are additive, so per-partition / per-day sketches merge by
+    cell-wise sum without touching raw data — the same rollup
+    contract as the bitmap and HLL states. Probing joins the
+    broadcast 4096-row grid."""
+    ev = t(spark, sf_dir, "events").select("user_id")
+
+    def bucket(d: int, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{d}:"), key.cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    hashed = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        bucket(d, F.col("user_id")).alias("b"),
+                    )
+                    for d in range(4)
+                ]
+            )
+        ).alias("db"),
+    ).select("user_id", "db.d", "db.b")
+    cells = hashed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cell_n"))
+    hh = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    probes = hh.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        bucket(d, F.col("user_id")).alias("b"),
+                    )
+                    for d in range(4)
+                ]
+            )
+        ).alias("db"),
+    ).select("user_id", "exact_n", "db.d", "db.b")
+    return (
+        probes.join(F.broadcast(cells), ["d", "b"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell_n").cast("long").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).cast("long").alias(
+                "overcount"
+            ),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )

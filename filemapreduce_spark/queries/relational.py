@@ -2832,3 +2832,89 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------
+# Conversion-window funnel (time-bounded ordered steps).
+# --------------------------------------------------------------------
+@register(
+    "funnel_conversion_window",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS stage_view,
+           (SELECT COUNT(*) FROM c) AS stage_click_1h,
+           (SELECT COUNT(*) FROM p) AS stage_purchase_24h,
+           CAST((SELECT COALESCE(SUM(epoch_us(c.t_click)
+                                     - epoch_us(v.t_view)), 0)
+                 FROM c JOIN v ON v.user_id = c.user_id) AS BIGINT)
+             AS sum_click_delay_us
+    """,
+    tags=("agg", "analytics", "funnel"),
+)
+def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with CONVERSION WINDOWS — the product-analytics
+    semantics where each step only counts within a bounded time of
+    the previous step: first click within 1 hour of the user's first
+    view, first purchase within 24 hours of that click (the plain
+    min-ordered funnel is `funnel_view_click_purchase`). Delay mass
+    is exact integer microseconds.
+
+    Scale shape: three per-user MIN aggregations chained by equi-joins
+    on user_id — one partitioning reused down the chain, no windows,
+    single-row output. At 100 TB the per-stage state is one row per
+    surviving user, shrinking at every stage."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    delays = c.join(v, "user_id").agg(
+        F.coalesce(
+            F.sum(F.unix_micros("t_click") - F.unix_micros("t_view")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_click_delay_us")
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("stage_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click_1h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase_24h")))
+        .crossJoin(delays)
+    )
