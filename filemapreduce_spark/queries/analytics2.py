@@ -638,3 +638,150 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when((F.col("n") >= 2) & (var_num > 0), z).alias("z_milli"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------
+# Multi-touch (linear) attribution with exact integer credit split.
+# --------------------------------------------------------------------
+@register(
+    "attribution_multi_touch_linear",
+    """
+    WITH purch AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id,
+             CAST(round(value*100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, ts AS t_ts, event_id AS t_id,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.p_id, p.cents, t.channel, t.t_ts, t.t_id,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts DESC, t.t_id DESC) AS rn
+      FROM purch p
+      JOIN touch t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT channel,
+           COUNT(*) AS n_credits,
+           CAST(SUM((cents * 1000000) // n_touches
+                    + CASE WHEN rn = 1
+                           THEN (cents * 1000000) % n_touches
+                           ELSE 0 END) AS BIGINT) AS credit_micro_cents
+    FROM j GROUP BY channel ORDER BY channel
+    """,
+    tags=("sequence", "analytics", "window"),
+)
+def attribution_multi_touch_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    EQUALLY across every view/click touch in its 7-day lookback —
+    the credit model last-touch (`attribution_last_touch`) collapses
+    to one touch. The split is exact integer micro-cents with the
+    division remainder assigned deterministically to the most recent
+    touch, so total credit conserves purchase value bit-for-bit and
+    hashes match across engines.
+
+    Scale shape: a per-user time-range join (user-partitioned, never
+    cross-user), a window partitioned by purchase id for the touch
+    count, one small channel agg. No global sorts."""
+    e = t(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        cents("value").alias("cents"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    j = purch.join(
+        touch,
+        (purch.user_id == touch.user_id)
+        & (touch.t_ts < purch.p_ts)
+        & (touch.t_ts >= purch.p_ts - F.expr("INTERVAL 7 DAYS")),
+    )
+    wn = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(
+        F.desc("t_ts"), F.desc("t_id")
+    )
+    credited = j.select(
+        "p_id",
+        "cents",
+        "channel",
+        F.count(F.lit(1)).over(wn).alias("n_touches"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    base = F.expr("(cents * 1000000) div n_touches")
+    rem = F.expr("(cents * 1000000) % n_touches")
+    return (
+        credited.select(
+            "channel",
+            (base + F.when(F.col("rn") == 1, rem).otherwise(0)).alias(
+                "credit"
+            ),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").cast("long").alias("credit_micro_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------
+# Join-key skew diagnosis (what you run BEFORE a 100 TB join).
+# --------------------------------------------------------------------
+@register(
+    "skew_diagnosis_join_keys",
+    """
+    WITH k AS (
+      SELECT l_orderkey AS key, COUNT(*) AS n
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows_per_key,
+           CAST(quantile_disc(n, 0.50) AS BIGINT) AS p50,
+           CAST(quantile_disc(n, 0.90) AS BIGINT) AS p90,
+           CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
+           CAST((MAX(n) * 1000 * COUNT(*)) // SUM(n) AS BIGINT)
+             AS skew_ratio_milli
+    FROM k
+    """,
+    tags=("stats", "diagnostics", "join"),
+)
+def skew_diagnosis_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for lineitem.l_orderkey: per-key row-count
+    distribution (exact discrete percentiles, max, and max/mean skew
+    ratio in milli-units). This is the diagnosis pass run before
+    shuffling a 100 TB join — a skew_ratio well above 1000 milli
+    (max >> mean) says salt the key or rely on AQE skew-join splits.
+    One groupBy + one tiny agg; exact integers throughout."""
+    li = t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k.createOrReplaceTempView("_skew_keys")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_rows_per_key,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n)
+                    AS BIGINT) AS p50,
+               CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n)
+                    AS BIGINT) AS p90,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n)
+                    AS BIGINT) AS p99,
+               CAST((MAX(n) * 1000 * COUNT(*)) div SUM(n) AS BIGINT)
+                 AS skew_ratio_milli
+        FROM _skew_keys
+        """
+    )
