@@ -59,6 +59,11 @@ HEADLINE = [
     "unigram_surprisal_filter",
     "crossdoc_span_dedup",
     "session_pattern_top20",
+    # round-2 published-method / sketch representatives
+    "semdedup_cluster_prune",
+    "dsir_importance_weights",
+    "countmin_heavy_hitters",
+    "anomaly_zscore_daily",
 ]
 
 

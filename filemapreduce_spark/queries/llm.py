@@ -767,26 +767,49 @@ def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_aggregates_events",
-    None,  # sketch outputs are engine-specific → rows-only check; the
-    # exact twin above is the hash-matched gate (SURVEY §2 Part B)
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS users_within_5pct,
+           TRUE AS p50_in_band,
+           TRUE AS p99_in_band
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     tags=("agg", "approx", "sketch"),
 )
 def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches: HyperLogLog++ distinct counts and
     GK-sketch percentiles — the single-pass, bounded-memory operators
     actually used at 100 TB (exactness traded for no huge shuffle).
+
+    Sketch outputs are engine-specific, so the oracle verifies
+    scale-independent accuracy CONTRACTS instead of raw estimates
+    (this query was rows-only before): the HLL++ distinct estimate
+    within 5% of the exact count, and each approx percentile landing
+    inside the exact ±5-percentile band around its target rank. The
+    booleans are computed genuinely Spark-side; the oracle asserts
+    them alongside the exact distinct count.
     """
     e = t(spark, sf_dir, "events")
+    exact_users = F.count_distinct("user_id")
+    approx_users = F.approx_count_distinct("user_id", 0.01)
+    ap50 = F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+    ap99 = F.percentile_approx("value", F.lit(0.99), F.lit(10000))
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias(
-                "approx_p50"
-            ),
-            F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias(
-                "approx_p99"
-            ),
+            exact_users.alias("exact_users"),
+            (
+                F.abs(approx_users - exact_users) * 20 <= exact_users
+            ).alias("users_within_5pct"),
+            ap50.between(
+                F.percentile("value", F.lit(0.45)),
+                F.percentile("value", F.lit(0.55)),
+            ).alias("p50_in_band"),
+            ap99.between(
+                F.percentile("value", F.lit(0.94)),
+                F.percentile("value", F.lit(1.0)),
+            ).alias("p99_in_band"),
         )
         .orderBy("event_type")
     )

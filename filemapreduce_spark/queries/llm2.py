@@ -448,13 +448,16 @@ def ivf_recall_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))
                   AS BIGINT) AS nrm2
       FROM sv
+    ), kk AS (
+      SELECT GREATEST(8, LEAST(1024, COUNT(*) // 64)) AS k FROM sv
     ), cent AS (
-      SELECT vec_id AS cid, v AS cv FROM sv WHERE vec_id < 8
+      SELECT vec_id AS cid, v AS cv
+      FROM sv CROSS JOIN kk WHERE vec_id < kk.k
     ), assign AS (
       SELECT s.vec_id,
              CAST(MIN(CAST(list_sum(list_transform(range(1, 65),
                     i -> (s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]))) AS BIGINT)
-                  * 8 + c.cid) % 8 AS BIGINT) AS cid
+                  * 1024 + c.cid) % 1024 AS BIGINT) AS cid
       FROM sv s CROSS JOIN cent c
       GROUP BY s.vec_id
     ), m AS (
@@ -496,10 +499,14 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: centroids broadcast (k×d integers); assignment is a
     map-side fold; the self-join shuffles on cluster id only, and
-    cluster size — not corpus size — bounds the quadratic term. At
-    100 TB, k grows with √N and per-cluster work stays constant;
-    north-star extension (reference surface ends at file map/reduce,
-    /root/reference/jobs.go:9-20)."""
+    cluster size — not corpus size — bounds the quadratic term. k is
+    DERIVED from the corpus size (N/64, clamped to [8, 1024] here) so
+    per-cluster size stays ~constant and the pair stage scales
+    linearly — with fixed k it re-quadraticized at 10× data
+    (measured: 2.5 s at sf0.1 vs ~0.3 s with scaled k). The single
+    driver-side scalar count to pick k is the same pattern as
+    k-means' n_nodes. North-star extension (reference surface ends at
+    file map/reduce, /root/reference/jobs.go:9-20)."""
     sv = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -507,13 +514,14 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
         ).alias("v"),
     )
+    k = max(8, min(1024, sv.count() // 64))
     sq = F.aggregate(
         F.zip_with("v", "v", lambda a, b: a * b),
         F.lit(0).cast("bigint"),
         lambda acc, d: acc + d,
     )
     n2 = sv.withColumn("nrm2", sq)
-    cent = sv.filter(F.col("vec_id") < 8).select(
+    cent = sv.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     dist = F.aggregate(
@@ -523,9 +531,14 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = (
         n2.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "nrm2", (dist * 8 + F.col("cid")).alias("key"))
+        .select(
+            "vec_id",
+            "v",
+            "nrm2",
+            (dist * 1024 + F.col("cid")).alias("key"),
+        )
         .groupBy("vec_id", "v", "nrm2")
-        .agg((F.min("key") % 8).cast("long").alias("cid"))
+        .agg((F.min("key") % 1024).cast("long").alias("cid"))
     )
     a = assign.select(
         F.col("cid").alias("cid_a"),
