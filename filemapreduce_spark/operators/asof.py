@@ -1,8 +1,11 @@
 """Distributed as-of join (a temporal operator Spark lacks natively).
 
-Semantics: for each left row, attach the single latest right row with
-the same key and ``right.time <= left.time`` (inclusive), or nulls if
-none exists.
+Semantics (``direction="backward"``, the default): for each left row,
+attach the single latest right row with the same key and
+``right.time <= left.time`` (inclusive), or nulls if none exists.
+``direction="forward"`` mirrors it: the single EARLIEST right row with
+``right.time >= left.time`` — the "next event after" temporal lookup
+(pandas ``merge_asof(direction='forward')``).
 
 Implementation — the UNION + WINDOW strategy, not a fan-out join:
 tag both sides, union them, and for each key take a running
@@ -32,6 +35,7 @@ def asof_join(
     tiebreak: str | None = None,
     prefix: str = "asof_",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join; right payload columns arrive as ``prefix+name``.
 
@@ -44,6 +48,8 @@ def asof_join(
       ``merge_asof(tolerance=...)`` semantics). Applied AFTER the
       window, so it adds zero shuffles.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     tiebreak = tiebreak or right_payload[0]
     payload_struct = F.struct(
         F.col(right_time).alias("_t"),
@@ -59,7 +65,11 @@ def asof_join(
         right.select(
             F.col(on),
             F.col(right_time).alias("_time"),
-            F.lit(0).alias("_side"),
+            # backward: right sorts BEFORE left at equal time (side 0<1)
+            # so the running last() is inclusive; forward: right sorts
+            # AFTER left (side 2>1) so the following-frame first() is
+            # inclusive.
+            F.lit(0 if direction == "backward" else 2).alias("_side"),
             payload_struct.alias("_rp"),
         )
     )
@@ -79,22 +89,32 @@ def asof_join(
         F.lit(None).cast(l_u.schema["_lrow"].dataType).alias("_lrow"),
     )
 
-    # right rows sort BEFORE left rows at equal time (inclusive <=);
-    # among equal-time right rows the tiebreak orders them.
-    w = (
-        Window.partitionBy("_key")
-        .orderBy(F.col("_time").asc(), F.col("_side").asc(), F.col("_rp._tb").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # among equal-time right rows the tiebreak orders them; the frame
+    # direction decides latest-before (running last) vs earliest-after
+    # (following first) — both one shuffle + one sort, no fan-out.
+    base = Window.partitionBy("_key").orderBy(
+        F.col("_time").asc(), F.col("_side").asc(), F.col("_rp._tb").asc()
     )
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        match = F.last("_rp", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        match = F.first("_rp", ignorenulls=True).over(w)
     joined = (
         l_u.unionByName(r_u)
-        .withColumn("_match", F.last("_rp", ignorenulls=True).over(w))
+        .withColumn("_match", match)
         .filter(F.col("_side") == 1)
     )
     if tolerance is not None:
-        fresh = F.col("_match._t") >= F.col("_time") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        if direction == "backward":
+            fresh = F.col("_match._t") >= F.col("_time") - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            fresh = F.col("_match._t") <= F.col("_time") + F.expr(
+                f"INTERVAL {tolerance}"
+            )
         joined = joined.withColumn(
             "_match", F.when(fresh, F.col("_match"))
         )

@@ -2918,3 +2918,95 @@ def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase_24h")))
         .crossJoin(delays)
     )
+
+
+# --------------------------------------------------------------------
+# Forward as-of join: next event after (B-019's mirror direction).
+# --------------------------------------------------------------------
+@register(
+    "asof_join_forward_fulfillment",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), u AS (
+      SELECT user_id, ts, 1 AS side, event_id AS click_id,
+             NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts,
+             NULL::BIGINT AS p_cents
+      FROM c
+      UNION ALL
+      SELECT user_id, ts, 2 AS side, NULL, event_id, ts, cents FROM p
+    ), w AS (
+      SELECT *,
+             FIRST_VALUE(p_id IGNORE NULLS) OVER fw AS next_id,
+             FIRST_VALUE(p_ts IGNORE NULLS) OVER fw AS next_ts,
+             FIRST_VALUE(p_cents IGNORE NULLS) OVER fw AS next_cents
+      FROM u
+      WINDOW fw AS (PARTITION BY user_id
+                    ORDER BY ts, side, COALESCE(p_id, click_id)
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT click_id, user_id,
+           COALESCE(CASE WHEN next_ts <= ts + INTERVAL 6 HOUR
+                         THEN next_id END, -1) AS next_purchase_id,
+           COALESCE(CASE WHEN next_ts <= ts + INTERVAL 6 HOUR
+                         THEN next_cents END, -1) AS next_cents,
+           COALESCE(CASE WHEN next_ts <= ts + INTERVAL 6 HOUR
+                         THEN epoch_us(next_ts) - epoch_us(ts) END, -1)
+             AS wait_us
+    FROM w WHERE side = 1
+    ORDER BY click_id
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def asof_join_forward_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every click, the user's EARLIEST
+    purchase at-or-after it, within a 6-hour tolerance — the
+    "time-to-fulfillment" temporal lookup that mirrors the backward
+    as-ofs (asof_join_purchase_click). Same union+window strategy:
+    one shuffle by user, a following-frame first() instead of a
+    running last(), no (click × later-purchase) fan-out. Unmatched /
+    out-of-tolerance clicks carry -1 sentinels so every output column
+    stays non-null BIGINT (cross-engine hash-stable)."""
+    from filemapreduce_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        "ts",
+        cents("value").alias("p_cents"),
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["p_id", "p_cents", "ts"],
+        tiebreak="p_id",
+        prefix="next_",
+        tolerance="6 HOURS",
+        direction="forward",
+    )
+    return j.select(
+        "click_id",
+        "user_id",
+        F.coalesce("next_p_id", F.lit(-1)).cast("long").alias(
+            "next_purchase_id"
+        ),
+        F.coalesce("next_p_cents", F.lit(-1)).cast("long").alias(
+            "next_cents"
+        ),
+        F.coalesce(
+            F.unix_micros(F.col("next_ts")) - F.unix_micros("ts"),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("wait_us"),
+    ).orderBy("click_id")

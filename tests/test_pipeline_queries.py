@@ -106,3 +106,38 @@ def test_mixture_resample_deterministic_and_bounded(spark, registry):
     # en is downsampled to ~half: fewer rows out than docs in corpus
     en = rows["en"]
     assert en[1] == en[2]  # no replication, selection only
+
+
+def test_asof_forward_direction_semantics(spark):
+    """Forward as-of: earliest right AT-OR-AFTER left time, tolerance
+    nulls matches beyond the horizon, ties at equal time break by
+    tiebreak ascending (inclusive >= semantics)."""
+    from datetime import datetime
+
+    from filemapreduce_spark.operators.asof import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0)), (1, T(2024, 1, 1, 23, 0)),
+         (2, T(2024, 1, 1, 12, 0))],
+        "k INT, lt TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0), 100), (1, T(2024, 1, 1, 11, 0), 101),
+         (1, T(2024, 1, 1, 10, 0), 99), (2, T(2024, 1, 1, 11, 0), 200)],
+        "k INT, rt TIMESTAMP, pid INT",
+    )
+    out = {
+        (r.k, r.lt): r.next_pid
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            right_payload=["pid"], tiebreak="pid", prefix="next_",
+            tolerance="2 HOURS", direction="forward",
+        ).collect()
+    }
+    # inclusive: equal-time right rows match; tie at 10:00 -> lowest pid
+    assert out[(1, T(2024, 1, 1, 10, 0))] == 99
+    # no right row within 2h after 23:00 -> nulled by tolerance
+    assert out[(1, T(2024, 1, 1, 23, 0))] is None
+    # right row strictly BEFORE left time never matches forward
+    assert out[(2, T(2024, 1, 1, 12, 0))] is None
