@@ -785,3 +785,144 @@ def skew_diagnosis_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _skew_keys
         """
     )
+
+
+# --------------------------------------------------------------------
+# Rolling correlation between two daily series (exact co-moments).
+# --------------------------------------------------------------------
+@register(
+    "rolling_correlation_series",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value*100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(round(value*100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT day, x, y,
+             COUNT(*) OVER tw AS n,
+             CAST(SUM(x) OVER tw AS BIGINT) AS sx,
+             CAST(SUM(y) OVER tw AS BIGINT) AS sy,
+             CAST(SUM(x*y) OVER tw AS BIGINT) AS sxy,
+             CAST(SUM(x*x) OVER tw AS BIGINT) AS sxx,
+             CAST(SUM(y*y) OVER tw AS BIGINT) AS syy
+      FROM daily
+      WINDOW tw AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           CASE WHEN n >= 2
+                 AND (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx) > 0
+                 AND (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy) > 0
+                THEN CAST(round(
+                  (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy)
+                  / (sqrt(n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx)
+                   * sqrt(n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy))
+                  * 1000) AS BIGINT)
+                ELSE NULL END AS corr_milli
+    FROM w ORDER BY day
+    """,
+    tags=("timeseries", "stats", "window"),
+)
+def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between two daily series
+    (purchase vs click revenue) — the co-movement monitor pairs-of-
+    metrics dashboards run. The window carries EXACT integer
+    co-moments (Σx, Σy, Σxy, Σx², Σy², n); the correlation is a
+    derived double computed op-for-op identically in the oracle and
+    rounded to milli. The single global-ordered window is over the
+    DAY-level series (30 rows at sf0.1, ~thousands at any horizon) —
+    the raw-event shuffle happens in the day aggregation, which is
+    key-partitioned; the tiny series itself is safe to sort globally.
+    Degenerate windows (constant series) yield NULL."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents("value"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "click", cents("value"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    tw = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("x").over(tw).cast("long").alias("sx"),
+        F.sum("y").over(tw).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(tw).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(tw).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(tw).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    corr = F.round(cov / (F.sqrt(vx) * F.sqrt(vy)) * 1000).cast("long")
+    return w.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.when((F.col("n") >= 2) & (vx > 0) & (vy > 0), corr).alias(
+            "corr_milli"
+        ),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------
+# Inter-event gap distribution (log2-bucketed latency histogram).
+# --------------------------------------------------------------------
+@register(
+    "interevent_gap_histogram",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(floor(log2(gap_us + 1)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY event_type, log2_bucket
+    """,
+    tags=("timeseries", "stats"),
+)
+def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-(user, type) inter-event gaps in log2
+    microsecond buckets — the latency/cadence histogram behind
+    session-gap threshold choices (sessionize_events hardcodes 30 min;
+    this query is how that number gets picked from data). floor(log2)
+    of an exact integer is reproducible across engines: IEEE log2 is
+    exact at powers of two and monotone between them. One shuffle on
+    (user, type); the histogram is a tiny second agg."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.select(
+            "event_type",
+            F.floor(F.log2(F.col("gap_us") + 1)).cast("long").alias(
+                "log2_bucket"
+            ),
+        )
+        .groupBy("event_type", "log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "log2_bucket")
+    )
