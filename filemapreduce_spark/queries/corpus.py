@@ -361,3 +361,67 @@ def quality_tiers_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "lang", F.ntile(10).over(w).cast("long").alias("tier")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis top-k).
+# --------------------------------------------------------------------
+@register(
+    "weighted_sample_without_replacement",
+    """
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             (('0x' || substring(md5('es:' || CAST(doc_id AS VARCHAR)),
+                1, 13))::BIGINT + 1) / 4503599627370496.0 AS unif
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ln(unif) / n_chars DESC, doc_id) AS rn
+      FROM u
+    )
+    SELECT lang, rn, doc_id, n_chars
+    FROM keyed WHERE rn <= 10
+    ORDER BY lang, rn
+    """,
+    tags=("llm", "sampling"),
+)
+def weighted_sample_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis key (2006): each doc draws a deterministic md5-derived
+    uniform u and is ranked by u^(1/w) — taking the top-k per
+    language yields an exact weighted sample where longer documents
+    (w = n_chars) are proportionally likelier, with no replacement by
+    construction (complements `weighted_sample_by_length`'s Bernoulli
+    design, which can't bound the sample size). Ranking uses
+    ln(u)/w — monotone in the key — on a 52-bit integer-derived
+    uniform, so the doubles are bit-identical across engines; output
+    columns are all integers/strings.
+
+    Scale shape: row-local key computation, one per-language window
+    (never global), top-k pruned by WindowGroupLimit. The same key
+    ranks a 100 TB corpus with a per-partition top-k + merge."""
+    d = t(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    unif = (v + 1) / F.lit(4503599627370496.0)
+    w = Window.partitionBy("lang").orderBy(
+        (F.log(unif) / F.col("n_chars")).desc(), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+        .select("lang", "rn", "doc_id", "n_chars")
+        .orderBy("lang", "rn")
+    )

@@ -84,7 +84,10 @@ _DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     cached = _DF_CACHE.get(key)
-    if cached is not None:
+    # identity check guards against id() reuse after an old session is
+    # garbage-collected: a stale entry's DataFrame belongs to a
+    # different (dead) session object and must be rebuilt
+    if cached is not None and cached.sparkSession is spark:
         return cached
     df = _load_table_uncached(spark, sf_dir, name)
     _DF_CACHE[key] = df

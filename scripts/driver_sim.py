@@ -38,11 +38,20 @@ TABLES = (
 
 
 def build_driver_like_session():
-    """A session the way the driver plausibly builds it: defaults."""
+    """A session the way the driver plausibly builds it: defaults.
+
+    SPARK_SIM_MASTER overrides the master (e.g. local[8]) — sweeping
+    under a different core count proves no output depends on
+    partitioning (summation order, partition-local tie-breaks).
+    """
+    import os
+
     from pyspark.sql import SparkSession
 
     return (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(
+            os.environ.get("SPARK_SIM_MASTER", "local[32]")
+        )
         .appName("driver_sim")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
