@@ -926,3 +926,95 @@ def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "log2_bucket")
     )
+
+
+# --------------------------------------------------------------------
+# Event-type co-occurrence PMI within (user, day) sessions.
+# --------------------------------------------------------------------
+@register(
+    "session_cooccurrence_pmi",
+    """
+    WITH s AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ), tot AS (
+      SELECT COUNT(DISTINCT (user_id, day)) AS n_sessions FROM s
+    ), singles AS (
+      SELECT event_type, COUNT(*) AS n FROM s GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(round(ln((CAST(p.n_both AS DOUBLE) * t.n_sessions)
+                        / (CAST(sa.n AS DOUBLE) * sb.n)) * 1000000)
+                AS BIGINT) AS pmi_micro
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN tot t
+    ORDER BY type_a, type_b
+    """,
+    tags=("analytics", "mining", "sequence"),
+)
+def session_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring
+    in the same (user, day) session — which behaviors attract or
+    repel each other, the session-level sibling of basket-level
+    `copurchase_lift_top50`. PMI = ln(P(a,b)/(P(a)·P(b))) computed
+    from exact integer session counts and rounded to micro-nats; the
+    doubles are functions of identical integers so both engines agree
+    bit-for-bit.
+
+    Scale shape: the session de-dup and the self-join both partition
+    by (user, day) — per-session event-type sets are tiny (≤ distinct
+    types), so the pair fanout is bounded per session; the final PMI
+    table is |types|² rows."""
+    e = t(spark, sf_dir, "events")
+    s = e.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    n_sessions = s.select("user_id", "day").distinct().count()
+    singles = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_both").cast("double") * F.lit(n_sessions))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            pmi.alias("pmi_micro"),
+        )
+        .orderBy("type_a", "type_b")
+    )

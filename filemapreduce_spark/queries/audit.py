@@ -491,3 +491,52 @@ def merge_upsert_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("merge_action"),
     ).orderBy("custkey")
+
+
+# --------------------------------------------------------------------
+# Daily percentile bands (p10/p50/p90 dashboard ribbons).
+# --------------------------------------------------------------------
+@register(
+    "daily_percentile_bands",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.10)
+                AS BIGINT) AS p10_cents,
+           CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.50)
+                AS BIGINT) AS p50_cents,
+           CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.90)
+                AS BIGINT) AS p90_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    tags=("timeseries", "stats", "agg"),
+)
+def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day, type) p10/p50/p90 value bands — the ribbon behind
+    every latency/value dashboard. Inverse-distribution (discrete)
+    percentiles over integer cents are exact and engine-reproducible;
+    one key-partitioned agg, no windows. At 100 TB the group count is
+    days×types — tiny — while percentile state is per-group."""
+    e = t(spark, sf_dir, "events")
+    e.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        cents("value").alias("cents"),
+    ).createOrReplaceTempView("_bands_events")
+    return spark.sql(
+        """
+        SELECT day, event_type, COUNT(*) AS n,
+               CAST(percentile_disc(0.10) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p10_cents,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p50_cents,
+               CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p90_cents
+        FROM _bands_events
+        GROUP BY day, event_type
+        ORDER BY day, event_type
+        """
+    )
