@@ -139,6 +139,26 @@ def main():
         n: round(times[n] / ddb[n], 2) if ddb.get(n) else None
         for n in times
     }
+
+    # Per-query detail goes to a file — the driver's tail capture holds
+    # ~2 KB, and round 2's all-inline line overran it (parsed: null).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "sf": sf,
+                "queries": times,
+                "duckdb_queries": ddb,
+                "ratio_vs_duckdb": ratios,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    # The LAST stdout line is the one compact record the driver parses.
     print(
         json.dumps(
             {
@@ -147,12 +167,12 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
                 "duckdb_anchor_sec": ddb_total,
-                "duckdb_queries": ddb,
-                "ratio_vs_duckdb": ratios,
                 "ratio_total": (
                     round(total / ddb_total, 2) if ddb_total else None
                 ),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

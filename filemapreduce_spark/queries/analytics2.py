@@ -805,22 +805,21 @@ def skew_diagnosis_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), w AS (
       SELECT day, x, y,
              COUNT(*) OVER tw AS n,
-             CAST(SUM(x) OVER tw AS BIGINT) AS sx,
-             CAST(SUM(y) OVER tw AS BIGINT) AS sy,
-             CAST(SUM(x*y) OVER tw AS BIGINT) AS sxy,
-             CAST(SUM(x*x) OVER tw AS BIGINT) AS sxx,
-             CAST(SUM(y*y) OVER tw AS BIGINT) AS syy
+             CAST(SUM(x) OVER tw AS DOUBLE) AS sx,
+             CAST(SUM(y) OVER tw AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT)*y) OVER tw AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT)*x) OVER tw AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT)*y) OVER tw AS DOUBLE) AS syy
       FROM daily
       WINDOW tw AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, n,
            CASE WHEN n >= 2
-                 AND (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx) > 0
-                 AND (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy) > 0
+                 AND (n*sxx - sx*sx) > 0
+                 AND (n*syy - sy*sy) > 0
                 THEN CAST(round(
-                  (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy)
-                  / (sqrt(n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx)
-                   * sqrt(n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy))
+                  (n*sxy - sx*sy)
+                  / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
                   * 1000) AS BIGINT)
                 ELSE NULL END AS corr_milli
     FROM w ORDER BY day
@@ -830,12 +829,16 @@ def skew_diagnosis_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """14-day rolling Pearson correlation between two daily series
     (purchase vs click revenue) — the co-movement monitor pairs-of-
-    metrics dashboards run. The window carries EXACT integer
-    co-moments (Σx, Σy, Σxy, Σx², Σy², n); the correlation is a
-    derived double computed op-for-op identically in the oracle and
-    rounded to milli. The single global-ordered window is over the
-    DAY-level series (30 rows at sf0.1, ~thousands at any horizon) —
-    the raw-event shuffle happens in the day aggregation, which is
+    metrics dashboards run. The window carries EXACT co-moments
+    (Σx, Σy, Σxy, Σx², Σy², n) in overflow-proof wide accumulators —
+    decimal(38,0) here, HUGEINT in the oracle — because daily cents at
+    large scale reach ~1e10 and the squared products (~1e20) overflow
+    int64, where Spark would wrap silently while DuckDB errors. The
+    exact integer sums convert to double once, then the correlation is
+    derived op-for-op identically on both engines and rounded to
+    milli. The single global-ordered window is over the DAY-level
+    series (30 rows at sf0.1, ~thousands at any horizon) — the
+    raw-event shuffle happens in the day aggregation, which is
     key-partitioned; the tiny series itself is safe to sort globally.
     Degenerate windows (constant series) yield NULL."""
     e = t(spark, sf_dir, "events")
@@ -891,7 +894,7 @@ def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type,
-           CAST(floor(log2(gap_us + 1)) AS BIGINT) AS log2_bucket,
+           CAST(length(bin(gap_us + 1)) - 1 AS BIGINT) AS log2_bucket,
            COUNT(*) AS n
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY 1, 2
@@ -903,10 +906,13 @@ def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of per-(user, type) inter-event gaps in log2
     microsecond buckets — the latency/cadence histogram behind
     session-gap threshold choices (sessionize_events hardcodes 30 min;
-    this query is how that number gets picked from data). floor(log2)
-    of an exact integer is reproducible across engines: IEEE log2 is
-    exact at powers of two and monotone between them. One shuffle on
-    (user, type); the histogram is a tiny second agg."""
+    this query is how that number gets picked from data). The bucket is
+    floor(log2(gap+1)) computed with EXACT integer math — the bit
+    length of the binary rendering (``length(bin(x)) - 1``) on both
+    engines — because float log2 differs across engines near powers of
+    two: Spark's LOG2 is ln(x)/ln(2), which at x = 2^48 - 1 floors to
+    48 while true log2 floors to 47. One shuffle on (user, type); the
+    histogram is a tiny second agg."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     g = e.select(
@@ -918,9 +924,9 @@ def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         g.select(
             "event_type",
-            F.floor(F.log2(F.col("gap_us") + 1)).cast("long").alias(
-                "log2_bucket"
-            ),
+            (F.length(F.bin(F.col("gap_us") + 1)) - 1)
+            .cast("long")
+            .alias("log2_bucket"),
         )
         .groupBy("event_type", "log2_bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -974,12 +980,18 @@ def session_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the session de-dup and the self-join both partition
     by (user, day) — per-session event-type sets are tiny (≤ distinct
     types), so the pair fanout is bounded per session; the final PMI
-    table is |types|² rows."""
+    table is |types|² rows. The global session count stays a 1-row
+    DataFrame broadcast-crossed into the result (single action — no
+    driver-side scalar round trip)."""
     e = t(spark, sf_dir, "events")
     s = e.select(
         "user_id", F.col("ts").cast("date").alias("day"), "event_type"
     ).distinct()
-    n_sessions = s.select("user_id", "day").distinct().count()
+    n_sessions_df = (
+        s.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
     singles = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = s.alias("a")
     b = s.alias("b")
@@ -1004,7 +1016,7 @@ def session_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pmi = F.round(
         F.log(
-            (F.col("n_both").cast("double") * F.lit(n_sessions))
+            (F.col("n_both").cast("double") * F.col("n_sessions"))
             / (F.col("n_a").cast("double") * F.col("n_b"))
         )
         * 1000000
@@ -1012,6 +1024,7 @@ def session_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_sessions_df))
         .select(
             "type_a", "type_b", "n_both", "n_a", "n_b",
             pmi.alias("pmi_micro"),

@@ -1687,7 +1687,7 @@ def hll_sketch_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified SCALE-INDEPENDENT contracts (an earlier version oracle-
     matched the raw estimate against exact COUNT(DISTINCT), which only
     holds while the sketch is in sparse/coupon mode — it broke at
-    sf0.1): (1) `merge_within_1pct` — the estimate from unioning the
+    sf0.1): (1) `merge_within_2pct` — the estimate from unioning the
     per-type sketches agrees with the estimate from sketching the
     day's stream directly to within 2% (Spark's union converts
     through a target representation, so bit-equality is NOT its

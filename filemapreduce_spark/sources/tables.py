@@ -89,6 +89,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # different (dead) session object and must be rebuilt
     if cached is not None and cached.sparkSession is spark:
         return cached
+    # miss (first load, session restart, or id() collision with a dead
+    # session): sweep entries held by other sessions so the dict neither
+    # grows unboundedly across restarts nor pins dead sessions via
+    # strong references
+    for k in [k for k, v in _DF_CACHE.items() if v.sparkSession is not spark]:
+        del _DF_CACHE[k]
     df = _load_table_uncached(spark, sf_dir, name)
     _DF_CACHE[key] = df
     return df
