@@ -857,19 +857,24 @@ def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     tw = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    # products and window sums in decimal(38,0): daily cents at large
+    # scale (~1e10) square to ~1e20, past int64; decimal matches the
+    # oracle's HUGEINT accumulators, and both convert to double once
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     w = daily.select(
         "day",
         F.count(F.lit(1)).over(tw).alias("n"),
-        F.sum("x").over(tw).cast("long").alias("sx"),
-        F.sum("y").over(tw).cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).over(tw).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).over(tw).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(tw).cast("long").alias("syy"),
+        F.sum("x").over(tw).cast("double").alias("sx"),
+        F.sum("y").over(tw).cast("double").alias("sy"),
+        F.sum(xd * yd).over(tw).cast("double").alias("sxy"),
+        F.sum(xd * xd).over(tw).cast("double").alias("sxx"),
+        F.sum(yd * yd).over(tw).cast("double").alias("syy"),
     )
     nd = F.col("n").cast("double")
-    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
-    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
-    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
     corr = F.round(cov / (F.sqrt(vx) * F.sqrt(vy)) * 1000).cast("long")
     return w.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
