@@ -843,45 +843,190 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# WAV synthesis parameters, shared by the Spark encoder and the DuckDB
+# oracle. PCM sample j of a doc is the int16 with unsigned value
+#   raw(doc, j) = (doc_id*7919 + j*104729 + 12345) % 65536
+# interleaved over ch channels for n_frames frames.
+_WAV_A, _WAV_B, _WAV_C = 7919, 104729, 12345
+
+
+def _wav_le4(x: str) -> str:
+    """DuckDB expr: byte sum of the 4-byte little-endian encoding."""
+    return (
+        f"(({x}) % 256 + (({x}) // 256) % 256 + (({x}) // 65536) % 256"
+        f" + (({x}) // 16777216) % 256)"
+    )
+
+
 @register(
     "multimodal_decode_features",
-    None,  # decode stubs aren't SQL-expressible → rows-only check
-    tags=("multimodal", "stub", "llm"),
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             50 + doc_id % 77 AS n_frames,
+             1 + doc_id % 2 AS ch,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_frames, ch, rate,
+             unnest(generate_series(0, n_frames * ch - 1)) AS j
+      FROM p
+    ), raws AS (
+      -- raw is the sample's unsigned residue; the stored int16 is
+      -- v = raw - 32768, whose little-endian bytes come from the
+      -- two's-complement pattern u = (raw + 32768) % 65536
+      SELECT doc_id, n_frames, ch, rate, j,
+             (doc_id * {_WAV_A} + j * {_WAV_B} + {_WAV_C}) % 65536 AS raw,
+             ((doc_id * {_WAV_A} + j * {_WAV_B} + {_WAV_C}) % 65536
+              + 32768) % 65536 AS u
+      FROM s
+    ), agg AS (
+      SELECT doc_id,
+             ANY_VALUE(n_frames) AS n_frames,
+             ANY_VALUE(ch) AS ch,
+             ANY_VALUE(rate) AS rate,
+             ANY_VALUE(n_frames * ch * 2) AS data_bytes,
+             CAST(SUM(u % 256 + u // 256) AS BIGINT) AS data_sum,
+             MIN(CASE WHEN j % ch = 0 THEN raw - 32768 END) AS ch0_min,
+             MAX(CASE WHEN j % ch = 0 THEN raw - 32768 END) AS ch0_max,
+             CAST(SUM(CASE WHEN j % ch = 0 THEN raw - 32768 ELSE 0 END)
+                  AS BIGINT) AS ch0_sum,
+             CAST(SUM(CASE WHEN ch = 2 AND j % ch = 1 THEN raw - 32768
+                           ELSE 0 END) AS BIGINT) AS ch1_sum,
+             MIN(CASE WHEN j = 0 THEN u % 256 END) AS first_lo,
+             MIN(CASE WHEN j = 0 THEN u // 256 END) AS first_hi
+      FROM raws GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(ch AS BIGINT) AS n_channels,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(data_bytes AS BIGINT) AS data_bytes,
+           CAST(1371
+                + {_wav_le4('36 + data_bytes')}
+                + 16 + 1 + ch
+                + {_wav_le4('rate')}
+                + {_wav_le4('rate * ch * 2')}
+                + ch * 2 + 16
+                + {_wav_le4('data_bytes')}
+                + data_sum AS BIGINT) AS byte_sum,
+           CAST(first_lo AS BIGINT) AS first_lo,
+           CAST(first_hi AS BIGINT) AS first_hi,
+           CAST(ch0_min AS BIGINT) AS ch0_min,
+           CAST(ch0_max AS BIGINT) AS ch0_max,
+           ch0_sum, ch1_sum
+    FROM agg ORDER BY doc_id
+    """,
+    tags=("multimodal", "llm"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: binary payload → Arrow-batched
-    mapInPandas 'decoder' producing fixed-width features.
+    """Multimodal decode, end to end and REAL: a binary audio column
+    is synthesized as genuine WAV containers (RIFF header + 16-bit LE
+    PCM, 1-2 interleaved channels, per-doc sample rate), then a
+    chunk-walking stdlib parser — not a fixed-offset peek — recovers
+    the format fields and computes per-channel sample statistics, all
+    Arrow-batched through mapInPandas.
 
-    The real image/audio decode is STUBBED (libs not in this
-    container) with a deterministic byte-statistics extractor; the
-    Spark-side contract — binary column in, typed feature vector out,
-    batch-wise Arrow transfer, schema declared up front — is the real,
-    tested scale path. A production decoder only swaps the function
-    body.
+    The DuckDB oracle re-derives EVERY byte independently: PCM samples
+    from the shared integer recurrence, and the whole-payload byte sum
+    from the little-endian byte decomposition of each header field —
+    so an encoder/decoder pair that agreed on a wrong layout (swapped
+    endianness, shifted offsets) still fails the hash. first_lo/
+    first_hi probe the first data bytes positionally.
+
+    Scale shape: both stages are per-row Arrow batches (no shuffle
+    until the final presentation sort); a production decoder for real
+    audio swaps only the parser body. Parity with the reference's
+    LoaderFunc stage (jobs.go:31-42 — bytes in, typed rows out).
     """
+    import struct
+
+    import numpy as np
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_frames = 50 + doc_id % 77
+                ch = 1 + doc_id % 2
+                rate = 8000 + (doc_id % 3) * 4000
+                n = n_frames * ch
+                j = np.arange(n, dtype=np.int64)
+                raw = (doc_id * _WAV_A + j * _WAV_B + _WAV_C) % 65536
+                pcm = (raw - 32768).astype("<i2").tobytes()
+                header = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + len(pcm), b"WAVE",
+                    b"fmt ", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16,
+                    b"data", len(pcm),
+                )
+                payloads.append(header + pcm)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def decode_batches(batches):
         for pdf in batches:
-            feats = pdf["payload"].map(
-                lambda b: [
-                    float(len(b)),
-                    float(b[0]) if len(b) else 0.0,
-                    float(b[-1]) if len(b) else 0.0,
-                    float(sum(b[:16]) % 256),
-                ]
-            )
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+                ch = rate = None
+                data = None
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (csz,) = struct.unpack_from("<I", b, pos + 4)
+                    body = b[pos + 8 : pos + 8 + csz]
+                    if cid == b"fmt ":
+                        fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+                        if fmt != 1:
+                            raise ValueError(f"doc {doc_id}: not PCM")
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + csz + (csz & 1)
+                if ch is None or data is None:
+                    raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                ch0 = samples[0::ch]
+                ch1 = samples[1::ch] if ch == 2 else np.array([], np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        ch,
+                        rate,
+                        len(samples) // ch,
+                        len(data),
+                        int(np.frombuffer(b, np.uint8).sum()),
+                        int(data[0]),
+                        int(data[1]),
+                        int(ch0.min()),
+                        int(ch0.max()),
+                        int(ch0.sum()),
+                        int(ch1.sum()) if ch == 2 else 0,
+                    )
+                )
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "features": feats}
+                rows,
+                columns=[
+                    "doc_id", "n_channels", "sample_rate", "n_frames",
+                    "data_bytes", "byte_sum", "first_lo", "first_hi",
+                    "ch0_min", "ch0_max", "ch0_sum", "ch1_sum",
+                ],
             )
 
-    return d.mapInPandas(
-        decode_batches, schema="doc_id long, features array<double>"
-    ).orderBy("doc_id")
+    schema = (
+        "doc_id long, n_channels long, sample_rate long, n_frames long, "
+        "data_bytes long, byte_sum long, first_lo long, first_hi long, "
+        "ch0_min long, ch0_max long, ch0_sum long, ch1_sum long"
+    )
+    return (
+        d.mapInPandas(synth_batches, schema="doc_id long, payload binary")
+        .mapInPandas(decode_batches, schema=schema)
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------
