@@ -76,14 +76,15 @@ def _ensure_conf(spark: SparkSession) -> None:
     Each set is wrapped individually so one forbidden conf doesn't
     block the rest.
     """
-    cores = spark.sparkContext.defaultParallelism
     settings = {
         "spark.sql.session.timeZone": "UTC",
         # events.parquet stores TIMESTAMP(NANOS); read nanos as long
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-        # perf: small-SF oracle runs want few, fat partitions
-        "spark.sql.shuffle.partitions": str(max(8, min(cores, 32))),
+        # perf: the driver's runs are sf0.001/sf0.01 (~MB tables) —
+        # 8 fat shuffle partitions beat core-count-many near-empty
+        # ones at that size (measured -26%; scripts/perf_ab.py)
+        "spark.sql.shuffle.partitions": "8",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -33,6 +33,7 @@ from filemapreduce_spark.queries.llm import (
     _SQL_WORDS,
 )
 from filemapreduce_spark.queries.relational import t
+from filemapreduce_spark.sources.tables import table_rowcount
 
 
 def _band_keys(sig_df: DataFrame, n_bands: int = 4) -> DataFrame:
@@ -311,7 +312,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(words("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
+    n_docs = table_rowcount(spark, sf_dir, "documents")
     post = (
         tf.join(F.broadcast(df.filter(F.col("df").between(2, 60))), "word")
         .select(
@@ -514,7 +515,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
         ).alias("v"),
     )
-    k = max(8, min(1024, sv.count() // 64))
+    k = max(8, min(1024, table_rowcount(spark, sf_dir, "embeddings") // 64))
     sq = F.aggregate(
         F.zip_with("v", "v", lambda a, b: a * b),
         F.lit(0).cast("bigint"),
@@ -529,6 +530,10 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, d: acc + d,
     )
+    # group by the scalar vec_id only — v/nrm2 are constant within a
+    # group and ride along via any_value. Grouping BY the 64-element
+    # vector would hash the whole array as the shuffle key for every
+    # (vector, centroid) pair — N·k wide-row hashes for no information
     assign = (
         n2.crossJoin(F.broadcast(cent))
         .select(
@@ -537,8 +542,12 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm2",
             (dist * 1024 + F.col("cid")).alias("key"),
         )
-        .groupBy("vec_id", "v", "nrm2")
-        .agg((F.min("key") % 1024).cast("long").alias("cid"))
+        .groupBy("vec_id")
+        .agg(
+            (F.min("key") % 1024).cast("long").alias("cid"),
+            F.any_value("v").alias("v"),
+            F.any_value("nrm2").alias("nrm2"),
+        )
     )
     a = assign.select(
         F.col("cid").alias("cid_a"),

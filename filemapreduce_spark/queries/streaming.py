@@ -142,12 +142,21 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# raw parquet schema per (session, path) — the footer read costs a
+# driver round trip per call otherwise, and the file is immutable
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """Bounded file-source stream over events.parquet (symlinked into a
     temp dir — the file stream source requires a directory)."""
     stream_dir = _tmpdir("fmr_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    skey = (id(spark), f"{sf_dir}/events.parquet")
+    raw_schema = _SCHEMA_CACHE.get(skey)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _SCHEMA_CACHE[skey] = raw_schema
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

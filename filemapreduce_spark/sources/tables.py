@@ -142,6 +142,22 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return df
 
 
+# Base-table row counts per (sf_dir, name). The test tables are
+# immutable files, so a count is a property of the path, not the
+# session — queries that derive a plan parameter from corpus size
+# (e.g. SemDeDup's k) pay the count job once per process, not per run.
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, name).count()
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:

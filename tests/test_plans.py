@@ -102,10 +102,35 @@ def test_registry_wide_plan_audit(spark, registry):
     shapes that cannot scale: a CartesianProduct over data tables and
     a Window over SinglePartition (whole table on one task).
 
-    BroadcastNestedLoopJoin is allowed: it only appears here for
-    scalar-subquery bounds and tiny broadcast query sets (a 1-row
-    build side is a filter, not a join explosion).
+    BroadcastNestedLoopJoin is allowed ONLY on the enumerated list
+    below, where the broadcast side is a scalar aggregate, a tiny
+    fixed query set, or a 1-row bound (a 1-row build side is a
+    filter, not a join explosion). A BNLJ appearing anywhere else —
+    i.e. a non-equi join that grew a fat side — fails this test.
     """
+    allowed_bnlj = {
+        "ccnet_perplexity_buckets",
+        "contingency_chi2_cells",
+        "copurchase_lift_top50",
+        "dsir_importance_weights",
+        "funnel_conversion_window",
+        "ivf_recall_measure",
+        "kmeans_lloyd_2iter",
+        "minhash_lsh_recall",
+        "parents_prefix_inheritance",
+        "q11_value_concentration",
+        "q22_idle_customers",
+        "revenue_share_by_nation",
+        "rolling_7day_active_users",
+        "semdedup_cluster_prune",
+        "session_cooccurrence_pmi",
+        "similarity_bruteforce_topk",
+        "similarity_ivf_probe2",
+        "tfidf_top_term_per_doc",
+        "triangle_count_copurchase",
+        "unigram_surprisal_filter",
+        "window_rank_supplier_balance",
+    }
     # Windows whose INPUT is a date-grain aggregate (one row per
     # calendar day): cardinality is bounded by the time horizon
     # (36.5k rows per century), not by data volume, so a global
@@ -123,6 +148,8 @@ def test_registry_wide_plan_audit(spark, registry):
         flags = []
         if "CartesianProduct" in plan:
             flags.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            flags.append("bnlj-not-allowlisted")
         # a Window is single-partition iff the exchange feeding it
         # (within the next few tree lines) is SinglePartition; a
         # SinglePartition exchange elsewhere (scalar aggregate) is fine
