@@ -112,10 +112,14 @@ def main():
     # Size shuffle partitions to the data, not the core count: at
     # sf<=0.1 every shuffled table is ~10 MB, so 8 fat partitions beat
     # 32 near-empty ones (measured: -26% total; scripts/perf_ab.py).
-    # At larger SFs the core-count default stands. AQE stays on either
-    # way (skew/coalesce at scale).
+    # With partitions already statically right-sized there is nothing
+    # for AQE's per-exchange re-optimization latency to buy at this
+    # data volume, so the bench turns it off at toy scale only —
+    # correctness runs and at-scale defaults keep AQE on (skew joins,
+    # runtime coalescing). At larger SFs the core-count default stands.
     if sf is not None and sf <= 0.2:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # JVM/codegen warmup on a trivial action (not measured)
     spark.range(1000).count()

@@ -31,7 +31,13 @@ _PENDING_DIRS: list[str] = []
 
 
 def _tmpdir(prefix: str) -> str:
-    d = tempfile.mkdtemp(prefix=prefix)
+    # bounded-stream scratch (source symlinks, checkpoints) is
+    # throwaway — prefer tmpfs so the per-microbatch offset/commit/
+    # state fsyncs don't pay rotating-disk latency. A durable
+    # production stream would point checkpointLocation at reliable
+    # storage instead; these queries run to completion and delete it.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
     _PENDING_DIRS.append(d)
     return d
 
