@@ -850,6 +850,51 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAV_A, _WAV_B, _WAV_C = 7919, 104729, 12345
 
 
+def decode_wav_payload(doc_id, b):
+    """Chunk-walking WAV/RIFF parse → feature tuple (shared by the
+    multimodal_decode_features stage and its unit tests). Raises on
+    corrupt containers instead of returning garbage stats."""
+    import struct
+
+    import numpy as np
+
+    if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+    ch = rate = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            if fmt != 1:
+                raise ValueError(f"doc {doc_id}: not PCM")
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned (pad byte)
+    if ch is None or data is None:
+        raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    ch0 = samples[0::ch]
+    ch1 = samples[1::ch] if ch == 2 else np.array([], np.int64)
+    return (
+        doc_id,
+        ch,
+        rate,
+        len(samples) // ch,
+        len(data),
+        int(np.frombuffer(b, np.uint8).sum()),
+        int(data[0]),
+        int(data[1]),
+        int(ch0.min()),
+        int(ch0.max()),
+        int(ch0.sum()),
+        int(ch1.sum()) if ch == 2 else 0,
+    )
+
+
 def _wav_le4(x: str) -> str:
     """DuckDB expr: byte sum of the 4-byte little-endian encoding."""
     return (
@@ -969,45 +1014,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches):
         for pdf in batches:
-            rows = []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
-                    raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
-                ch = rate = None
-                data = None
-                pos = 12
-                while pos + 8 <= len(b):
-                    cid = b[pos : pos + 4]
-                    (csz,) = struct.unpack_from("<I", b, pos + 4)
-                    body = b[pos + 8 : pos + 8 + csz]
-                    if cid == b"fmt ":
-                        fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
-                        if fmt != 1:
-                            raise ValueError(f"doc {doc_id}: not PCM")
-                    elif cid == b"data":
-                        data = body
-                    pos += 8 + csz + (csz & 1)
-                if ch is None or data is None:
-                    raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
-                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
-                ch0 = samples[0::ch]
-                ch1 = samples[1::ch] if ch == 2 else np.array([], np.int64)
-                rows.append(
-                    (
-                        doc_id,
-                        ch,
-                        rate,
-                        len(samples) // ch,
-                        len(data),
-                        int(np.frombuffer(b, np.uint8).sum()),
-                        int(data[0]),
-                        int(data[1]),
-                        int(ch0.min()),
-                        int(ch0.max()),
-                        int(ch0.sum()),
-                        int(ch1.sum()) if ch == 2 else 0,
-                    )
-                )
+            rows = [
+                decode_wav_payload(doc_id, b)
+                for doc_id, b in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[

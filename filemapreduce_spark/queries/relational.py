@@ -314,15 +314,25 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "having", "topk", "tpch"),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: aggregate-below-join formulation. l_orderkey
+    functionally determines (c_name, o_totalprice), so the per-order
+    quantity sum is computed FIRST — one narrow map-side-combinable
+    shuffle on the fact table — and only the HAVING survivors (a tiny
+    set at any scale: orders with >120 units) join orders/customer,
+    both as broadcasts. The textbook join-then-group plan shuffles
+    every joined fact row with a 3-column key instead."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     l = t(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "o_orderkey", "o_totalprice")
+    sums = (
+        l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 120)
+    )
+    return (
+        sums.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )

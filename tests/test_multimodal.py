@@ -1,0 +1,92 @@
+"""Multimodal WAV codec path: the decoder must be a real parser, not a
+fixed-offset peek — it walks RIFF chunks, validates magic values, and
+fails loudly on corrupt payloads instead of returning garbage stats.
+"""
+
+import struct
+
+import pytest
+
+from filemapreduce_spark.queries import load_all
+from filemapreduce_spark.queries.llm import decode_wav_payload
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _wav(ch=1, rate=8000, samples=b"\x01\x00\x02\x00", extra_chunk=False):
+    body = b""
+    if extra_chunk:
+        # an unknown odd-sized chunk before fmt — a correct walker
+        # skips it (with its pad byte); a fixed-offset reader misparses
+        body += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+    )
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_basic_fields():
+    (
+        doc_id, ch, rate, n_frames, data_bytes, byte_sum,
+        first_lo, first_hi, ch0_min, ch0_max, ch0_sum, ch1_sum,
+    ) = decode_wav_payload(7, _wav())
+    assert (doc_id, ch, rate) == (7, 1, 8000)
+    assert n_frames == 2 and data_bytes == 4
+    assert (first_lo, first_hi) == (1, 0)
+    assert (ch0_min, ch0_max, ch0_sum, ch1_sum) == (1, 2, 3, 0)
+
+
+def test_decode_walks_unknown_chunks_with_padding():
+    """An odd-sized unknown chunk before fmt must be skipped via the
+    word-alignment pad — proves chunk walking, not offset peeking."""
+    out = decode_wav_payload(1, _wav(extra_chunk=True))
+    assert out[1] == 1 and out[3] == 2  # ch, n_frames
+
+
+def test_decode_stereo_deinterleaves():
+    # frames: (L=1,R=-1), (L=3,R=5) little-endian int16
+    samples = struct.pack("<4h", 1, -1, 3, 5)
+    out = decode_wav_payload(2, _wav(ch=2, samples=samples))
+    _, ch, _, n_frames, _, _, _, _, ch0_min, ch0_max, ch0_sum, ch1_sum = out
+    assert ch == 2 and n_frames == 2
+    assert (ch0_min, ch0_max, ch0_sum) == (1, 3, 4)
+    assert ch1_sum == 4  # -1 + 5
+
+
+def test_decode_rejects_bad_magic():
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav_payload(1, b"JUNK" + _wav()[4:])
+
+
+def test_decode_rejects_non_pcm():
+    wav = bytearray(_wav())
+    # fmt code lives right after 'fmt '+size; patch PCM(1) -> 3
+    i = wav.index(b"fmt ") + 8
+    wav[i] = 3
+    with pytest.raises(ValueError, match="not PCM"):
+        decode_wav_payload(1, bytes(wav))
+
+
+def test_decode_rejects_missing_data_chunk():
+    wav = _wav()
+    truncated = wav[: wav.index(b"data")]
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_wav_payload(1, truncated)
+
+
+def test_decode_end_to_end_matches_synth(spark, registry, sf_small):
+    """The synthesized corpus round-trips through Spark: every row
+    decodes with the per-doc format fields the synthesizer derives."""
+    df = registry["multimodal_decode_features"].fn(spark, sf_small)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_channels == 1 + r.doc_id % 2
+        assert r.sample_rate == 8000 + (r.doc_id % 3) * 4000
+        assert r.n_frames == 50 + r.doc_id % 77
+        assert r.data_bytes == r.n_frames * r.n_channels * 2
+        assert -32768 <= r.ch0_min <= r.ch0_max <= 32767
