@@ -118,7 +118,8 @@ def main():
     # correctness runs and at-scale defaults keep AQE on (skew joins,
     # runtime coalescing). At larger SFs the core-count default stands.
     if sf is not None and sf <= 0.2:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        parts = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # JVM/codegen warmup on a trivial action (not measured)

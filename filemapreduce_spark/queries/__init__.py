@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics2,
         audit,
         coverage2,
+        coverage3,
         corpus,
         fileops,
         linalg,

@@ -1,0 +1,670 @@
+"""Round-3 coverage batch: classic warehouse patterns the registry did
+not yet express as first-class operators — gaps-and-islands streaks,
+largest-remainder proration, linear gap interpolation, bounded BFS
+levels, CUSUM drift ranking, reciprocal-rank fusion, and distributed
+sequence-gap auditing.
+
+Reference parity note: none of these exist in the reference (its
+relational surface stops at scan/filter/map/reduce —
+`/root/reference/interfaces.go`); they are north-star extension rows
+for SURVEY.md §2 Part B, built from Spark built-ins only so Catalyst
+keeps pushdown/pruning/codegen end-to-end.
+
+Exactness: every aggregate is integer (cents / counts / scaled
+rationals) until at most one final IEEE division, so DuckDB oracle
+hashes match bit-for-bit. DuckDB window SUMs return HUGEINT and are
+explicitly cast back to BIGINT in each oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.money import cents
+from filemapreduce_spark.operators.textops import words
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+
+# --------------------------------------------------------------------
+# Gaps-and-islands: per-user runs of consecutive active days.
+# --------------------------------------------------------------------
+@register(
+    "gaps_islands_user_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM d
+    )
+    SELECT user_id,
+           strftime(MIN(day), '%Y-%m-%d') AS island_start,
+           strftime(MAX(day), '%Y-%m-%d') AS island_end,
+           COUNT(*) AS n_days
+    FROM r GROUP BY user_id, anchor
+    ORDER BY user_id, island_start
+    """,
+    tags=("window", "islands", "timeseries"),
+)
+def gaps_islands_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user via the row_number-difference trick (consecutive days share
+    ``day - row_number()`` as an island anchor).
+
+    Scale shape: one shuffle on user_id for the distinct + window +
+    groupBy (all three co-partitioned on the same key, so Catalyst
+    reuses a single exchange); no self-join, no global window. At
+    100 TB this is the canonical formulation — the alternative
+    lag()-based island open/close needs the same single shuffle.
+    """
+    d = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = d.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", "island_start", "island_end", "n_days")
+        .orderBy("user_id", "island_start")
+    )
+
+
+# --------------------------------------------------------------------
+# Largest-remainder proration: split an order total across its lines.
+# --------------------------------------------------------------------
+@register(
+    "proration_largest_remainder",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity) AS BIGINT) AS line_seq,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    ), tot AS (
+      SELECT li.l_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+             CAST(SUM(qty) AS BIGINT) AS total_qty
+      FROM li JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY li.l_orderkey, o_totalprice
+    ), base AS (
+      SELECT li.l_orderkey, line_seq, qty, total_cents, total_qty,
+             (total_cents * qty) // total_qty AS base_cents,
+             (total_cents * qty) % total_qty AS rem
+      FROM li JOIN tot ON li.l_orderkey = tot.l_orderkey
+    ), ranked AS (
+      SELECT *,
+             total_cents - CAST(SUM(base_cents) OVER (
+               PARTITION BY l_orderkey) AS BIGINT) AS short,
+             CAST(row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY rem DESC, line_seq) AS BIGINT) AS rk
+      FROM base
+    )
+    SELECT l_orderkey, line_seq,
+           base_cents + CASE WHEN rk <= short THEN 1 ELSE 0 END
+             AS alloc_cents
+    FROM ranked
+    ORDER BY l_orderkey, line_seq
+    """,
+    tags=("window", "allocation"),
+)
+def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: allocate each order's total price
+    across its lineitems proportionally to quantity, in integer cents,
+    distributing the rounding shortfall one cent at a time to the
+    lines with the largest fractional remainders (deterministic
+    tie-break on line sequence). Per-order allocations sum EXACTLY to
+    the order total — the invariant reports and billing systems need.
+
+    Lines are keyed by ``line_seq`` — a per-order row_number over
+    (l_linenumber, l_quantity) — because the synthetic data reuses
+    line numbers within an order; any total order over the line
+    attributes yields the same output SET (rows identical in all
+    attributes are interchangeable), so the result stays deterministic.
+
+    Scale shape: one shuffle on the order key; the per-order windows
+    (line_seq, sum of floors, remainder rank) run partition-local
+    after it. Arithmetic stays in BIGINT (max total_cents*qty ≈
+    2.5e9), with no floating point anywhere.
+    """
+    w_seq = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.row_number().over(w_seq).cast("long").alias("line_seq"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    tot = (
+        li.join(
+            t(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                cents("o_totalprice").alias("total_cents"),
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey", "total_cents")
+        .agg(F.sum("qty").alias("total_qty"))
+    )
+    base = li.join(tot, "l_orderkey").select(
+        "l_orderkey",
+        "line_seq",
+        "total_cents",
+        F.expr("(total_cents * qty) div total_qty").alias("base_cents"),
+        ((F.col("total_cents") * F.col("qty")) % F.col("total_qty")).alias(
+            "rem"
+        ),
+    )
+    w_order = Window.partitionBy("l_orderkey")
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), "line_seq"
+    )
+    ranked = base.select(
+        "l_orderkey",
+        "line_seq",
+        "base_cents",
+        (F.col("total_cents") - F.sum("base_cents").over(w_order)).alias(
+            "short"
+        ),
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "line_seq",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    ).orderBy("l_orderkey", "line_seq")
+
+
+# --------------------------------------------------------------------
+# Linear interpolation over a daily date spine (gap fill).
+# --------------------------------------------------------------------
+@register(
+    "interp_linear_gapfill",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(day) AS mind, MAX(day) AS maxd
+      FROM daily GROUP BY event_type
+    ), spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM bounds
+    ), joined AS (
+      SELECT s.event_type, s.day, d.v FROM spine s
+      LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+    ), ctx AS (
+      SELECT event_type, day, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CASE
+             WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             ELSE CAST(pv * DATE_DIFF('day', day, nd)
+                       + nv * DATE_DIFF('day', pd, day) AS DOUBLE)
+                  / DATE_DIFF('day', pd, nd)
+           END AS v_cents,
+           (v IS NULL) AS interpolated
+    FROM ctx
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "gapfill", "interpolation"),
+)
+def interp_linear_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value series per event type with missing days LINEARLY
+    interpolated between the nearest observed neighbors (edges take
+    the nearest value). Extends ``gapfill_daily_event_counts`` (which
+    forward-fills) with true interpolation.
+
+    Exactness across engines: the interpolation numerator/denominator
+    stay in BIGINT day-weighted cents; a single final IEEE division
+    produces the double, so Spark and DuckDB agree bit-for-bit.
+
+    Scale shape: spine generation explodes bounded per-type sequences
+    (no driver loop); the prev/next context comes from 4 ignorenulls
+    window navigations over one (event_type)-partitioned sort — a
+    single shuffle end-to-end.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents("value")).alias("v"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mind", "maxd", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("nd"),
+    )
+    interp = (
+        F.col("pv") * F.datediff("nd", "day")
+        + F.col("nv") * F.datediff("day", "pd")
+    ).cast("double") / F.datediff("nd", "pd")
+    return ctx.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .otherwise(interp)
+        .alias("v_cents"),
+        F.col("v").isNull().alias("interpolated"),
+    ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------
+# Bounded BFS: minimum hop level from a seed set, 3 unrolled hops.
+# --------------------------------------------------------------------
+@register(
+    "bfs_3hop_parts",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 4 = 0
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), l0 AS (
+      SELECT DISTINCT u AS node FROM adj WHERE u % 100 = 0
+    ), f1 AS (
+      SELECT DISTINCT adj.v AS node FROM adj JOIN l0 ON adj.u = l0.node
+    ), l1 AS (
+      SELECT node FROM f1 WHERE node NOT IN (SELECT node FROM l0)
+    ), f2 AS (
+      SELECT DISTINCT adj.v AS node FROM adj JOIN l1 ON adj.u = l1.node
+    ), l2 AS (
+      SELECT node FROM f2 WHERE node NOT IN (SELECT node FROM l0)
+                             AND node NOT IN (SELECT node FROM l1)
+    ), f3 AS (
+      SELECT DISTINCT adj.v AS node FROM adj JOIN l2 ON adj.u = l2.node
+    ), l3 AS (
+      SELECT node FROM f3 WHERE node NOT IN (SELECT node FROM l0)
+                             AND node NOT IN (SELECT node FROM l1)
+                             AND node NOT IN (SELECT node FROM l2)
+    )
+    SELECT node, lvl FROM (
+      SELECT node, CAST(0 AS BIGINT) AS lvl FROM l0
+      UNION ALL SELECT node, 1 FROM l1
+      UNION ALL SELECT node, 2 FROM l2
+      UNION ALL SELECT node, 3 FROM l3
+    ) ORDER BY lvl, node
+    """,
+    tags=("graph", "bfs"),
+)
+def bfs_3hop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search on the part co-purchase graph: minimum hop
+    distance (≤3) from the seed set (part keys divisible by 100),
+    computed as 3 unrolled frontier expansions with anti-join
+    deduplication against all previously-visited levels.
+
+    Scale shape: each hop is one equi-join frontier⨝adjacency plus a
+    distinct — the standard Pregel-style level-synchronous BFS step.
+    Unbounded-depth BFS would loop this step with localCheckpoint()
+    every few hops to cut lineage (the pattern kmeans_lloyd_2iter and
+    dedup_clusters_minhash already use); 3 hops keeps the oracle
+    SQL-expressible. Frontiers shrink monotonically; the visited set
+    stays partitioned on node id throughout.
+    """
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    # the adjacency list feeds all 3 frontier expansions AND the seed
+    # scan — materialize it once (the same lineage-cut the other
+    # iterative operators use) instead of re-running the edge
+    # self-join 4×
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    frontier = (
+        adj.filter(F.col("u") % 100 == 0).select(F.col("u").alias("node"))
+        .distinct()
+    )
+    frontier = frontier.localCheckpoint()
+    levels = [frontier.withColumn("lvl", F.lit(0).cast("long"))]
+    visited = frontier
+    for hop in (1, 2, 3):
+        # each frontier is consumed 3× (expansion, visited set, output
+        # level) — checkpoint so a hop executes exactly once
+        nxt = (
+            adj.join(frontier, adj["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        levels.append(nxt.withColumn("lvl", F.lit(hop).cast("long")))
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out.orderBy("lvl", "node")
+
+
+# --------------------------------------------------------------------
+# CUSUM drift: rank each type's days by cumulative deviation mass.
+# --------------------------------------------------------------------
+@register(
+    "cusum_top_deviations",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ), cu AS (
+      SELECT d.event_type, d.day,
+             CAST(SUM(n * v - s) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cusum
+      FROM daily d JOIN tot USING (event_type)
+    ), rk AS (
+      SELECT event_type, day, cusum,
+             CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, day) AS BIGINT) AS rk
+      FROM cu
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cusum, rk
+    FROM rk WHERE rk <= 3
+    ORDER BY event_type, rk
+    """,
+    tags=("timeseries", "anomaly", "cusum"),
+)
+def cusum_top_deviations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point candidates: per event type, the 3 days where
+    the running sum of deviations from the type mean peaks in
+    magnitude (classic CUSUM drift statistic). Deviations are scaled
+    by the day count (``n·v − S``) so everything stays in exact
+    BIGINT — no mean, no floats, no cross-engine rounding skew.
+
+    Scale shape: daily rollup shuffles on (type, day); the mean terms
+    come from a tiny per-type aggregate broadcast back; the running
+    sum and ranking are (event_type)-partitioned windows — one real
+    shuffle over daily rows, which are already ~5 orders of magnitude
+    smaller than the event scan at any SF.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents("value")).alias("v"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cu = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.col("n") * F.col("v") - F.col("s"))
+            .over(w_run)
+            .alias("cusum"),
+        )
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        cu.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cusum",
+            "rk",
+        )
+        .orderBy("event_type", "rk")
+    )
+
+
+# --------------------------------------------------------------------
+# Reciprocal-rank fusion of two ranking signals, per language.
+# --------------------------------------------------------------------
+@register(
+    "rrf_rank_fusion_by_lang",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               w -> w != '')) AS BIGINT) AS n_words
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+             AS BIGINT) AS ra,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n_words DESC, doc_id)
+             AS BIGINT) AS rb
+      FROM d
+    ), fused AS (
+      SELECT lang, doc_id,
+             1000000000000 // (60 + ra) + 1000000000000 // (60 + rb)
+               AS rrf_score,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY 1000000000000 // (60 + ra)
+                        + 1000000000000 // (60 + rb) DESC, doc_id)
+             AS BIGINT) AS rk
+      FROM ranked
+    )
+    SELECT lang, doc_id, rrf_score, rk FROM fused
+    WHERE rk <= 5 ORDER BY lang, rk
+    """,
+    tags=("ranking", "fusion", "llm"),
+)
+def rrf_rank_fusion_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two per-language ranking
+    signals — character length and word count — keeping each
+    language's top 5 fused documents. RRF is the standard way to merge
+    a lexical and a semantic retrieval ranking without score
+    calibration; the scores here use integer-scaled reciprocals
+    (``1e12 // (k + rank)``) so the fusion is exact on both engines.
+
+    Scale shape: both rankings and the fusion rank partition by
+    ``lang`` — no global window. At 100 TB the same plan holds with
+    any bounded-cardinality ranking scope (per query id in a retrieval
+    eval, per shard in index building).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(words("text")).cast("long").alias("n_words"),
+    )
+    w_a = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    w_b = Window.partitionBy("lang").orderBy(F.col("n_words").desc(), "doc_id")
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w_a).cast("long").alias("ra"),
+        F.row_number().over(w_b).cast("long").alias("rb"),
+    )
+    score = F.expr("1000000000000 div (60 + ra)") + F.expr(
+        "1000000000000 div (60 + rb)"
+    )
+    w_f = Window.partitionBy("lang").orderBy(
+        score.desc(), "doc_id"
+    )
+    return (
+        ranked.select(
+            "lang",
+            "doc_id",
+            score.alias("rrf_score"),
+            F.row_number().over(w_f).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+# --------------------------------------------------------------------
+# Distributed sequence-gap audit (missing-id ranges) without a global
+# window over the full key set.
+# --------------------------------------------------------------------
+@register(
+    "orderkey_gap_audit",
+    """
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderstatus = 'F'
+    ), l AS (
+      SELECT key, lead(key) OVER (ORDER BY key) AS nxt FROM k
+    )
+    SELECT key + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - key - 1 AS n_missing
+    FROM l WHERE nxt - key > 1
+    ORDER BY gap_start
+    """,
+    tags=("audit", "sequence"),
+)
+def orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-key ranges in the completed ('F'-status) order-key
+    sequence — the classic completeness audit for ingestion pipelines
+    (the synthetic key space is fully dense, so the status filter is
+    what gives the audit real gaps to report) — computed without ever
+    sorting the full key set on one task. Keys are banded by value
+    (``key div 4096``); adjacent-key pairs are examined at exactly one
+    of three levels: same band → band-partitioned lead(); different
+    band, same super-band (``band div 4096``) → lead() over per-band
+    (min,max) summaries partitioned by super-band; different
+    super-band → lead() over per-super-band summaries. Each level
+    shrinks the data 4096×, so the only global window runs on
+    keys/16.7M rows (60k skinny rows even at 10^12 keys; a third
+    banding level in a loop covers anything beyond). The oracle is
+    the straightforward global-lead SQL; results are identical.
+
+    Scale: the only full-data shuffle is the distinct on key; every
+    value-banded window is partition-parallel; empty bands fall out
+    naturally because summaries exist only for non-empty bands.
+    """
+    k = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+        .withColumn("band", F.expr("key div 4096"))
+    )
+    w_band = Window.partitionBy("band").orderBy("key")
+    within = (
+        k.withColumn("nxt", F.lead("key").over(w_band))
+        .filter(F.col("nxt") - F.col("key") > 1)
+        .select("key", "nxt")
+    )
+    s1 = k.groupBy("band").agg(
+        F.min("key").alias("band_min"), F.max("key").alias("band_max")
+    ).withColumn("super", F.expr("band div 4096"))
+    w_s1 = Window.partitionBy("super").orderBy("band")
+    across1 = (
+        s1.withColumn("next_min", F.lead("band_min").over(w_s1))
+        .filter(F.col("next_min") - F.col("band_max") > 1)
+        .select(
+            F.col("band_max").alias("key"), F.col("next_min").alias("nxt")
+        )
+    )
+    s2 = s1.groupBy("super").agg(
+        F.min("band_min").alias("s_min"), F.max("band_max").alias("s_max")
+    )
+    w_s2 = Window.orderBy("super")
+    across2 = (
+        s2.withColumn("next_min", F.lead("s_min").over(w_s2))
+        .filter(F.col("next_min") - F.col("s_max") > 1)
+        .select(F.col("s_max").alias("key"), F.col("next_min").alias("nxt"))
+    )
+    return (
+        within.unionAll(across1)
+        .unionAll(across2)
+        .select(
+            (F.col("key") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("key") - 1).alias("n_missing"),
+        )
+        .orderBy("gap_start")
+    )

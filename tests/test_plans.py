@@ -135,7 +135,14 @@ def test_registry_wide_plan_audit(spark, registry):
     # calendar day): cardinality is bounded by the time horizon
     # (36.5k rows per century), not by data volume, so a global
     # window over the tiny series is safe at any SF.
-    allowed_global_window = {"rolling_correlation_series"}
+    # orderkey_gap_audit: its one global window consumes per-SUPER-band
+    # summaries — input is keys/4096² rows (16.7M× reduction; ~60k
+    # skinny rows even at 10^12 keys), with both finer levels fully
+    # partition-parallel.
+    allowed_global_window = {
+        "rolling_correlation_series",
+        "orderkey_gap_audit",
+    }
 
     offenders = {}
     for name, spec in sorted(registry.items()):
