@@ -82,17 +82,32 @@ def apply_in_pandas_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a pandas transform (exact integer cents + id tie-break —
     fully deterministic, so the window-function oracle hash-matches).
 
-    Scale shape: one shuffle on the group key, then per-group pandas
-    over Arrow batches. This is the template for group-local Python
-    logic Spark SQL can't express (per-group model scoring, custom
-    resampling); for plain top-k the built-in window wins — the point
-    here is validating the Python path against the SQL spec.
+    Scale shape — partial-reduce before the shuffle: a `mapInPandas`
+    stage keeps each input partition's local top-3 per type (no data
+    movement, output ≤ partitions × types × 3 rows), so the group-key
+    shuffle and the final `applyInPandas` see only finalists instead
+    of the full table — the combiner pattern every distributed
+    group-local Python operator needs at 100 TB (per-group model
+    scoring, custom resampling). Top-3-of-local-top-3s is exact for
+    any associative selection. For plain top-k the built-in window
+    wins — the point here is validating the Python path against the
+    SQL spec.
     """
     e = t(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+
+    def local_top3(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(
+                    ["cents", "event_id"], ascending=[False, True]
+                )
+                .groupby("event_type", sort=False)
+                .head(3)
+            )
 
     def top3(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -103,7 +118,10 @@ def apply_in_pandas_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["event_type", "event_id", "rnk"]]
 
     return (
-        e.groupBy("event_type")
+        e.mapInPandas(
+            local_top3, schema="event_type string, event_id long, cents long"
+        )
+        .groupBy("event_type")
         .applyInPandas(top3, schema="event_type string, event_id long, rnk long")
         .orderBy("event_type", "rnk")
     )
