@@ -548,6 +548,9 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("v").alias("v"),
             F.any_value("nrm2").alias("nrm2"),
         )
+        # both sides of the within-cluster self-join read the
+        # assignment: persist so the N·k distance fold runs once
+        .persist()
     )
     a = assign.select(
         F.col("cid").alias("cid_a"),
@@ -674,6 +677,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("bucket"),
         )
+        # consumed twice (bucket stats, per-doc weights): persist so
+        # the explode+md5 feature extraction runs once — the same
+        # "estimate once, reuse" structure the paper's estimator has
+        .persist()
     )
     # ONE aggregation pass builds the whole 4096-row bucket table
     # (raw count + target count per bucket); grand totals come from the
