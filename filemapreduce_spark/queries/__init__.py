@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         linalg,
         llm,
         llm2,
+        multimodal2,
         pipeline,
         relational,
         streaming,

@@ -850,13 +850,12 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAV_A, _WAV_B, _WAV_C = 7919, 104729, 12345
 
 
-def decode_wav_payload(doc_id, b):
-    """Chunk-walking WAV/RIFF parse → feature tuple (shared by the
-    multimodal_decode_features stage and its unit tests). Raises on
-    corrupt containers instead of returning garbage stats."""
+def parse_wav(doc_id, b):
+    """Chunk-walking WAV/RIFF container parse → (n_channels,
+    sample_rate, raw PCM data bytes). Shared by the decode/feature
+    queries; raises on corrupt containers instead of returning
+    garbage."""
     import struct
-
-    import numpy as np
 
     if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
@@ -876,6 +875,15 @@ def decode_wav_payload(doc_id, b):
         pos += 8 + csz + (csz & 1)  # chunks are word-aligned (pad byte)
     if ch is None or data is None:
         raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+    return ch, rate, data
+
+
+def decode_wav_payload(doc_id, b):
+    """WAV parse → feature tuple (shared by the
+    multimodal_decode_features stage and its unit tests)."""
+    import numpy as np
+
+    ch, rate, data = parse_wav(doc_id, b)
     samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
     ch0 = samples[0::ch]
     ch1 = samples[1::ch] if ch == 2 else np.array([], np.int64)
@@ -893,6 +901,35 @@ def decode_wav_payload(doc_id, b):
         int(ch0.sum()),
         int(ch1.sum()) if ch == 2 else 0,
     )
+
+
+def synth_wav_pdf(pdf):
+    """Synthesize one Arrow batch of WAV payloads (RIFF header +
+    16-bit LE PCM from the shared integer recurrence) — the binary
+    audio corpus both multimodal audio queries decode."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        doc_id = int(doc_id)
+        n_frames = 50 + doc_id % 77
+        ch = 1 + doc_id % 2
+        rate = 8000 + (doc_id % 3) * 4000
+        n = n_frames * ch
+        j = np.arange(n, dtype=np.int64)
+        raw = (doc_id * _WAV_A + j * _WAV_B + _WAV_C) % 65536
+        pcm = (raw - 32768).astype("<i2").tobytes()
+        header = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(pcm), b"WAVE",
+            b"fmt ", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16,
+            b"data", len(pcm),
+        )
+        payloads.append(header + pcm)
+    return pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def _wav_le4(x: str) -> str:
@@ -993,24 +1030,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth_batches(batches):
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                n_frames = 50 + doc_id % 77
-                ch = 1 + doc_id % 2
-                rate = 8000 + (doc_id % 3) * 4000
-                n = n_frames * ch
-                j = np.arange(n, dtype=np.int64)
-                raw = (doc_id * _WAV_A + j * _WAV_B + _WAV_C) % 65536
-                pcm = (raw - 32768).astype("<i2").tobytes()
-                header = struct.pack(
-                    "<4sI4s4sIHHIIHH4sI",
-                    b"RIFF", 36 + len(pcm), b"WAVE",
-                    b"fmt ", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16,
-                    b"data", len(pcm),
-                )
-                payloads.append(header + pcm)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            yield synth_wav_pdf(pdf)
 
     def decode_batches(batches):
         for pdf in batches:

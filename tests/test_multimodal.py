@@ -90,3 +90,86 @@ def test_decode_end_to_end_matches_synth(spark, registry, sf_small):
         assert r.n_frames == 50 + r.doc_id % 77
         assert r.data_bytes == r.n_frames * r.n_channels * 2
         assert -32768 <= r.ch0_min <= r.ch0_max <= 32767
+
+
+# ---------------------------------------------------------------
+# PPM (P6) image parser + 2x2 pooling (multimodal2)
+# ---------------------------------------------------------------
+def _ppm(w=4, h=2, maxval=255, data=None):
+    body = bytes(range(w * h * 3)) if data is None else data
+    return f"P6\n{w} {h}\n{maxval}\n".encode() + body
+
+
+def test_ppm_rejects_bad_magic():
+    from filemapreduce_spark.queries.multimodal2 import parse_ppm
+
+    with pytest.raises(ValueError, match="not a P6"):
+        parse_ppm(1, b"P5\n2 2\n255\n" + bytes(12))
+
+
+def test_ppm_rejects_bad_maxval():
+    from filemapreduce_spark.queries.multimodal2 import parse_ppm
+
+    with pytest.raises(ValueError, match="maxval"):
+        parse_ppm(1, _ppm(maxval=15, data=bytes(24)))
+
+
+def test_ppm_rejects_truncated_payload():
+    from filemapreduce_spark.queries.multimodal2 import parse_ppm
+
+    with pytest.raises(ValueError, match="!= 4\\*2\\*3"):
+        parse_ppm(1, _ppm(data=bytes(10)))
+
+
+def test_ppm_parses_multiline_whitespace_header():
+    from filemapreduce_spark.queries.multimodal2 import parse_ppm
+
+    raw = b"P6 2\n1\t255\n" + bytes([10, 20, 30, 40, 50, 60])
+    w, h, arr = parse_ppm(1, raw)
+    assert (w, h) == (2, 1)
+    assert arr.shape == (1, 2, 3)
+    assert arr[0, 1, 2] == 60
+
+
+def test_ppm_pool_known_values():
+    """2x2 average pool on a hand-computed image: odd row/col cropped,
+    each pooled channel is the floor-mean of its 4 source bytes."""
+    import numpy as np
+
+    from filemapreduce_spark.queries.multimodal2 import parse_ppm
+
+    w, h = 3, 3  # odd dims: pooling must crop to 2x2
+    data = bytes(range(w * h * 3))
+    _, _, arr = parse_ppm(1, _ppm(w=w, h=h, data=data))
+    crop = arr[:2, :2, :]
+    pooled = (
+        crop[0::2, 0::2] + crop[0::2, 1::2]
+        + crop[1::2, 0::2] + crop[1::2, 1::2]
+    ) // 4
+    # channel 0 block: bytes at (0,0),(0,1),(1,0),(1,1) -> 0,3,9,12
+    assert pooled[0, 0, 0] == (0 + 3 + 9 + 12) // 4
+    assert pooled.shape == (1, 1, 3)
+
+
+def test_audio_frame_energy_matches_recurrence(spark, registry, sf_small):
+    """Every emitted frame's energy equals the recurrence-derived sum
+    of squares, and ranks are dominance-ordered."""
+    df = registry["audio_frame_energy_top2"].fn(spark, sf_small)
+    rows = df.collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    A, B, C = 7919, 104729, 12345
+    for doc_id, rs in list(by_doc.items())[:50]:
+        rs = sorted(rs, key=lambda r: r.rk)
+        energies = [r.energy for r in rs]
+        assert energies == sorted(energies, reverse=True)
+        ch = 1 + doc_id % 2
+        n = 50 + doc_id % 77
+        vals = [((doc_id * A + (i * ch) * B + C) % 65536) - 32768
+                for i in range(n)]
+        for r in rs:
+            frame = vals[r.frame_idx * 16 : (r.frame_idx + 1) * 16]
+            assert r.energy == sum(v * v for v in frame)
+            assert r.n_samples == len(frame)
