@@ -668,3 +668,232 @@ def orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_start")
     )
+
+
+# --------------------------------------------------------------------
+# Set-similarity join with prefix filtering (AllPairs/PPJoin family).
+# --------------------------------------------------------------------
+@register(
+    "setsim_prefix_filter_pairs",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS w
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isz
+      FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(isz AS BIGINT) AS intersect_size,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           (1000 * isz) // (sa.n + sb.n - isz) AS jaccard_milli
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 8 * isz >= 3 * (sa.n + sb.n)
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "similarity", "llm"),
+)
+def setsim_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join at Jaccard ≥ 0.6 with PREFIX FILTERING
+    (Bayardo et al. 2007 'Scaling Up All Pairs Similarity Search';
+    Chaudhuri et al. 2006): tokens are globally ordered by ascending
+    document frequency, and each document indexes only its first
+    ``|s| − ⌈t·|s|⌉ + 1`` tokens — any pair meeting the threshold
+    provably shares a prefix token, so the candidate join touches the
+    rare end of the vocabulary instead of every posting. Candidates
+    are then verified with an exact integer test
+    (``8·|a∩b| ≥ 3·(|a|+|b|)`` ⇔ Jaccard ≥ 3/5 — no floats).
+
+    The oracle is the naive full inverted-index join: prefix filtering
+    is result-preserving, so both sides produce the identical pair
+    set — THAT equality is exactly what the hash check proves.
+
+    Scale shape: the token-frequency table is one aggregation
+    (broadcast back); prefix posting lists are a small fraction of
+    full postings and skip the high-frequency stop-token lists
+    entirely, which is what tames the quadratic blowup at corpus
+    scale; verification joins fetch only candidate docs' token sets.
+    """
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(words("text")).alias("w"))
+        .distinct()
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("df"))
+    # global token order: ascending df, token string as tie-break
+    ordered = (
+        toks.join(F.broadcast(freq), "w")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "w")
+            ),
+        )
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    with_n = ordered.join(F.broadcast(sizes), "doc_id")
+    # prefix length for Jaccard t=3/5: n - ceil(t*n) + 1
+    prefix = with_n.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.col("n") * 3 / 5).cast("long") + 1
+    ).select("doc_id", "w")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # verify candidates with exact intersection counts over FULL sets
+    pair_inter = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("intersect_size"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pair_inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(
+            8 * F.col("intersect_size") >= 3 * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersect_size",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(1000 * intersect_size) div (n_a + n_b - intersect_size)"
+            ).alias("jaccard_milli"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------
+# Incremental rollup maintenance: recompute only late-data-affected
+# partitions.
+# --------------------------------------------------------------------
+@register(
+    "incremental_rollup_late_data",
+    """
+    WITH base AS (
+      SELECT * FROM events WHERE event_id % 20 != 0
+    ), late AS (
+      SELECT * FROM events WHERE event_id % 20 = 0
+    ), base_daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM base GROUP BY 1, 2
+    ), affected AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM late
+    ), recomputed AS (
+      SELECT e.event_type, CAST(e.ts AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events e
+      JOIN affected a
+        ON e.event_type = a.event_type AND CAST(e.ts AS DATE) = a.day
+      GROUP BY 1, 2
+    )
+    SELECT r.event_type, strftime(r.day, '%Y-%m-%d') AS day,
+           CAST(r.n AS BIGINT) AS n_events,
+           r.cents AS sum_cents,
+           (b.event_type IS NOT NULL) AS had_base_row,
+           CAST(r.n - COALESCE(b.n, 0) AS BIGINT) AS n_late_added
+    FROM recomputed r
+    LEFT JOIN base_daily b
+      ON b.event_type = r.event_type AND b.day = r.day
+    ORDER BY r.event_type, day
+    """,
+    tags=("incremental", "rollup", "cdc"),
+)
+def incremental_rollup_late_data(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance: a late-arriving
+    slice (5% of events, by id residue) invalidates only the
+    (type, day) partitions it touches; the query emits the
+    recomputed rows for EXACTLY those partitions — with the delta
+    against the stale base rollup — instead of rebuilding the whole
+    aggregate. This is the refresh step of every incremental
+    view-maintenance pipeline.
+
+    Scale shape: the affected-key set comes from one aggregation over
+    the (small) delta and drives a semi-join into the fact scan — on
+    a date-partitioned table that semi-join becomes partition pruning
+    (only affected days are re-read); the recompute cost is bounded
+    by the delta's spread, not history size. The stale-base
+    comparison joins on the same (type, day) key, shuffle-aligned
+    with the recompute.
+    """
+    e = t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    base_daily = (
+        e.filter(F.col("event_id") % 20 != 0)
+        .groupBy("event_type", day)
+        .agg(F.count("*").alias("b_n"), F.sum(cents("value")).alias("b_c"))
+    )
+    affected = (
+        e.filter(F.col("event_id") % 20 == 0)
+        .select("event_type", day)
+        .distinct()
+    )
+    recomputed = (
+        e.join(
+            F.broadcast(affected),
+            (e["event_type"] == affected["event_type"])
+            & (e["ts"].cast("date") == affected["day"]),
+            "left_semi",
+        )
+        .groupBy("event_type", day)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("sum_cents"),
+        )
+    )
+    return (
+        recomputed.join(
+            base_daily.withColumnRenamed("event_type", "b_type")
+            .withColumnRenamed("day", "b_day"),
+            (F.col("event_type") == F.col("b_type"))
+            & (F.col("day") == F.col("b_day")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_cents",
+            F.col("b_type").isNotNull().alias("had_base_row"),
+            (F.col("n_events") - F.coalesce(F.col("b_n"), F.lit(0)))
+            .cast("long")
+            .alias("n_late_added"),
+        )
+        .orderBy("event_type", "day")
+    )
