@@ -897,3 +897,149 @@ def incremental_rollup_late_data(
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers (privacy governance).
+# --------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey AS nation,
+             c_mktsegment AS segment,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             c_custkey
+      FROM customer
+    ), cls AS (
+      SELECT nation, segment, bal_band, COUNT(*) AS class_size
+      FROM qi GROUP BY nation, segment, bal_band
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, segment,
+           CAST(bal_band AS BIGINT) AS bal_band,
+           CAST(class_size AS BIGINT) AS class_size,
+           (class_size < 5) AS violates_k5
+    FROM cls
+    ORDER BY nation, segment, bal_band
+    """,
+    tags=("governance", "privacy", "audit"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group the customer table by its
+    quasi-identifier combination (nation, market segment, $1000
+    account-balance band) and flag equivalence classes smaller than
+    k=5 — the classes whose members a linkage attack can re-identify.
+    The release decision (suppress / generalize further) consumes
+    exactly this table; `masked_rls_customers` is the generalization
+    step this audit validates.
+
+    Scale shape: one hash aggregation on the QI tuple — the audit is
+    a single shuffle at any scale; banding acctbal in exact integer
+    cents keeps the class key deterministic across engines.
+    """
+    qi = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "cast(round(c_acctbal * 100) as bigint) div 100000"
+        ).alias("bal_band"),
+    )
+    return (
+        qi.groupBy("nation", "segment", "bal_band")
+        .agg(F.count("*").alias("class_size"))
+        .select(
+            "nation",
+            "segment",
+            "bal_band",
+            "class_size",
+            (F.col("class_size") < 5).alias("violates_k5"),
+        )
+        .orderBy("nation", "segment", "bal_band")
+    )
+
+
+# --------------------------------------------------------------------
+# Benford first-digit audit (fraud/data-quality screening).
+# --------------------------------------------------------------------
+@register(
+    "benford_first_digit_audit",
+    """
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents
+    ), obs AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           (1000000 * n) // total AS observed_micro_x10,
+           CAST(CASE digit
+             WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+             WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+             WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+           END AS BIGINT) AS benford_micro_x10,
+           (1000000 * n) // total
+             - CASE digit
+                 WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                 WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                 WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+               END AS deviation_micro_x10
+    FROM obs CROSS JOIN tot
+    ORDER BY digit
+    """,
+    tags=("audit", "quality", "stats"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screening of order totals: observed
+    first-significant-digit frequencies against the Benford
+    expectation log10(1+1/d), both in integer micro-proportions
+    (×10⁶, floor) — the standard forensic-accounting test for
+    fabricated or truncated monetary data. The expectation table is a
+    fixed integer CASE (no float log in either engine); large
+    |deviation| rows are the screening signal.
+
+    Note the synthetic totals are uniform-ish, so deviations here are
+    LARGE — the audit correctly reports that this corpus is not
+    Benford-distributed; the operator's value is the exact,
+    engine-reproducible deviation table itself.
+
+    Scale shape: first digit extracts row-local from integer cents; a
+    9-row aggregate + one scalar total broadcast back — single
+    shuffle, constant-size output at any data volume.
+    """
+    c = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(cents("o_totalprice").alias("c"))
+    )
+    digits = c.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias(
+            "digit"
+        )
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = (
+        "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 "
+        "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 "
+        "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 "
+        "WHEN 9 THEN 45757 END"
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("(1000000 * n) div total").alias("observed_micro_x10"),
+            F.expr(benford).cast("long").alias("benford_micro_x10"),
+            (
+                F.expr("(1000000 * n) div total")
+                - F.expr(benford).cast("long")
+            ).alias("deviation_micro_x10"),
+        )
+        .orderBy("digit")
+    )
