@@ -64,6 +64,10 @@ HEADLINE = [
     "dsir_importance_weights",
     "countmin_heavy_hitters",
     "anomaly_zscore_daily",
+    # round-3 operator representatives
+    "proration_largest_remainder",
+    "audio_frame_energy_top2",
+    "image_decode_downsample",
 ]
 
 

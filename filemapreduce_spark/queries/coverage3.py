@@ -1083,3 +1083,261 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------
+# Weighted median (cumulative-weight formulation).
+# --------------------------------------------------------------------
+@register(
+    "weighted_median_price_by_flag",
+    """
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ), g AS (
+      SELECT flag, price_cents, CAST(SUM(w) AS BIGINT) AS w
+      FROM x GROUP BY flag, price_cents
+    ), c AS (
+      SELECT flag, price_cents, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT flag,
+           MIN(price_cents) AS weighted_median_cents,
+           MIN(tw) AS total_weight
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY flag
+    ORDER BY flag
+    """,
+    tags=("stats", "quantile", "weighted"),
+)
+def weighted_median_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted median (lower weighted median: smallest value whose
+    cumulative weight reaches half the total) of extended price
+    weighted by quantity, per return flag — the quantity-weighted
+    'typical unit price' plain median misses. Pure cumulative-weight
+    formulation: pre-aggregate per distinct value, one running sum,
+    pick the crossing point — exact BIGINT throughout.
+
+    Scale shape: the value-level pre-aggregation collapses the fact
+    table before any window; the running sum partitions by flag. The
+    same shape generalizes to any weighted quantile q by replacing
+    ``2*cw >= tw`` with ``cw*denom >= q_num*tw``.
+    """
+    x = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        cents("l_extendedprice").alias("price_cents"),
+        F.round("l_quantity").cast("long").alias("w"),
+    )
+    g = x.groupBy("flag", "price_cents").agg(F.sum("w").alias("w"))
+    w_run = (
+        Window.partitionBy("flag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "price_cents",
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_cents").alias("weighted_median_cents"),
+            F.min("tw").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+# --------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) statistic with exact midranks.
+# --------------------------------------------------------------------
+@register(
+    "mann_whitney_u_by_type",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ), r AS (
+      -- 2x-scaled midrank: min_rank + max_rank over each tie group
+      SELECT event_type, grp, v,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY v, grp, row_nr)
+             AS BIGINT) AS rn
+      FROM (SELECT x.*, row_number() OVER () AS row_nr FROM x) x
+    ), ties AS (
+      SELECT event_type, v,
+             CAST(MIN(rn) + MAX(rn) AS BIGINT) AS midrank2
+      FROM r GROUP BY event_type, v
+    ), j AS (
+      SELECT r.event_type, r.grp, t.midrank2
+      FROM r JOIN ties t ON r.event_type = t.event_type AND r.v = t.v
+    ), sums AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN grp = 'A' THEN midrank2 ELSE 0 END)
+                  AS BIGINT) AS r_a_2,
+             CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM j GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           (r_a_2 - n_a * (n_a + 1)) / 2.0 AS u_a
+    FROM sums
+    ORDER BY event_type
+    """,
+    tags=("stats", "hypothesis-test"),
+)
+def mann_whitney_u_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U statistic (two-sided rank-sum input) comparing
+    even- vs odd-user event values per event type — the
+    nonparametric A/B test primitive. Tied values receive exact
+    midranks computed as ``(min_rank + max_rank)`` per tie group
+    (2×-scaled so everything stays integer; the single final /2.0 is
+    the only float op and is identical on both engines).
+
+    The rank ordering breaks ties deterministically only WITHIN the
+    midrank computation (tie groups collapse to one value), so the
+    statistic is row-order independent — safe under any partitioning.
+
+    Scale shape: ranks partition by event_type; the tie table is a
+    per-(type, value) aggregate joined back on the same key — two
+    co-partitioned shuffles, no global window.
+    """
+    x = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        cents("value").alias("v"),
+    )
+    # rank per (type, value) — ties collapse, so the arbitrary
+    # within-tie order never affects midrank2 = min_rn + max_rn
+    g = (
+        x.groupBy("event_type", "grp", "v")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # per-(type,value) total count and cumulative counts give exact
+    # min/max rank of the tie group without ranking individual rows
+    per_val = g.groupBy("event_type", "v").agg(
+        F.sum("cnt").alias("n_here")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked_vals = per_val.select(
+        "event_type",
+        "v",
+        (F.sum("n_here").over(w_cum) - F.col("n_here") + 1).alias("min_rn"),
+        F.sum("n_here").over(w_cum).alias("max_rn"),
+    ).withColumn("midrank2", F.col("min_rn") + F.col("max_rn"))
+    j = g.join(ranked_vals, ["event_type", "v"])
+    sums = j.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("grp") == "A", F.col("midrank2") * F.col("cnt"))
+            .otherwise(0)
+        ).alias("r_a_2"),
+        F.sum(F.when(F.col("grp") == "A", F.col("cnt")).otherwise(0)).alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col("grp") == "B", F.col("cnt")).otherwise(0)).alias(
+            "n_b"
+        ),
+    )
+    return sums.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (
+            (F.col("r_a_2") - F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+        ).alias("u_a"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------
+# Gini coefficient of revenue concentration, per nation.
+# --------------------------------------------------------------------
+@register(
+    "gini_revenue_by_nation",
+    """
+    WITH rev AS (
+      SELECT c_nationkey AS nation, o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey
+    ), ranked AS (
+      SELECT nation, x,
+             CAST(row_number() OVER (
+               PARTITION BY nation ORDER BY x, o_custkey) AS BIGINT) AS i
+      FROM rev
+    ), agg AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM ranked GROUP BY nation
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, n,
+           (1000000 * (2 * six - (n + 1) * sx)) // (n * sx) AS gini_micro
+    FROM agg
+    ORDER BY nation
+    """,
+    tags=("stats", "concentration"),
+)
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue concentration within
+    each nation (micro-units, floor): the standard inequality measure
+    for 'how concentrated is our revenue', from the sorted-rank
+    identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx). Ranks are deterministic
+    ((revenue, custkey) order); all arithmetic is BIGINT with one
+    final integer division.
+
+    Scale shape: per-customer totals are one shuffle; ranking
+    partitions by nation (bounded-cardinality groups). A single
+    global Gini at extreme scale would use the two-level banded-rank
+    pattern of `orderkey_gap_audit`; per-group partitioning is the
+    common case and needs no global sort.
+    """
+    rev = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").cast("long").alias("nation"),
+            ),
+            "o_custkey",
+        )
+        .groupBy("nation", "o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("x"))
+    )
+    w_rank = Window.partitionBy("nation").orderBy("x", "o_custkey")
+    ranked = rev.select(
+        "nation", "x", F.row_number().over(w_rank).cast("long").alias("i")
+    )
+    agg = ranked.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        "nation",
+        "n",
+        F.expr(
+            "(1000000 * (2 * six - (n + 1) * sx)) div (n * sx)"
+        ).alias("gini_micro"),
+    ).orderBy("nation")
