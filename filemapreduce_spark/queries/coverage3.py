@@ -142,24 +142,33 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     after it. Arithmetic stays in BIGINT (max total_cents*qty ≈
     2.5e9), with no floating point anywhere.
     """
+    # qty is integer-valued, so ordering by rounded qty is the same
+    # total order the oracle's (l_linenumber, l_quantity) uses
     w_seq = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_quantity"
+        "l_linenumber", "qty"
     )
-    li = t(spark, sf_dir, "lineitem").select(
+    raw = t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
-        F.row_number().over(w_seq).cast("long").alias("line_seq"),
+        "l_linenumber",
         F.round("l_quantity").cast("long").alias("qty"),
     )
+    li = raw.select(
+        "l_orderkey",
+        F.row_number().over(w_seq).cast("long").alias("line_seq"),
+        "qty",
+    )
+    # totals come from the UN-windowed scan (a sum doesn't need line
+    # sequencing), so the window stage runs once, not twice
     tot = (
-        li.join(
+        raw.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .join(
             t(spark, sf_dir, "orders").select(
                 F.col("o_orderkey").alias("l_orderkey"),
                 cents("o_totalprice").alias("total_cents"),
             ),
             "l_orderkey",
         )
-        .groupBy("l_orderkey", "total_cents")
-        .agg(F.sum("qty").alias("total_qty"))
     )
     base = li.join(tot, "l_orderkey").select(
         "l_orderkey",

@@ -33,6 +33,17 @@ from filemapreduce_spark.sources.tables import load_table as t
 _FRAME = 16  # audio energy window, in per-channel samples
 
 
+def _python_stage_partitions(spark: SparkSession) -> int:
+    """Task count for Arrow/Python stages over the toy corpus: match
+    the session's shuffle sizing (per-task Python dispatch costs
+    ~15-20 ms, so more tasks than shuffle partitions is a net loss at
+    this data volume)."""
+    try:
+        return max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        return 8
+
+
 # --------------------------------------------------------------------
 # Audio: per-frame energy over decoded channel-0 PCM, top-2 frames.
 # --------------------------------------------------------------------
@@ -85,7 +96,16 @@ def audio_frame_energy_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select("doc_id")
+    # the toy corpus is one parquet file → one scan task; spread the
+    # doc_id seed so BOTH Python stages run task-parallel, sized like
+    # a shuffle stage (more tasks than that just multiplies Python
+    # dispatch overhead; a real multi-file corpus arrives
+    # pre-partitioned and skips this)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(_python_stage_partitions(spark))
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -237,7 +257,13 @@ def image_decode_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select("doc_id")
+    # single-file toy scan → repartition so both Python stages are
+    # task-parallel (see audio_frame_energy_top2)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(_python_stage_partitions(spark))
+    )
 
     def synth(batches):
         for pdf in batches:
