@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal2,
         pipeline,
         relational,
+        roundtrip,
         streaming,
         subqueries,
         udx,

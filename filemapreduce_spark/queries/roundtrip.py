@@ -1,0 +1,241 @@
+"""Sink round-trip queries: oracle-gated proof that the layout sinks
+(partitioned / range-clustered / compacted / CSV) preserve content.
+
+The sink helpers in ``filemapreduce_spark.sinks`` had only plan-level
+unit tests (tests/test_sinks.py asserts pruning, disjoint ranges,
+file counts); these queries close the loop the driver can verify:
+each one WRITES a layout to a scratch directory, READS it back
+through the layout's intended access path (partition-pruned filter,
+range-skipped scan, compacted scan, schema'd CSV), and aggregates —
+the DuckDB oracle runs the same aggregate on the ORIGINAL table, so
+a value-hash match proves the write→read cycle is lossless.
+
+The reference's pipeline is read-only (its one sink is the
+single-value Finalizer, ``/root/reference/interfaces.go:68-78``);
+partitioned columnar sinks are the Spark-native extension a 100 TB
+deployment actually writes to (SURVEY.md §2 Part B "Sinks").
+
+Scale: each query's write is one shuffle (repartition /
+repartitionByRange) followed by a parallel columnar write — the
+shape that holds at any SF. Scratch output lands in a fresh
+``tempfile.mkdtemp`` dir per invocation so concurrent runs never
+collide; at sf0.01 each dataset is a few MB.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.money import SQL_CENTS, as_money, cents
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sinks import (
+    compact_files,
+    write_clustered,
+    write_partitioned,
+)
+from filemapreduce_spark.sources.tables import load_table as t
+
+
+def _scratch(label: str) -> str:
+    return tempfile.mkdtemp(prefix=f"fmr_{label}_")
+
+
+# --------------------------------------------------------------------
+# Partitioned write → partition-pruned read-back.
+# --------------------------------------------------------------------
+@register(
+    "sink_partitioned_prune_roundtrip",
+    """
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("sink", "partitioned", "roundtrip"),
+)
+def sink_partitioned_prune_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write lineitem partitioned by ``l_returnflag``, read it back
+    with a filter on the partition column, and aggregate. The oracle
+    aggregates the original table — a hash match proves the
+    directory-partitioned layout round-trips losslessly, and the
+    read path exercises partition PRUNING (the 'R' filter resolves
+    against directory names; the 'A'/'N' directories are never
+    opened — tests/test_sinks.py asserts the pruned plan).
+
+    Scale: ``repartition(partition_by)`` before the write means each
+    partition directory is produced by one task's worth of files, not
+    #tasks × #partitions shards — the layout that avoids the
+    small-files problem at 1000 executors.
+    """
+    base = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    dest = _scratch("part_prune")
+    write_partitioned(
+        base.repartition("l_returnflag"), dest, ["l_returnflag"]
+    )
+    back = spark.read.parquet(dest).where(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------
+# Range-clustered write → time-range read-back (file skipping).
+# --------------------------------------------------------------------
+@register(
+    "sink_clustered_timerange_roundtrip",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM({SQL_CENTS.format(col='l_extendedprice')})
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sink", "clustered", "roundtrip"),
+)
+def sink_clustered_timerange_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write lineitem range-clustered on ``l_shipdate`` (contiguous,
+    disjoint date ranges per file via ``repartitionByRange`` +
+    ``sortWithinPartitions``), read it back with a one-year time-range
+    predicate, and aggregate revenue per return flag. Oracle runs the
+    same aggregate on the original table.
+
+    Scale: with disjoint per-file shipdate ranges, the parquet footer
+    min/max lets the scan SKIP the ~5/6 of files wholly outside
+    1996 — the clustered layout is what turns a time-range query on
+    100 TB into an IO-proportional-to-answer scan. The write itself
+    is one range shuffle (sampled, so skew-balanced) + parallel write.
+    """
+    base = t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_extendedprice"
+    )
+    dest = _scratch("clustered")
+    write_clustered(base, dest, ["l_shipdate"], n_files=8)
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    back = spark.read.parquet(dest).where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# Fragmented write → compaction → read-back.
+# --------------------------------------------------------------------
+@register(
+    "sink_compact_roundtrip",
+    f"""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM({SQL_CENTS.format(col='p_retailprice')})
+                AS BIGINT) AS retail_cents
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("sink", "compaction", "roundtrip"),
+)
+def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately fragment the part table into 64 small files (the
+    over-parallel-writer pathology), run ``compact_files`` to rewrite
+    it at a 1 GiB file target (→ one file at this SF), and aggregate
+    the COMPACTED copy. Oracle aggregates the original — a hash match
+    proves compaction is content-preserving, not just file-count-
+    reducing (tests/test_sinks.py covers the sizing math).
+
+    Scale: compaction sizes output from Hadoop ``getContentSummary``
+    bytes (no driver collect of data) and rewrites in one
+    ``repartition(n)`` shuffle — linear in data, parallel across the
+    cluster; exactly how a nightly small-files sweep runs at 100 TB.
+    """
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    frag = _scratch("fragmented")
+    dest = _scratch("compacted")
+    base.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_files(spark, frag, dest, target_file_bytes=1 << 30)
+    back = spark.read.parquet(dest)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(cents("p_retailprice")).alias("retail_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------
+# CSV write → explicit-schema read-back.
+# --------------------------------------------------------------------
+@register(
+    "sink_csv_schema_roundtrip",
+    """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("sink", "csv", "roundtrip"),
+)
+def sink_csv_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export document metadata to headered CSV, read it back with an
+    explicit DDL schema (``doc_id BIGINT, lang STRING, ...`` — no
+    inference pass), and aggregate per (lang, source). Oracle
+    aggregates the original parquet — a hash match proves the
+    text-format round trip preserves every row and value.
+
+    Scale: an explicit read schema matters twice at 100 TB — schema
+    inference costs a full extra pass over the data, and inferred
+    types drift with content (a numeric-looking string column flips
+    type between batches). Declared DDL makes CSV ingest one
+    splittable, single-pass scan.
+    """
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    dest = _scratch("csv")
+    base.write.mode("overwrite").option("header", "true").csv(dest)
+    back = spark.read.schema(
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    ).option("header", "true").csv(dest)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "source")
+    )
