@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: fills REGISTRY)."""
     from filemapreduce_spark.queries import (  # noqa: F401
         analytics2,
+        analytics3,
         audit,
         coverage2,
         coverage3,
