@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         linalg,
         llm,
         llm2,
+        llm3,
         multimodal2,
         pipeline,
         relational,

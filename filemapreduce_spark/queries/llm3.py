@@ -1,0 +1,288 @@
+"""LLM-pipeline batch 3: sign-random-projection LSH over dense
+embeddings, and tokenizer-vocabulary coverage / OOV accounting.
+
+Completes the ANN family (SURVEY.md §2): the registry already has
+MinHash (set similarity), SimHash (weighted token similarity), IVF
+(coarse-quantizer partition pruning) and brute-force cosine; SRP-LSH
+(Charikar 2002) is the classic *dense-vector* locality hash — sign
+bits of dot products against fixed random hyperplanes, banded so that
+high-cosine vectors collide. The vocab-coverage op is the standard
+pre-tokenizer diagnostic: what fraction of the corpus token mass a
+top-K vocabulary captures, per language.
+
+Both are exact-by-construction across engines: hyperplane weights are
+±1 values derived from md5 at module import and embedded as literals
+in BOTH the Spark plan and the DuckDB oracle, and all folds run in
+array-index order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.vectors import dot, norm, to_double
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+_N_PLANES = 16
+_DIM = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    """±1 hyperplane weights, md5-derived → identical in any engine
+    that embeds them as literals (no RNG, no seed state)."""
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for i in range(_DIM):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _plane_weights()
+
+
+def _sig_sql() -> str:
+    """DuckDB signature expression, fully unrolled: each plane's dot
+    is a left-associated ±embedding[i] chain (the same sequential
+    order as the Spark fold — IEEE addition order matters for sign
+    stability), with no lambda/list-literal re-evaluation per row."""
+    dots = []
+    for p in range(_N_PLANES):
+        terms = "".join(
+            ("+ " if w > 0 else "- ") + f"embedding[{i + 1}]::DOUBLE "
+            for i, w in enumerate(_PLANES[p])
+        )
+        dots.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(dots) + " AS BIGINT)"
+
+_SQL_COS = """
+    round(
+      list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * ea[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> eb[i]::DOUBLE * eb[i]::DOUBLE)))),
+      6)
+"""
+
+
+@register(
+    "srp_lsh_candidate_pairs",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, {_sig_sql()} AS sig
+      FROM embeddings
+    ), bands AS (
+      SELECT vec_id, 0 AS band_idx, sig % 256 AS band_val FROM sigs
+      UNION ALL
+      SELECT vec_id, 1 AS band_idx, sig // 256 AS band_val FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT id_a, id_b, {_SQL_COS} AS cos
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS ea FROM embeddings) qa
+        ON qa.vec_id = id_a
+      JOIN (SELECT vec_id, embedding AS eb FROM embeddings) qb
+        ON qb.vec_id = id_b
+    ) WHERE cos >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("ann", "lsh", "embedding", "llm"),
+)
+def srp_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH (Charikar 2002) near-neighbor
+    candidates over dense embeddings: each vector gets a 16-bit
+    signature (sign of its dot product with 16 fixed ±1 hyperplanes),
+    signatures split into 2 bands of 8 bits, vectors colliding in
+    either band become candidate pairs, and candidates are verified
+    with the exact cosine (keep ≥ 0.3). The collision probability per
+    bit is 1 − θ/π, so banding concentrates recall on high-cosine
+    pairs without any all-pairs comparison.
+
+    Exactness: hyperplane weights are md5-derived ±1 literals baked
+    into both plans; dot folds run in index order, so signatures —
+    and therefore the candidate set — are bit-identical across
+    engines.
+
+    Scale shape: signatures are row-local (one map over the corpus,
+    no shuffle); candidates come from a self-equi-join on
+    (band_idx, band_val) — output-linear like the MinHash path, never
+    O(N²); the verify joins candidates back to vectors BY ID so the
+    64-double payload never rides through the band explode. At 100 TB
+    add more bands/bits to hold bucket sizes down and salt hot
+    buckets; the plan shape is unchanged.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("_v")
+    )
+    # Per-plane dot as a zip_with fold (index order). IEEE-identical
+    # to the oracle's unrolled ± chain: 0.0 + t1 + t2 + ... equals
+    # t1 ± t2 ± ... bit-for-bit (adding 0.0 is exact; w*e with
+    # w = ±1.0 equals ±e). The fold form keeps the codegen tree small
+    # where the oracle needs the unrolled form for speed.
+    sig = None
+    for p, plane in enumerate(_PLANES):
+        lit_plane = F.array([F.lit(w) for w in plane])
+        bit = F.when(
+            dot(F.col("_v"), lit_plane) >= 0, F.lit(1 << p)
+        ).otherwise(0)
+        sig = bit if sig is None else (sig + bit)
+    sigs = emb.select("vec_id", sig.cast("long").alias("sig"))
+
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    (F.col("sig") % 256).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.expr("sig div 256").alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.band_val")
+    # both self-join sides read bands: persist so signatures (the
+    # only nontrivial math) compute once
+    bands = bands.persist()
+    bands.count()
+
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    va = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id_a"),
+        to_double(F.col("embedding")).alias("_va"),
+    )
+    vb = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id_b"),
+        to_double(F.col("embedding")).alias("_vb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (norm(F.col("_va")) * norm(F.col("_vb"))),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------
+# Vocabulary coverage / OOV-rate diagnostic.
+# --------------------------------------------------------------------
+_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+)
+_VOCAB_K = 200
+
+
+@register(
+    "vocab_coverage_oov",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_SQL_WORDS}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok LIMIT {_VOCAB_K}
+      )
+    )
+    SELECT lang,
+           COUNT(*) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           CAST(COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END)
+                AS BIGINT) AS distinct_oov_terms,
+           CAST(round(1000.0 * (COUNT(*) - SUM(CASE WHEN v.tok IS NOT NULL
+                                               THEN 1 ELSE 0 END))
+                      / COUNT(*)) AS BIGINT) AS oov_rate_milli
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "tokenizer", "llm"),
+)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage diagnostic: build the corpus-global top-200
+    token vocabulary (by frequency, ties by token), then report per
+    language the total token mass, the mass the vocabulary covers,
+    the distinct out-of-vocabulary term count, and the OOV rate in
+    milli — the standard pre-tokenizer health check (high OOV in a
+    language means the vocabulary under-serves it).
+
+    Scale shape: token counts reduce map-side to one row per distinct
+    term; the top-K is a TakeOrderedAndProject (no global sort); the
+    coverage pass joins the BROADCAST 200-term vocabulary against the
+    token stream — one scan, one broadcast join, one per-lang agg.
+    At 100 TB the vocab build and coverage scan stay two linear
+    passes; K scaling only grows the broadcast table.
+    """
+    from filemapreduce_spark.operators.textops import words
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(words(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    covered = F.sum(
+        F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    total = F.count("*")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            total.alias("total_tokens"),
+            covered.alias("covered_tokens"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("tok"))
+            )
+            .cast("long")
+            .alias("distinct_oov_terms"),
+            F.round(
+                1000.0
+                * (F.count("*") - F.sum(
+                    F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0)
+                ))
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("oov_rate_milli"),
+        )
+        .orderBy("lang")
+    )

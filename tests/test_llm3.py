@@ -1,0 +1,51 @@
+"""Invariant tests for llm3.py (SRP-LSH, vocab coverage)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from filemapreduce_spark.queries import load_all
+from filemapreduce_spark.queries.llm3 import _PLANES, _N_PLANES, _DIM
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_plane_weights_are_md5_derived_and_balanced():
+    """Weights must be reproducible from md5 (no RNG state) and not
+    degenerate (each plane mixes both signs)."""
+    assert len(_PLANES) == _N_PLANES and all(len(p) == _DIM for p in _PLANES)
+    for p, row in enumerate(_PLANES):
+        for i, w in enumerate(row):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            assert w == (1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        assert {1.0, -1.0} == set(row), "plane must mix both signs"
+
+
+def test_srp_pairs_are_verified_and_canonical(spark, registry):
+    rows = registry["srp_lsh_candidate_pairs"].fn(spark, SF_SMALL).collect()
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.3 <= r["cos"] <= 1.000001
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+
+
+def test_vocab_coverage_internal_consistency(spark, registry):
+    rows = registry["vocab_coverage_oov"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["total_tokens"]
+        expect = round(
+            1000.0
+            * (r["total_tokens"] - r["covered_tokens"])
+            / r["total_tokens"]
+        )
+        assert r["oov_rate_milli"] == expect
