@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm3,
         multimodal2,
         pipeline,
+        pipeline2,
         relational,
         roundtrip,
         streaming,

@@ -130,6 +130,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "tfidf_top_term_per_doc",
         "triangle_count_copurchase",
         "unigram_surprisal_filter",
+        "welch_ttest_vs_view",  # 1-row baseline-stats broadcast
         "window_rank_supplier_balance",
     }
     # Windows whose INPUT is a date-grain aggregate (one row per
@@ -140,9 +141,13 @@ def test_registry_wide_plan_audit(spark, registry):
     # summaries — input is keys/4096² rows (16.7M× reduction; ~60k
     # skinny rows even at 10^12 keys), with both finer levels fully
     # partition-parallel.
+    # shard_stripe_balance: its global window consumes the per-shard
+    # summary — exactly N_SHARDS (8) rows by construction, bounded by
+    # config, never by data volume.
     allowed_global_window = {
         "rolling_correlation_series",
         "orderkey_gap_audit",
+        "shard_stripe_balance",
     }
 
     offenders = {}
