@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline2,
         relational,
         roundtrip,
+        search,
         streaming,
         subqueries,
         udx,
