@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
     from filemapreduce_spark.queries import (  # noqa: F401
         analytics2,
         analytics3,
+        analytics4,
         audit,
         coverage2,
         coverage3,

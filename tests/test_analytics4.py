@@ -1,0 +1,68 @@
+"""Invariant tests for analytics4.py (interval union, temperature
+weights, seasonal backtest)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.queries import load_all
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_interval_union_bounds(spark, registry):
+    """Covered time is at least the longest island, at most the sum of
+    raw durations (merging only shrinks), and island count is at most
+    the user's event count."""
+    rows = registry["interval_union_coverage"].fn(spark, SF_SMALL).collect()
+    raw = {
+        r["user_id"]: (r["n"], r["dur"])
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long") * 10000
+            ).alias("dur"),
+        )
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        n_events, total_dur = raw[r["user_id"]]
+        assert 1 <= r["n_islands"] <= n_events
+        assert r["longest_us"] <= r["covered_us"] <= total_dur
+
+
+def test_temperature_weights_sum_and_boost_direction(spark, registry):
+    """Weights and shares each sum to ~1e6; sqrt-temperature boosts
+    below-average languages and dampens above-average ones."""
+    rows = registry["temperature_mixture_weights"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert abs(sum(r["p_micro"] for r in rows) - 1_000_000) <= len(rows)
+    assert abs(sum(r["w_micro"] for r in rows) - 1_000_000) <= len(rows)
+    # boost(n) = total / (z * sqrt(n)) is strictly decreasing in n:
+    # smaller languages always get at least the boost of larger ones
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    for a, b in zip(by_n, by_n[1:]):
+        if a["n_docs"] < b["n_docs"]:
+            assert a["boost_milli"] >= b["boost_milli"]
+
+
+def test_backtest_has_no_lookahead_and_exact_errors(spark, registry):
+    """Every scored day is on/after the split; the error column is
+    exactly |1000*actual - pred|."""
+    rows = registry["seasonal_naive_backtest"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["day"] >= "2024-01-24"
+        assert r["abs_err_milli"] == abs(
+            r["actual_cents"] * 1000 - r["pred_milli"]
+        )

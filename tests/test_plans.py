@@ -127,6 +127,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "session_cooccurrence_pmi",
         "similarity_bruteforce_topk",
         "similarity_ivf_probe2",
+        "temperature_mixture_weights",  # 1-row normalizer broadcast
         "tfidf_top_term_per_doc",
         "triangle_count_copurchase",
         "unigram_surprisal_filter",
