@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         llm2,
         llm3,
+        mlprep,
         multimodal2,
         pipeline,
         pipeline2,

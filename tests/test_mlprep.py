@@ -1,0 +1,80 @@
+"""Invariant tests for mlprep.py (RFM, LOO encoding, hard negatives)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.queries import load_all
+from filemapreduce_spark.queries.mlprep import _HN_K
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_rfm_covers_all_users_with_valid_scores(spark, registry):
+    rows = registry["rfm_quintile_segments"].fn(spark, SF_SMALL).collect()
+    total_users = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == total_users
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5
+
+
+def test_loo_encoding_excludes_self(spark, registry):
+    """Category mean of the LOO values must equal the plain category
+    mean (LOO redistributes, never shifts the mean), and no row may
+    equal the plain mean when its own value differs from it."""
+    out = registry["loo_target_encoding"].fn(spark, SF_SMALL)
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    j = out.join(o, "o_orderkey")
+    stats = (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.avg("loo_milli").alias("loo_mean"),
+            (F.avg("x") * 1000).alias("plain_mean_milli"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    for s in stats:
+        if s["n"] > 1:
+            # identity: mean over rows of (S-x)/(n-1) == S/n
+            assert abs(s["loo_mean"] - s["plain_mean_milli"]) < 2.0
+
+
+def test_hard_negatives_never_share_label(spark, registry):
+    out = registry["hard_negative_mining"].fn(spark, SF_SMALL)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    j = (
+        out.join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("ql"),
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neg_id"), F.col("label").alias("nl")
+            ),
+            "neg_id",
+        )
+    )
+    assert j.where(F.col("ql") == F.col("nl")).count() == 0
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] <= _HN_K for r in per_q)

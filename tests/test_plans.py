@@ -115,12 +115,14 @@ def test_registry_wide_plan_audit(spark, registry):
         "copurchase_lift_top50",
         "dsir_importance_weights",
         "funnel_conversion_window",
+        "hard_negative_mining",  # tiny query-slice broadcast, != join
         "ivf_recall_measure",
         "kmeans_lloyd_2iter",
         "minhash_lsh_recall",
         "parents_prefix_inheritance",
         "q11_value_concentration",
         "q22_idle_customers",
+        "rfm_quintile_segments",  # 1-row percentile-threshold broadcast
         "revenue_share_by_nation",
         "rolling_7day_active_users",
         "semdedup_cluster_prune",
