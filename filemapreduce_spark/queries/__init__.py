@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         audit,
         coverage2,
         coverage3,
+        coverage4,
         corpus,
         fileops,
         linalg,

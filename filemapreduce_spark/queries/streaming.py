@@ -578,3 +578,107 @@ def session_window_batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lacks (ImportError at stream start). The applyInPandasWithState query
 # above covers the arbitrary-keyed-state semantics; swapping APIs is a
 # mechanical change once protobuf is available.
+
+
+# --------------------------------------------------------------------
+# foreachBatch incremental upsert (the production merge-sink pattern).
+# --------------------------------------------------------------------
+@register(
+    "streaming_foreachbatch_upsert",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "upsert", "sink"),
+)
+def streaming_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch incremental upsert: the events table is split into
+    4 hash-sliced files, streamed one file per micro-batch
+    (maxFilesPerTrigger=1), and each micro-batch MERGES its per-user
+    partial aggregate into a keyed parquet state table (full-outer
+    join on user_id, sum the partials) — the standard Structured
+    Streaming pattern for maintaining an upsert sink on storage that
+    has no native MERGE. The final state must equal the batch
+    aggregate over all events (the oracle), which only holds if every
+    batch was applied exactly once.
+
+    Scale: per-batch work is one map-side-combined agg of the
+    micro-batch plus a keyed join against current state — both shuffle
+    on user_id only; state is rewritten per batch here (generation
+    files) where a table format (Delta/Iceberg) would do a keyed
+    MERGE, with identical plan shape. Counts and cent-sums are
+    mergeable integer state, so batch boundaries never affect the
+    result.
+    """
+    src = _tmpdir("fmr_fb_src_")
+    state_root = _tmpdir("fmr_fb_state_")
+    ev = t(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    # deterministic 4-way hash slicing -> 4 micro-batches
+    ev.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE, event_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    state: dict[str, str | None] = {"path": None, "gen": "0"}
+
+    def upsert(batch_df, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        if state["path"] is None:
+            merged = agg
+        else:
+            cur = batch_df.sparkSession.read.parquet(state["path"])
+            merged = (
+                cur.withColumnRenamed("n_events", "n0")
+                .withColumnRenamed("total_cents", "c0")
+                .join(agg, "user_id", "full")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("n0"), F.lit(0))
+                        + F.coalesce(F.col("n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("c0"), F.lit(0))
+                        + F.coalesce(F.col("total_cents"), F.lit(0))
+                    ).alias("total_cents"),
+                )
+            )
+        gen = int(state["gen"]) + 1
+        new_path = os.path.join(state_root, f"gen_{gen}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+        state["gen"] = str(gen)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", _tmpdir("fmr_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert state["path"] is not None, "stream produced no batches"
+    return (
+        spark.read.parquet(state["path"])
+        .select(
+            "user_id",
+            F.col("n_events").cast("long"),
+            "total_cents",
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,76 @@
+"""Invariant tests for coverage4.py and the foreachBatch upsert."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.queries import load_all
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_candidate_key_audit_flags_the_true_key(spark, registry):
+    rows = {
+        r["combo"]: r
+        for r in registry["candidate_key_audit"].fn(spark, SF_SMALL).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    truth = {
+        "l_orderkey": li.select("l_orderkey").distinct().count(),
+        "l_orderkey,l_linenumber": li.select(
+            "l_orderkey", "l_linenumber"
+        )
+        .distinct()
+        .count(),
+        "l_partkey,l_suppkey": li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .count(),
+    }
+    n_rows = li.count()
+    for combo, r in rows.items():
+        assert r["n_rows"] == n_rows
+        assert r["n_distinct"] == truth[combo]
+        assert r["is_key"] == (1 if r["n_distinct"] == r["n_rows"] else 0)
+    # the bare orderkey is never a key on a line-level table
+    assert rows["l_orderkey"]["is_key"] == 0
+
+
+def test_acf_bounded_and_sample_sizes_shrink(spark, registry):
+    rows = registry["acf_daily_lags"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert abs(r["acf_milli"]) <= 1001
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r["lag_days"])
+        ns = [r["n"] for r in series]
+        assert ns == sorted(ns, reverse=True), "n must shrink with lag"
+
+
+def test_foreachbatch_upsert_equals_batch_aggregate(spark, registry):
+    """Multi-micro-batch merge must reproduce the one-shot batch
+    aggregate exactly (exactly-once application of every batch)."""
+    out = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in registry["streaming_foreachbatch_upsert"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert out == batch

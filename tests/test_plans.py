@@ -109,6 +109,7 @@ def test_registry_wide_plan_audit(spark, registry):
     i.e. a non-equi join that grew a fat side — fails this test.
     """
     allowed_bnlj = {
+        "acf_daily_lags",  # 7-row lag-index broadcast over daily grain
         "benford_first_digit_audit",  # 1-row grand-total broadcast
         "ccnet_perplexity_buckets",
         "contingency_chi2_cells",
