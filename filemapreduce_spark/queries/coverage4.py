@@ -169,3 +169,87 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(1000.0 * num / den).cast("long").alias("acf_milli"),
     ).orderBy("event_type", "lag_days")
+
+
+# --------------------------------------------------------------------
+# Column-level fingerprints (which column changed between snapshots?).
+# --------------------------------------------------------------------
+_FP_COLS = (
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)"),
+)
+
+
+@register(
+    "column_fingerprint_audit",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS column_name,
+           COUNT({sql_expr}) AS n_nonnull,
+           CAST(bit_xor(('0x' || substring(
+                 md5('{name}:' || {sql_expr}), 1, 15))::BIGINT) AS BIGINT)
+             AS fingerprint
+    FROM orders"""
+        for name, sql_expr in _FP_COLS
+    )
+    + "\nORDER BY column_name",
+    tags=("audit", "checksum", "lineage"),
+)
+def column_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN order-independent fingerprints: XOR of md5-derived
+    64-bit hashes of each column's canonicalized values (money as
+    exact cents). Where the registry's row-level table checksum says
+    *whether* two snapshots differ, the column fingerprints say
+    *which column* drifted — the first question of any lineage or
+    replication-integrity investigation. XOR state is mergeable
+    across partitions/days and maintainable under updates (XOR the
+    old value out, the new value in).
+
+    Scale: one scan; each fingerprint is a map-side-combined XOR
+    aggregate — constant state per column, no shuffle of values.
+    Caveat (by construction of XOR): a value appearing an even
+    number of times cancels out, so pair this with the row-count /
+    n_nonnull columns it carries.
+    """
+    o = t(spark, sf_dir, "orders")
+    spark_exprs = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .cast("string"),
+    }
+    parts = []
+    for name, _ in _FP_COLS:
+        sval = spark_exprs[name]
+        parts.append(
+            o.agg(
+                F.lit(name).alias("column_name"),
+                F.count(sval).alias("n_nonnull"),
+                F.expr(
+                    "bit_xor(CAST(conv(substring(md5("
+                    f"concat('{name}:', {_spark_sql_expr(name)})"
+                    "), 1, 15), 16, 10) AS BIGINT))"
+                ).alias("fingerprint"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
+
+
+def _spark_sql_expr(name: str) -> str:
+    """Spark-SQL string form of the canonical value (for bit_xor agg,
+    which has no DataFrame-function wrapper)."""
+    return {
+        "o_orderkey": "CAST(o_orderkey AS STRING)",
+        "o_custkey": "CAST(o_custkey AS STRING)",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice": (
+            "CAST(CAST(round(o_totalprice*100) AS BIGINT) AS STRING)"
+        ),
+    }[name]

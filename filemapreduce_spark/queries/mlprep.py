@@ -280,3 +280,173 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neg_id", "cos", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------
+# Class-balanced downsampling (exact equal-per-label subset).
+# --------------------------------------------------------------------
+@register(
+    "class_balance_downsample",
+    """
+    WITH counts AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ), m AS (
+      SELECT MIN(n) AS m FROM counts
+    ), ranked AS (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5('bal:' || CAST(vec_id AS VARCHAR)), vec_id)
+               AS rn
+      FROM embeddings
+    )
+    SELECT r.label,
+           CAST(c.n AS BIGINT) AS n_orig,
+           COUNT(*) AS n_kept,
+           CAST(bit_xor(('0x' || substring(md5(CAST(r.vec_id AS VARCHAR)),
+                                           1, 15))::BIGINT) AS BIGINT)
+             AS kept_set_checksum
+    FROM ranked r
+    JOIN counts c ON c.label = r.label
+    CROSS JOIN m
+    WHERE r.rn <= m.m
+    GROUP BY r.label, c.n
+    ORDER BY r.label
+    """,
+    tags=("ml", "sampling", "balance"),
+)
+def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: undersample every label to the
+    minority class's exact count, selecting rows by a deterministic
+    md5 order (reproducible 'random' subset, no RNG state). The
+    per-label XOR checksum of kept ids proves both engines select the
+    IDENTICAL subset, not merely equally-sized ones — XOR is
+    order-independent and mergeable, so the checksum also serves as
+    the audit state for incremental rebalancing.
+
+    Scale: per-label rank windows on one label shuffle
+    (WindowGroupLimit prunes past the cutoff); the minority size is a
+    1-row aggregate broadcast. At 100 TB prefer the registry's
+    fixed-k md5 top-k sampler per label — same semantics, same plan.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    m = counts.agg(F.min("n").alias("m"))
+    ranked = emb.select(
+        "label",
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("label").orderBy(
+                F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))),
+                "vec_id",
+            )
+        )
+        .alias("rn"),
+    )
+    kept = (
+        ranked.join(F.broadcast(m))
+        .where(F.col("rn") <= F.col("m"))
+        .join(F.broadcast(counts), "label")
+    )
+    vid_hash = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        kept.groupBy("label", "n")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5(CAST(vec_id AS STRING)),"
+                " 1, 15), 16, 10) AS BIGINT))"
+            ).alias("kept_set_checksum"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n_orig"),
+            "n_kept",
+            "kept_set_checksum",
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------
+# Group-aware K-fold assignment (no group straddles folds).
+# --------------------------------------------------------------------
+_N_FOLDS = 5
+
+
+@register(
+    "group_kfold_assignment",
+    f"""
+    WITH assigned AS (
+      SELECT user_id,
+             ('0x' || substring(md5('fold:' || CAST(user_id AS VARCHAR)),
+                                1, 8))::BIGINT % {_N_FOLDS} AS fold
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), joined AS (
+      SELECT a.fold, e.user_id FROM events e
+      JOIN assigned a ON a.user_id = e.user_id
+    ), leak AS (
+      SELECT CAST(MAX(nf) AS BIGINT) AS max_folds_per_user
+      FROM (SELECT user_id, COUNT(DISTINCT fold) AS nf
+            FROM joined GROUP BY user_id)
+    )
+    SELECT fold,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_rows,
+           l.max_folds_per_user
+    FROM joined CROSS JOIN leak l
+    GROUP BY fold, l.max_folds_per_user
+    ORDER BY fold
+    """,
+    tags=("ml", "cv", "split"),
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware K-fold assignment (GroupKFold): every user's rows
+    land in exactly one of 5 folds, assigned by a deterministic md5
+    hash of the group key — the split that prevents the classic CV
+    leak where one entity's rows appear in both train and validation.
+    The output carries the leak audit inline: max distinct folds any
+    user touches (must be 1 by construction, verified by the oracle).
+
+    Scale: the assignment is row-local hashing on the group key (the
+    distinct + join here exists to expose the audit; a production
+    pipeline computes fold = hash(group) % K directly in the row
+    projection with zero extra shuffles).
+    """
+    e = t(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_FOLDS
+    )
+    assigned = e.select("user_id").distinct().select(
+        "user_id", fold.alias("fold")
+    )
+    joined = e.select("user_id").join(F.broadcast(assigned), "user_id")
+    leak = (
+        joined.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(F.max("nf").cast("long").alias("max_folds_per_user"))
+    )
+    return (
+        joined.crossJoin(F.broadcast(leak))
+        .groupBy("fold", "max_folds_per_user")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "fold", "n_users", "n_rows", "max_folds_per_user"
+        )
+        .orderBy("fold")
+    )

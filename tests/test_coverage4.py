@@ -74,3 +74,40 @@ def test_foreachbatch_upsert_equals_batch_aggregate(spark, registry):
         .collect()
     }
     assert out == batch
+
+
+def test_column_fingerprints_detect_single_column_drift(spark, registry):
+    """Perturbing ONE column must change exactly that column's
+    fingerprint (computed via the same arithmetic on a modified
+    frame) while the others stay equal."""
+    from pyspark.sql import functions as F
+
+    base = {
+        r["column_name"]: r["fingerprint"]
+        for r in registry["column_fingerprint_audit"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+
+    def fp(df, name, sql_expr):
+        return df.agg(
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5("
+                f"concat('{name}:', {sql_expr})"
+                "), 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).collect()[0][0]
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    drifted = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == 1, F.col("o_custkey") + 1).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    assert fp(
+        drifted, "o_custkey", "CAST(o_custkey AS STRING)"
+    ) != base["o_custkey"]
+    assert fp(
+        drifted, "o_orderkey", "CAST(o_orderkey AS STRING)"
+    ) == base["o_orderkey"]

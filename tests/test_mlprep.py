@@ -78,3 +78,28 @@ def test_hard_negatives_never_share_label(spark, registry):
     assert j.where(F.col("ql") == F.col("nl")).count() == 0
     per_q = out.groupBy("query_id").count().collect()
     assert all(r["count"] <= _HN_K for r in per_q)
+
+
+def test_class_balance_is_exact_and_subset(spark, registry):
+    rows = registry["class_balance_downsample"].fn(spark, SF_SMALL).collect()
+    assert rows
+    kept_sizes = {r["n_kept"] for r in rows}
+    assert len(kept_sizes) == 1, "all labels must keep the same count"
+    m = kept_sizes.pop()
+    for r in rows:
+        assert r["n_kept"] <= r["n_orig"]
+        assert m == min(x["n_orig"] for x in rows)
+
+
+def test_group_kfold_has_no_leakage(spark, registry):
+    rows = registry["group_kfold_assignment"].fn(spark, SF_SMALL).collect()
+    assert rows
+    total_users = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == total_users
+    for r in rows:
+        assert r["max_folds_per_user"] == 1

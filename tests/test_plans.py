@@ -112,10 +112,12 @@ def test_registry_wide_plan_audit(spark, registry):
         "acf_daily_lags",  # 7-row lag-index broadcast over daily grain
         "benford_first_digit_audit",  # 1-row grand-total broadcast
         "ccnet_perplexity_buckets",
+        "class_balance_downsample",  # 1-row minority-size broadcast
         "contingency_chi2_cells",
         "copurchase_lift_top50",
         "dsir_importance_weights",
         "funnel_conversion_window",
+        "group_kfold_assignment",  # 1-row leak-audit broadcast
         "hard_negative_mining",  # tiny query-slice broadcast, != join
         "ivf_recall_measure",
         "kmeans_lloyd_2iter",
