@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         audit,
         coverage2,
         coverage3,

@@ -1,0 +1,316 @@
+"""Analytics batch 5: exact two-sample Kolmogorov–Smirnov distance
+and a grid-blocked spatial radius join.
+
+KS is the standard distribution-shift test between two samples (the
+gate monitoring pipelines put on feature drift); the radius join is
+the canonical spatial-blocking shape — grid cells + neighbor-cell
+candidates + exact distance verify — that turns an O(N²) proximity
+problem into an output-linear join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.money import cents
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+_KS_TYPES = ("click", "error", "purchase", "signup")
+_BASE = "view"
+
+
+# --------------------------------------------------------------------
+# Exact two-sample KS distance (value-grain ECDF, integer rational D).
+# --------------------------------------------------------------------
+@register(
+    "ks_test_vs_view",
+    f"""
+    WITH ev AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events
+    ), sides AS (
+      SELECT event_type AS pair, c, 1 AS ca, 0 AS cb
+      FROM ev WHERE event_type != '{_BASE}'
+      UNION ALL
+      SELECT p.pair, c, 0, 1
+      FROM ev CROSS JOIN (
+        SELECT unnest(['{"', '".join(_KS_TYPES)}']) AS pair) p
+      WHERE event_type = '{_BASE}'
+    ), grid AS (
+      SELECT pair, c,
+             CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+      FROM sides GROUP BY pair, c
+    ), cum AS (
+      SELECT pair, c,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+             CAST(SUM(ca) OVER p AS BIGINT) AS n_a,
+             CAST(SUM(cb) OVER p AS BIGINT) AS n_b
+      FROM grid
+      WINDOW w AS (PARTITION BY pair ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY pair)
+    ), diffs AS (
+      SELECT pair, c, n_a, n_b,
+             abs(cum_a * n_b - cum_b * n_a) AS d_num,
+             ROW_NUMBER() OVER (PARTITION BY pair
+                                ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC,
+                                         c ASC) AS rn
+      FROM cum
+    )
+    SELECT pair, n_a, n_b,
+           CAST(round(1000.0 * d_num / (n_a * n_b)) AS BIGINT) AS d_milli,
+           c AS argmax_cents
+    FROM diffs WHERE rn = 1
+    ORDER BY pair
+    """,
+    tags=("stats", "hypothesis-test", "drift"),
+)
+def ks_test_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between each
+    event type's value distribution and the 'view' baseline: D =
+    max |ECDF_a − ECDF_b|, reported in milli with the value where the
+    gap peaks — the standard nonparametric drift test monitoring
+    pipelines gate features on.
+
+    Exactness: the ECDF comparison is carried as the INTEGER
+    |cum_a·n_b − cum_b·n_a| (a common-denominator rational), so the
+    argmax and D are exact; the one division happens after the max.
+
+    Scale: raw values reduce to the (pair, distinct-value) grid
+    first (map-side combined), so every window runs over the value
+    DOMAIN per pair — bounded by value cardinality, not row count;
+    all windows share one pair-partitioned exchange, and the final
+    top-1 is WindowGroupLimit-pruned.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("c")
+    )
+    a = ev.where(F.col("event_type") != _BASE).select(
+        F.col("event_type").alias("pair"),
+        "c",
+        F.lit(1).alias("ca"),
+        F.lit(0).alias("cb"),
+    )
+    b = ev.where(F.col("event_type") == _BASE).select(
+        F.explode(F.array(*[F.lit(x) for x in _KS_TYPES])).alias("pair"),
+        "c",
+        F.lit(0).alias("ca"),
+        F.lit(1).alias("cb"),
+    )
+    grid = (
+        a.unionByName(b)
+        .groupBy("pair", "c")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("pair")
+    cum = grid.select(
+        "pair",
+        "c",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+        F.sum("ca").over(p).cast("long").alias("n_a"),
+        F.sum("cb").over(p).cast("long").alias("n_b"),
+    )
+    d_num = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    diffs = cum.select(
+        "pair", "c", "n_a", "n_b", d_num.alias("d_num")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pair").orderBy(
+                F.col("d_num").desc(), F.col("c").asc()
+            )
+        ),
+    )
+    return (
+        diffs.where(F.col("rn") == 1)
+        .select(
+            "pair",
+            "n_a",
+            "n_b",
+            F.round(1000.0 * F.col("d_num") / (F.col("n_a") * F.col("n_b")))
+            .cast("long")
+            .alias("d_milli"),
+            F.col("c").alias("argmax_cents"),
+        )
+        .orderBy("pair")
+    )
+
+
+# --------------------------------------------------------------------
+# Grid-blocked spatial radius join (trig-free planar distance).
+# --------------------------------------------------------------------
+_LAT0 = 45.0  # box center latitude
+_M_PER_DEG = 111320.0
+_COS_LAT0 = math.cos(math.radians(_LAT0))  # literal in BOTH plans
+_RADIUS_M = 2000.0
+# 3x3-neighborhood completeness needs cell size >= radius in BOTH
+# axes; the lon axis shrinks by cos(lat0), so size for it:
+# 0.03 deg -> 3340 m (lat) and 2362 m (lon at 45 deg), both >= 2 km.
+_CELL_DEG = 0.03
+
+
+def _coord_sql(which: str, key: str) -> str:
+    """Deterministic md5-derived coordinate in a 1°x1° box (DuckDB)."""
+    return (
+        f"({_LAT0 if which == 'lat' else 8.0} + "
+        f"(('0x' || substring(md5('{which}:' || CAST({key} AS VARCHAR)),"
+        f" 1, 8))::BIGINT % 1000000) / 1000000.0)"
+    )
+
+
+def _coord_col(which: str, key) -> F.Column:
+    base = _LAT0 if which == "lat" else 8.0
+    return F.lit(base) + (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{which}:"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / F.lit(1000000.0)
+
+
+@register(
+    "geo_radius_join_customers",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_coord_sql('lat', 'c_custkey')} AS lat,
+             {_coord_sql('lon', 'c_custkey')} AS lon
+      FROM customer
+    ), cells AS (
+      SELECT id, lat, lon,
+             CAST(floor(lat / {_CELL_DEG}) AS BIGINT) AS cx,
+             CAST(floor(lon / {_CELL_DEG}) AS BIGINT) AS cy
+      FROM pts
+    ), neigh AS (
+      SELECT c.id, c.lat, c.lon,
+             c.cx + d.dx AS cx, c.cy + d.dy AS cy
+      FROM cells c CROSS JOIN (
+        SELECT dx.dx, dy.dy
+        FROM (SELECT unnest(range(-1, 2)) AS dx) dx
+        CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) dy) d
+    ), cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.lat AS la, a.lon AS oa,
+             b.lat AS lb, b.lon AS ob
+      FROM neigh a JOIN cells b ON b.cx = a.cx AND b.cy = a.cy
+       AND a.id < b.id
+    ), verified AS (
+      SELECT id_a, id_b,
+             sqrt(((la - lb) * {_M_PER_DEG}) * ((la - lb) * {_M_PER_DEG})
+                + ((oa - ob) * {_M_PER_DEG} * {_COS_LAT0!r})
+                  * ((oa - ob) * {_M_PER_DEG} * {_COS_LAT0!r})) AS dist_m
+      FROM cand
+    )
+    SELECT id_a, id_b, CAST(round(dist_m) AS BIGINT) AS dist_m
+    FROM verified WHERE dist_m <= {_RADIUS_M}
+    ORDER BY id_a, id_b
+    """,
+    tags=("spatial", "join", "blocking"),
+)
+def geo_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join: customers get deterministic md5-derived
+    coordinates in a 1°×1° box; pairs within 2 km are found by grid
+    blocking — hash each point to a ~2.2 km cell, generate the 3×3
+    neighbor cells on ONE side, equi-join on the cell id, and verify
+    candidates with the exact planar distance. The standard
+    spatial-join shape (geohash/S2 blocking) that makes proximity
+    output-linear instead of O(N²).
+
+    Exactness across engines: the distance is deliberately the
+    equirectangular planar form — only +, ×, √ (all IEEE
+    correctly-rounded; cos(lat₀) is a Python-computed literal baked
+    into both plans) — because libm sin/asin are NOT guaranteed
+    identical between the JVM and DuckDB. At city scale the planar
+    error vs haversine is < 0.01% — and the operator contract
+    (block → verify) is unchanged if a looser tolerance allows
+    real haversine.
+
+    Scale: one shuffle on the cell id; the 9× neighbor fanout rides
+    the smaller side of the join; candidate count is bounded by cell
+    occupancy (skewed cells → salt or split, same as any hot key).
+    """
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    pts = cust.select(
+        "id",
+        _coord_col("lat", F.col("id")).alias("lat"),
+        _coord_col("lon", F.col("id")).alias("lon"),
+    )
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _CELL_DEG).cast("long").alias("cx"),
+        F.floor(F.col("lon") / _CELL_DEG).cast("long").alias("cy"),
+    )
+    offsets = [
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    neigh = cells.select(
+        "id",
+        "lat",
+        "lon",
+        "cx",
+        "cy",
+        F.explode(F.array(*offsets)).alias("d"),
+    ).select(
+        "id",
+        "lat",
+        "lon",
+        (F.col("cx") + F.col("d.dx")).alias("cx"),
+        (F.col("cy") + F.col("d.dy")).alias("cy"),
+    )
+    a = neigh.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("la"),
+        F.col("lon").alias("oa"),
+        "cx",
+        "cy",
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lb"),
+        F.col("lon").alias("ob"),
+        "cx",
+        "cy",
+    )
+    cand = a.join(b, ["cx", "cy"]).where(F.col("id_a") < F.col("id_b"))
+    dlat_m = (F.col("la") - F.col("lb")) * _M_PER_DEG
+    dlon_m = (F.col("oa") - F.col("ob")) * _M_PER_DEG * _COS_LAT0
+    dist = F.sqrt(dlat_m * dlat_m + dlon_m * dlon_m)
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            dist.alias("dist_raw"),
+        )
+        .where(F.col("dist_raw") <= _RADIUS_M)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("dist_raw").cast("long").alias("dist_m"),
+        )
+        .orderBy("id_a", "id_b")
+    )

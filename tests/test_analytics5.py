@@ -1,0 +1,84 @@
+"""Invariant tests for analytics5.py (KS test, geo radius join)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.queries import load_all
+from filemapreduce_spark.queries.analytics5 import (
+    _CELL_DEG,
+    _COS_LAT0,
+    _M_PER_DEG,
+    _RADIUS_M,
+    _coord_col,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_ks_d_bounded_and_argmax_valid(spark, registry):
+    rows = registry["ks_test_vs_view"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 <= r["d_milli"] <= 1000
+        assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_ks_identical_sample_gives_zero(spark, registry):
+    """KS of a distribution against itself must be 0 — rebuilt with
+    the same grid arithmetic on a duplicated sample."""
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    grid = e.groupBy("c").agg(F.count("*").alias("ca"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("ca").over(w).alias("cum_b"),
+    )
+    d = cum.select(
+        F.max(F.abs(F.col("cum_a") - F.col("cum_b"))).alias("d")
+    ).collect()[0]["d"]
+    assert d == 0
+
+
+def test_geo_radius_join_complete_within_radius(spark, registry):
+    """Grid blocking must find EVERY pair within the radius: compare
+    against the brute-force O(N^2) join on the same derived
+    coordinates (feasible at sf0.001)."""
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in registry["geo_radius_join_customers"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select(
+        F.col("c_custkey").alias("id")
+    )
+    pts = cust.select(
+        "id",
+        _coord_col("lat", F.col("id")).alias("lat"),
+        _coord_col("lon", F.col("id")).alias("lon"),
+    ).collect()
+    brute = set()
+    for i, a in enumerate(pts):
+        for b in pts[i + 1 :]:
+            dlat = (a["lat"] - b["lat"]) * _M_PER_DEG
+            dlon = (a["lon"] - b["lon"]) * _M_PER_DEG * _COS_LAT0
+            if math.sqrt(dlat * dlat + dlon * dlon) <= _RADIUS_M:
+                pair = (min(a["id"], b["id"]), max(a["id"], b["id"]))
+                brute.add(pair)
+    assert out == brute
+    # completeness precondition: cell size must cover the radius on
+    # BOTH axes (lon is the shorter one)
+    assert _CELL_DEG * _M_PER_DEG * _COS_LAT0 >= _RADIUS_M
