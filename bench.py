@@ -68,6 +68,11 @@ HEADLINE = [
     "proration_largest_remainder",
     "audio_frame_energy_top2",
     "image_decode_downsample",
+    # round-3 new-family representatives (search/ANN/spatial/drift)
+    "trigram_index_search",
+    "srp_lsh_candidate_pairs",
+    "geo_radius_join_customers",
+    "ks_test_vs_view",
 ]
 
 
