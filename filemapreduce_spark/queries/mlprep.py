@@ -450,3 +450,221 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------
+# Decision-stump training in SQL (best Gini split, exact argmin).
+# --------------------------------------------------------------------
+@register(
+    "decision_stump_split",
+    """
+    WITH pts AS (
+      SELECT CAST(round(value*100) AS BIGINT) AS c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), grid AS (
+      SELECT c, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS a
+      FROM pts GROUP BY c
+    ), cum AS (
+      SELECT c,
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(a) OVER w AS BIGINT) AS al,
+             CAST(SUM(n) OVER () AS BIGINT) AS nt,
+             CAST(SUM(a) OVER () AS BIGINT) AS at
+      FROM grid
+      WINDOW w AS (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), costs AS (
+      SELECT c, nl, nt - nl AS nr, al, at - al AS ar,
+             (CAST(nl AS DOUBLE) * nl - CAST(al AS DOUBLE) * al
+              - (CAST(nl AS DOUBLE) - al) * (CAST(nl AS DOUBLE) - al))
+               / nl
+             + (CAST(nt - nl AS DOUBLE) * (nt - nl)
+                - CAST(at - al AS DOUBLE) * (at - al)
+                - (CAST(nt - nl AS DOUBLE) - (at - al))
+                  * (CAST(nt - nl AS DOUBLE) - (at - al)))
+               / (nt - nl) AS cost
+      FROM cum WHERE nl < nt
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cost ASC, c ASC) AS rn
+      FROM costs
+    )
+    SELECT c AS split_cents, nl AS n_left, nr AS n_right,
+           al AS pos_left, ar AS pos_right,
+           CAST(round(1e6 * cost / (nl + nr)) AS BIGINT)
+             AS gini_cost_micro
+    FROM best WHERE rn = 1
+    """,
+    tags=("ml", "tree", "training"),
+)
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training as a query: find the value threshold
+    that best separates purchase events from the rest by minimizing
+    the weighted Gini impurity — a one-node decision tree trained in
+    one pass, the building block of every boosted-tree trainer's
+    split search (and exactly the histogram-based split scan
+    LightGBM/XGBoost run per feature).
+
+    Determinism across engines: the cost is computed ONLY with
+    +, −, ×, / on integers exactly representable in float64 — every
+    one an IEEE correctly-rounded op in a fixed expression order —
+    so the full-precision argmin (ties → smallest split) matches
+    bit-for-bit without any rounding epsilon.
+
+    Scale: raw rows reduce to the distinct-value grid first (the
+    histogram trick — bounded by value domain, ~49k cells here, NOT
+    row count); one cumulative window over the grid yields every
+    candidate split's left/right sufficient statistics at once. The
+    n² terms stay exact in float64 up to n ≈ 9.4e7 per side; beyond
+    that, band values into coarser histogram bins first (the same
+    move the GBM libraries make).
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        cents("value").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grid = pts.groupBy("c").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("a")
+    )
+    w = (
+        Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy()
+    cum = grid.select(
+        "c",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("a").over(w).cast("long").alias("al"),
+        F.sum("n").over(tot).cast("long").alias("nt"),
+        F.sum("a").over(tot).cast("long").alias("at"),
+    )
+    nl = F.col("nl").cast("double")
+    al = F.col("al").cast("double")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    ar = (F.col("at") - F.col("al")).cast("double")
+    cost = (nl * nl - al * al - (nl - al) * (nl - al)) / F.col("nl") + (
+        nr * nr - ar * ar - (nr - ar) * (nr - ar)
+    ) / (F.col("nt") - F.col("nl"))
+    costs = cum.where(F.col("nl") < F.col("nt")).select(
+        "c",
+        "nl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        "al",
+        (F.col("at") - F.col("al")).alias("ar"),
+        cost.alias("cost"),
+    )
+    best = costs.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("cost").asc(), F.col("c").asc())),
+    )
+    return best.where(F.col("rn") == 1).select(
+        F.col("c").alias("split_cents"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.col("al").alias("pos_left"),
+        F.col("ar").alias("pos_right"),
+        F.round(1e6 * F.col("cost") / (F.col("nl") + F.col("nr")))
+        .cast("long")
+        .alias("gini_cost_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Mutual information of categorical features vs a binary label.
+# --------------------------------------------------------------------
+@register(
+    "mutual_information_features",
+    """
+    WITH lab AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), feats AS (
+      SELECT 'o_orderpriority' AS feature, o_orderpriority AS x, y FROM lab
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus, y FROM lab
+    ), cells AS (
+      SELECT feature, x, y, COUNT(*) AS cxy FROM feats
+      GROUP BY feature, x, y
+    ), margs AS (
+      SELECT feature, x, y, cxy,
+             CAST(SUM(cxy) OVER (PARTITION BY feature, x) AS BIGINT) AS cx,
+             CAST(SUM(cxy) OVER (PARTITION BY feature, y) AS BIGINT) AS cy,
+             CAST(SUM(cxy) OVER (PARTITION BY feature) AS BIGINT) AS n
+      FROM cells
+    )
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(SUM((CAST(cxy AS DOUBLE) / n)
+                     * ln(CAST(n AS DOUBLE) * cxy
+                          / (CAST(cx AS DOUBLE) * cy))), 6) AS mi_nats
+    FROM margs
+    GROUP BY feature
+    ORDER BY feature
+    """,
+    tags=("ml", "stats", "feature-selection"),
+)
+def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between each categorical feature and
+    a binary high-value label — the standard filter-method feature
+    ranking (how many nats of label uncertainty the feature removes).
+    Contingency cells and marginals are exact integers; the Σ p·ln
+    term is the one float sum, rounded to 6 dp for cross-engine
+    parity (same contract as the entropy operator).
+
+    Scale: one map-side-combined cell count per feature (cells =
+    |X|×2, tiny); marginals come from windows OVER THE CELL SUMMARY,
+    never the fact table. Features share one unioned scan.
+    """
+    o = t(spark, sf_dir, "orders")
+    lab = o.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.when(F.col("o_totalprice") > 250000, 1).otherwise(0).alias("y"),
+    )
+    feats = lab.select(
+        F.lit("o_orderpriority").alias("feature"),
+        F.col("o_orderpriority").alias("x"),
+        "y",
+    ).unionByName(
+        lab.select(
+            F.lit("o_orderstatus").alias("feature"),
+            F.col("o_orderstatus").alias("x"),
+            "y",
+        )
+    )
+    cells = feats.groupBy("feature", "x", "y").agg(
+        F.count("*").alias("cxy")
+    )
+    margs = cells.select(
+        "feature",
+        "x",
+        "y",
+        "cxy",
+        F.sum("cxy")
+        .over(Window.partitionBy("feature", "x"))
+        .cast("long")
+        .alias("cx"),
+        F.sum("cxy")
+        .over(Window.partitionBy("feature", "y"))
+        .cast("long")
+        .alias("cy"),
+        F.sum("cxy")
+        .over(Window.partitionBy("feature"))
+        .cast("long")
+        .alias("n"),
+    )
+    term = (F.col("cxy").cast("double") / F.col("n")) * F.log(
+        F.col("n").cast("double")
+        * F.col("cxy")
+        / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    return (
+        margs.groupBy("feature")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.round(F.sum(term), 6).alias("mi_nats"),
+        )
+        .orderBy("feature")
+    )

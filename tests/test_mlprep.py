@@ -103,3 +103,49 @@ def test_group_kfold_has_no_leakage(spark, registry):
     assert sum(r["n_users"] for r in rows) == total_users
     for r in rows:
         assert r["max_folds_per_user"] == 1
+
+
+def test_stump_split_beats_all_other_splits(spark, registry):
+    """The reported split must minimize the Gini cost: recompute the
+    cost curve independently and check no candidate is lower."""
+    row = registry["decision_stump_split"].fn(spark, SF_SMALL).collect()[0]
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pts = sorted(
+        (r["c"], r["y"]) for r in e.collect()
+    )
+    n_total = len(pts)
+    a_total = sum(y for _, y in pts)
+
+    def cost_at(split):
+        nl = sum(1 for c, _ in pts if c <= split)
+        al = sum(y for c, y in pts if c <= split)
+        nr, ar = n_total - nl, a_total - al
+        if nl == 0 or nr == 0:
+            return None
+        gl = (nl * nl - al * al - (nl - al) ** 2) / nl
+        gr = (nr * nr - ar * ar - (nr - ar) ** 2) / nr
+        return gl + gr
+
+    best = cost_at(row["split_cents"])
+    assert best is not None
+    distinct = sorted({c for c, _ in pts})[:-1]
+    for s in distinct:
+        c = cost_at(s)
+        assert c is None or c >= best - 1e-9
+    assert row["n_left"] + row["n_right"] == n_total
+    assert row["pos_left"] + row["pos_right"] == a_total
+
+
+def test_mutual_information_nonnegative_and_bounded(spark, registry):
+    """MI >= 0 always; MI <= H(Y) <= ln(2) for a binary label."""
+    import math
+
+    rows = registry["mutual_information_features"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert -1e-6 <= r["mi_nats"] <= math.log(2) + 1e-6

@@ -150,10 +150,15 @@ def test_registry_wide_plan_audit(spark, registry):
     # shard_stripe_balance: its global window consumes the per-shard
     # summary — exactly N_SHARDS (8) rows by construction, bounded by
     # config, never by data volume.
+    # decision_stump_split: its global cumulative window runs over the
+    # distinct-VALUE histogram grid (<= 49_002 cents cells — the
+    # value domain), not the row stream; the GBM histogram-split
+    # shape, data-volume-independent by construction.
     allowed_global_window = {
         "rolling_correlation_series",
         "orderkey_gap_audit",
         "shard_stripe_balance",
+        "decision_stump_split",
     }
 
     offenders = {}
