@@ -111,3 +111,20 @@ def test_column_fingerprints_detect_single_column_drift(spark, registry):
     assert fp(
         drifted, "o_orderkey", "CAST(o_orderkey AS STRING)"
     ) == base["o_orderkey"]
+
+
+def test_histogram_sketch_error_within_one_bin(spark, registry):
+    """The sketch's estimation error is bounded by one bin width
+    (range/256) by construction."""
+    rows = registry["histogram_sketch_percentiles"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 3
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    lo, hi = o.agg(
+        F.min(F.round(F.col("o_totalprice") * 100).cast("long")),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")),
+    ).collect()[0]
+    bin_width = (hi - lo + 1) / 256
+    for r in rows:
+        assert r["abs_err_cents"] <= bin_width + 1

@@ -118,6 +118,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "dsir_importance_weights",
         "funnel_conversion_window",
         "group_kfold_assignment",  # 1-row leak-audit broadcast
+        "histogram_sketch_percentiles",  # 256-row bin-summary broadcast
         "hard_negative_mining",  # tiny query-slice broadcast, != join
         "ivf_recall_measure",
         "kmeans_lloyd_2iter",
@@ -154,11 +155,14 @@ def test_registry_wide_plan_audit(spark, registry):
     # distinct-VALUE histogram grid (<= 49_002 cents cells — the
     # value domain), not the row stream; the GBM histogram-split
     # shape, data-volume-independent by construction.
+    # histogram_sketch_percentiles: cumulative window over the <=256-
+    # bin histogram summary — bin count is config, never data volume.
     allowed_global_window = {
         "rolling_correlation_series",
         "orderkey_gap_audit",
         "shard_stripe_balance",
         "decision_stump_split",
+        "histogram_sketch_percentiles",
     }
 
     offenders = {}
