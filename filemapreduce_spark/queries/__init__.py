@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         search,
         streaming,
         subqueries,
+        survival,
         udx,
     )
 

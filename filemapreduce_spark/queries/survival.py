@@ -1,0 +1,245 @@
+"""Survival analysis and model-calibration operators.
+
+Kaplan–Meier is the standard time-to-event estimator under right
+censoring (here: signup → first purchase, censored at the data
+horizon) — the curve every activation/retention analysis actually
+needs once "hasn't converted YET" must not be counted as "never
+converted". The calibration curve is the binned positive-rate
+diagnostic that tells you whether a score's magnitude (not just its
+ranking) is trustworthy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.money import cents
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+_HORIZON = "2024-01-31"
+
+
+# --------------------------------------------------------------------
+# Kaplan–Meier time-to-event curve (signup → purchase, censored).
+# --------------------------------------------------------------------
+@register(
+    "kaplan_meier_signup_purchase",
+    f"""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    ), subjects AS (
+      SELECT s.user_id,
+             CASE WHEN p.p_ts IS NOT NULL
+                  THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                 CAST(p.p_ts AS DATE))
+                  ELSE date_diff('day', CAST(s.s_ts AS DATE),
+                                 DATE '{_HORIZON}')
+             END AS t_days,
+             CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS event
+      FROM s LEFT JOIN p ON p.user_id = s.user_id
+    ), grid AS (
+      SELECT t_days,
+             CAST(SUM(event) AS BIGINT) AS d,
+             COUNT(*) AS leaving
+      FROM subjects GROUP BY t_days
+    ), risk AS (
+      SELECT t_days, d,
+             CAST((SELECT COUNT(*) FROM subjects)
+                  - COALESCE(SUM(leaving) OVER (ORDER BY t_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM grid
+    )
+    SELECT t_days, n_risk, d,
+           CASE WHEN d = n_risk THEN 0.0
+                ELSE round(exp(SUM(CASE WHEN d < n_risk
+                         THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                         ELSE 0.0 END)
+                     OVER (ORDER BY t_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) END AS survival
+    FROM risk WHERE d > 0
+    ORDER BY t_days
+    """,
+    tags=("survival", "timeseries", "stats"),
+)
+def kaplan_meier_signup_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan–Meier survival curve for signup → first purchase with
+    right censoring at the data horizon: S(t) = Π_{tᵢ≤t}(1 − dᵢ/nᵢ)
+    over event days, where nᵢ counts everyone still at risk
+    (converted later OR censored later) — the estimator that makes
+    time-to-conversion honest when the observation window truncates
+    outcomes (Kaplan & Meier 1958).
+
+    Exactness: dᵢ and nᵢ are exact integers from the day-grain
+    summary; the product is carried as exp(Σ ln(1 − d/n)) — the one
+    float chain, computed op-for-op identically and rounded to 6 dp
+    (the registry's entropy contract).
+
+    Scale: subjects reduce to per-user rows (two map-side-combined
+    aggs + one keyed join), then to the day-grain grid; every window
+    runs over that grid — bounded by the time horizon in days, never
+    by user count.
+    """
+    e = t(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    horizon = F.lit(_HORIZON).cast("date")
+    subjects = s.join(p, "user_id", "left").select(
+        "user_id",
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.datediff(F.col("p_ts").cast("date"), F.col("s_ts").cast("date")),
+        )
+        .otherwise(F.datediff(horizon, F.col("s_ts").cast("date")))
+        .alias("t_days"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    subjects = subjects.withColumn("t_days", F.col("t_days").cast("long"))
+    grid = subjects.groupBy("t_days").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    total = subjects.agg(F.count("*").alias("n_total"))
+    wprev = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = grid.crossJoin(F.broadcast(total)).select(
+        "t_days",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    wcum = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # d == n_risk (the last at-risk subject converts) would be ln(0):
+    # survival is exactly 0 there, and no later event row can exist
+    # (n_risk reaches 0), so the guarded term never poisons the chain
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(0.0)
+    return (
+        risk.where(F.col("d") > 0)
+        .select(
+            "t_days",
+            "n_risk",
+            "d",
+            F.when(F.col("d") == F.col("n_risk"), 0.0)
+            .otherwise(F.round(F.exp(F.sum(term).over(wcum)), 6))
+            .alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+# --------------------------------------------------------------------
+# Calibration curve (decile-binned positive rate vs mean score).
+# --------------------------------------------------------------------
+@register(
+    "calibration_curve_deciles",
+    """
+    WITH pts AS (
+      SELECT CAST(round(value*100) AS BIGINT) AS c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), th AS (
+      SELECT quantile_disc(c, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS q
+      FROM pts
+    ), binned AS (
+      SELECT CAST((CASE WHEN c > q[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN c > q[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN c > q[3] THEN 1 ELSE 0 END)
+                + (CASE WHEN c > q[4] THEN 1 ELSE 0 END)
+                + (CASE WHEN c > q[5] THEN 1 ELSE 0 END)
+                + (CASE WHEN c > q[6] THEN 1 ELSE 0 END)
+                + (CASE WHEN c > q[7] THEN 1 ELSE 0 END)
+                + (CASE WHEN c > q[8] THEN 1 ELSE 0 END)
+                + (CASE WHEN c > q[9] THEN 1 ELSE 0 END) AS BIGINT)
+               AS decile,
+             c, y
+      FROM pts CROSS JOIN th
+    )
+    SELECT decile,
+           COUNT(*) AS n,
+           CAST(SUM(c) AS BIGINT) AS sum_cents,
+           CAST(SUM(y) AS BIGINT) AS positives,
+           CAST(round(1000.0 * SUM(y) / COUNT(*)) AS BIGINT)
+             AS pos_rate_milli
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("ml", "evaluation", "calibration"),
+)
+def calibration_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / binned-positive-rate curve: bucket the predictor
+    (event value) into deciles against broadcast exact-discrete
+    decile thresholds, then report each bucket's size, score mass,
+    and observed positive rate — the reliability diagram every
+    score-producing model is judged by (a well-calibrated score's
+    positive rate tracks the bucket's mean score; a merely
+    discriminative one is only monotone).
+
+    Scale: the same threshold-broadcast shape as the RFM operator —
+    a 1-row exact-percentile aggregate broadcast over the stream,
+    row-local bucket arithmetic, one map-side-combined final agg.
+    No global ntile sort anywhere.
+    """
+    pts = t(spark, sf_dir, "events").select(
+        cents("value").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    th = pts.agg(
+        F.expr(
+            f"percentile_disc(array({','.join(map(str, qs))}))"
+            " WITHIN GROUP (ORDER BY c)"
+        ).alias("q")
+    )
+    decile = F.lit(0)
+    for i in range(9):
+        decile = decile + F.when(F.col("c") > F.col("q")[i], 1).otherwise(0)
+    binned = pts.crossJoin(F.broadcast(th)).select(
+        decile.cast("long").alias("decile"), "c", "y"
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").cast("long").alias("sum_cents"),
+            F.sum("y").cast("long").alias("positives"),
+            F.round(1000.0 * F.sum("y") / F.count("*"))
+            .cast("long")
+            .alias("pos_rate_milli"),
+        )
+        .orderBy("decile")
+    )

@@ -111,6 +111,7 @@ def test_registry_wide_plan_audit(spark, registry):
     allowed_bnlj = {
         "acf_daily_lags",  # 7-row lag-index broadcast over daily grain
         "benford_first_digit_audit",  # 1-row grand-total broadcast
+        "calibration_curve_deciles",  # 1-row decile-threshold broadcast
         "ccnet_perplexity_buckets",
         "class_balance_downsample",  # 1-row minority-size broadcast
         "contingency_chi2_cells",
@@ -121,6 +122,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "histogram_sketch_percentiles",  # 256-row bin-summary broadcast
         "hard_negative_mining",  # tiny query-slice broadcast, != join
         "ivf_recall_measure",
+        "kaplan_meier_signup_purchase",  # 1-row subject-total broadcast
         "kmeans_lloyd_2iter",
         "minhash_lsh_recall",
         "parents_prefix_inheritance",
@@ -163,6 +165,9 @@ def test_registry_wide_plan_audit(spark, registry):
         "shard_stripe_balance",
         "decision_stump_split",
         "histogram_sketch_percentiles",
+        # kaplan_meier_signup_purchase: windows over the day-grain
+        # event grid — bounded by the observation horizon in days.
+        "kaplan_meier_signup_purchase",
     }
 
     offenders = {}
