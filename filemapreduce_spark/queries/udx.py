@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from filemapreduce_spark.queries import register
+from filemapreduce_spark.operators.money import cents
 from filemapreduce_spark.sources.tables import load_table as t
 
 
@@ -300,4 +301,98 @@ def pandas_udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             qty_sum("qty").alias("total_qty"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# Clamped running balance: the canonical NOT-window-expressible fold.
+# --------------------------------------------------------------------
+_CLAMP_CAP = 100_000  # cents
+
+
+@register(
+    "clamped_running_balance",
+    f"""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value*100) AS BIGINT)
+                  ELSE -CAST(round(value*100) AS BIGINT) END AS delta
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_ops,
+           CAST(SUM(delta) AS BIGINT) AS unclamped_cents,
+           CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list(delta ORDER BY ts, event_id)),
+                  (acc, x) -> greatest(CAST(0 AS BIGINT),
+                               least(CAST({_CLAMP_CAP} AS BIGINT), acc + x)))
+                AS BIGINT) AS balance_cents
+    FROM deltas
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("udx", "stateful", "fold"),
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded (clamped) running balance per user: credits (purchase/
+    signup) and debits (other events) fold in time order with the
+    balance clamped to [0, 1000.00] at EVERY step — the canonical
+    stateful fold that NO window function can express (the clamp
+    makes each step depend on the clamped previous state, not on any
+    prefix aggregate; inventory with restock caps, credit wallets,
+    and token-bucket rate limiters are all this shape).
+
+    This is the (b)-tier custom-operator path from the design rules:
+    a per-key ordered fold in ``applyInPandas`` (Arrow-batched, one
+    shuffle on the key, linear per-key work). The oracle folds the
+    same ordered delta list with DuckDB's ``list_reduce`` — exact
+    integer arithmetic on both sides, so hashes match. The unclamped
+    sum rides along to show where clamping actually bit.
+
+    Scale: state is one integer per key; groups process
+    independently after a single hash shuffle — the same plan at any
+    SF. A group too large for one task would band by time and chain
+    the per-band carry (the scan-style two-pass trick).
+    """
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events")
+    deltas = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"),
+            cents("value"),
+        )
+        .otherwise(-cents("value"))
+        .alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal = 0
+        for d in pdf["delta"].to_numpy():
+            bal = max(0, min(_CLAMP_CAP, bal + int(d)))
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_ops": [len(pdf)],
+                "unclamped_cents": [int(pdf["delta"].sum())],
+                "balance_cents": [bal],
+            }
+        )
+
+    return (
+        deltas.groupBy("user_id")
+        .applyInPandas(
+            fold,
+            schema=(
+                "user_id bigint, n_ops bigint, "
+                "unclamped_cents bigint, balance_cents bigint"
+            ),
+        )
+        .orderBy("user_id")
     )

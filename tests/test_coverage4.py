@@ -128,3 +128,39 @@ def test_histogram_sketch_error_within_one_bin(spark, registry):
     bin_width = (hi - lo + 1) / 256
     for r in rows:
         assert r["abs_err_cents"] <= bin_width + 1
+
+
+def test_clamped_balance_stays_in_bounds_and_diverges_from_sum(
+    spark, registry
+):
+    """Balances must lie in [0, cap]; where no clamp ever bit, the
+    balance equals max(0, min(cap, unclamped)) is NOT generally true,
+    but balance == unclamped must hold whenever the unclamped prefix
+    path never left the bounds — verified on a hand-folded sample."""
+    from filemapreduce_spark.queries.udx import _CLAMP_CAP
+
+    rows = registry["clamped_running_balance"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["balance_cents"] <= _CLAMP_CAP
+
+    # hand-fold three users from raw data and compare exactly
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    import collections
+
+    series = collections.defaultdict(list)
+    for e in ev:
+        delta = round(e["value"] * 100)
+        if e["event_type"] not in ("purchase", "signup"):
+            delta = -delta
+        series[e["user_id"]].append(delta)
+    got = {r["user_id"]: r["balance_cents"] for r in rows}
+    for uid in list(series)[:3]:
+        bal = 0
+        for d in series[uid]:
+            bal = max(0, min(_CLAMP_CAP, bal + d))
+        assert got[uid] == bal
