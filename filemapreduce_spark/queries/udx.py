@@ -396,3 +396,142 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------
+# The same clamped fold as a PARALLEL two-pass scan (no Python).
+# --------------------------------------------------------------------
+_BAND_DAYS = 5
+
+
+@register(
+    "clamped_balance_parallel_scan",
+    f"""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) // 86400000000 // {_BAND_DAYS} AS band,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value*100) AS BIGINT)
+                  ELSE -CAST(round(value*100) AS BIGINT) END AS delta
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT band) AS BIGINT) AS n_bands,
+           CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list(delta ORDER BY ts, event_id)),
+                  (acc, x) -> greatest(CAST(0 AS BIGINT),
+                               least(CAST({_CLAMP_CAP} AS BIGINT), acc + x)))
+                AS BIGINT) AS balance_cents
+    FROM deltas
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("udx", "stateful", "scan", "parallel"),
+)
+def clamped_balance_parallel_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The clamped running balance AGAIN — but computed by a parallel
+    two-pass scan instead of a sequential fold, proving the
+    'sequential-looking' operator scales. Key fact: every step
+    x ↦ clamp(0, CAP, x + d) is a *clamped-affine* map (s, m, M):
+    x ↦ max(m, min(M, x + s)), and those maps are CLOSED under
+    composition — (g∘f) = (f.s + g.s, max(g.m, min(g.M, f.m + g.s)),
+    min(g.M, f.M + g.s)) — and composition is associative. So:
+    pass 1 composes each time-band's steps independently (row-local
+    array fold over the band's ordered deltas, pure JVM higher-order
+    functions); pass 2 composes the per-band maps in band order (a
+    tiny per-user array) and applies the result to 0. Identical
+    answer to the ``applyInPandas`` fold (asserted in tests AND by
+    sharing its oracle), zero Python, and per-band work is
+    embarrassingly parallel — the standard parallel-prefix treatment
+    of any composable stateful operator (Blelloch scan).
+
+    Scale: band count bounds the sequential part (composition chain
+    per user is #bands long); bands process in parallel across the
+    cluster. At 100 TB pick band width so each band's array fits a
+    task — the carry composition stays a few integers per band.
+    """
+    e = t(spark, sf_dir, "events")
+    deltas = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(f"unix_micros(ts) div 86400000000 div {_BAND_DAYS}").alias(
+            "band"
+        ),
+        F.when(
+            F.col("event_type").isin("purchase", "signup"),
+            cents("value"),
+        )
+        .otherwise(-cents("value"))
+        .alias("delta"),
+    )
+    big = 1 << 62
+    # pass 1: per (user, band) compose the band's steps in time order
+    band_steps = deltas.groupBy("user_id", "band").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "delta"))
+        ).alias("steps")
+    )
+    # fold: acc=(s,m,M); next step g=(d, 0, CAP):
+    #   s' = s + d; M' = least(CAP, M + d); m' = greatest(0, least(CAP, m + d))
+    band_fn = band_steps.select(
+        "user_id",
+        "band",
+        F.size("steps").alias("n_steps"),
+        F.aggregate(
+            F.col("steps"),
+            F.struct(
+                F.lit(0).cast("long").alias("s"),
+                F.lit(-big).cast("long").alias("lo"),
+                F.lit(big).cast("long").alias("hi"),
+            ),
+            lambda acc, st: F.struct(
+                (acc["s"] + st["delta"]).alias("s"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(
+                        F.lit(_CLAMP_CAP).cast("long"),
+                        acc["lo"] + st["delta"],
+                    ),
+                ).alias("lo"),
+                F.least(
+                    F.lit(_CLAMP_CAP).cast("long"), acc["hi"] + st["delta"]
+                ).alias("hi"),
+            ),
+        ).alias("fn"),
+    )
+    # pass 2: compose band maps in band order, apply to 0
+    user_fn = band_fn.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_bands"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "fn"))),
+                lambda x: x["fn"],
+            ),
+            F.struct(
+                F.lit(0).cast("long").alias("s"),
+                F.lit(-big).cast("long").alias("lo"),
+                F.lit(big).cast("long").alias("hi"),
+            ),
+            # g∘f: s=f.s+g.s; m=max(g.m, min(g.M, f.m+g.s));
+            #      M=min(g.M, f.M+g.s)   (f=acc so far, g=next band)
+            lambda f, g: F.struct(
+                (f["s"] + g["s"]).alias("s"),
+                F.greatest(
+                    g["lo"], F.least(g["hi"], f["lo"] + g["s"])
+                ).alias("lo"),
+                F.least(g["hi"], f["hi"] + g["s"]).alias("hi"),
+            ),
+        ).alias("fn"),
+    )
+    return user_fn.select(
+        "user_id",
+        "n_bands",
+        F.greatest(
+            F.col("fn.lo"),
+            F.least(F.col("fn.hi"), F.col("fn.s")),
+        ).alias("balance_cents"),
+    ).orderBy("user_id")

@@ -164,3 +164,22 @@ def test_clamped_balance_stays_in_bounds_and_diverges_from_sum(
         for d in series[uid]:
             bal = max(0, min(_CLAMP_CAP, bal + d))
         assert got[uid] == bal
+
+
+def test_parallel_scan_equals_sequential_fold(spark, registry):
+    """The two-pass clamp-composition scan must produce exactly the
+    same balances as the applyInPandas sequential fold — the whole
+    point of the parallel formulation."""
+    seq = {
+        r["user_id"]: r["balance_cents"]
+        for r in registry["clamped_running_balance"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    par = {
+        r["user_id"]: r["balance_cents"]
+        for r in registry["clamped_balance_parallel_scan"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert par == seq
