@@ -314,3 +314,197 @@ def geo_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------
+# Theil–Sen robust slope (median of pairwise slopes).
+# --------------------------------------------------------------------
+@register(
+    "theil_sen_slope_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / date_diff('day', a.day, b.day) AS slope
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS slope_cents_per_day
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "stats", "robust"),
+)
+def theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per series: the median of all
+    pairwise (Δvalue/Δdays) slopes over the daily totals — the
+    rank-based regression that shrugs off outliers an OLS line would
+    chase (Theil 1950, Sen 1968; breakdown point ~29%).
+
+    Exactness: each slope is one double division of exact integers
+    (identical op both engines); the interpolated median over
+    identically-computed doubles is deterministic, rounded to 6 dp.
+
+    Scale: the series reduces to daily grain first, so the pairwise
+    self-join is horizon-bounded (O(days²) per series, days ≈ 30
+    here), shuffled on the series key — row count never enters.
+    At decade horizons, band the days and sample pairs per band
+    (the standard Theil–Sen subsampling).
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents("value")).cast("long").alias("cents"))
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("day_b"), F.col("cents").alias("cb")
+    )
+    pairs = a.join(b, "event_type").where(
+        F.col("day_b") > F.col("day_a")
+    ).select(
+        "event_type",
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / F.datediff("day_b", "day_a")
+        ).alias("slope"),
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.expr("percentile(slope, 0.5)"), 6
+            ).alias("slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Classical seasonal decomposition (trend + weekday seasonal + resid).
+# --------------------------------------------------------------------
+@register(
+    "seasonal_decomposition_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), trend AS (
+      SELECT event_type, day, cents,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(SUM(cents) OVER w AS BIGINT) END AS tsum
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detr AS (
+      SELECT event_type, day, cents, tsum,
+             CASE WHEN tsum IS NOT NULL
+                  THEN cents - CAST(tsum AS DOUBLE) / 7 END AS detrended
+      FROM trend
+    ), seas AS (
+      SELECT event_type, isodow(day) AS dow,
+             round(AVG(detrended), 6) AS seasonal
+      FROM detr WHERE detrended IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cents,
+           CASE WHEN d.tsum IS NOT NULL
+                THEN CAST(round(1000.0 * d.tsum / 7) AS BIGINT)
+           END AS trend_milli,
+           CAST(round(1000.0 * s.seasonal) AS BIGINT) AS seasonal_milli,
+           CASE WHEN d.tsum IS NOT NULL
+                THEN CAST(d.cents * 1000
+                     - CAST(round(1000.0 * d.tsum / 7) AS BIGINT)
+                     - CAST(round(1000.0 * s.seasonal) AS BIGINT) AS BIGINT)
+           END AS resid_milli
+    FROM detr d JOIN seas s
+      ON s.event_type = d.event_type AND s.dow = isodow(d.day)
+    ORDER BY d.event_type, d.day
+    """,
+    tags=("timeseries", "decomposition", "stats"),
+)
+def seasonal_decomposition_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition per series: trend =
+    centered 7-day moving average (only where the full window
+    exists), weekday seasonal = mean of the detrended values per
+    ISO weekday, residual = value − trend − seasonal — the
+    decomposition every seasonality investigation starts with
+    (the moving-average core of STL without the loess robustness
+    iterations).
+
+    Exactness: the trend carries the exact integer 7-day SUM and
+    divides once at output; the seasonal mean is the one float
+    average, 6-dp-rounded before the residual subtraction, which is
+    then pure integer milli arithmetic.
+
+    Scale: one shuffle to daily grain; the centered-window and the
+    weekday aggregation both run on the per-series partitioning;
+    the seasonal table is #series×7 rows broadcast back.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents("value")).cast("long").alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trend = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.when(
+            F.count("*").over(w) == 7, F.sum("cents").over(w).cast("long")
+        ).alias("tsum"),
+    )
+    detr = trend.withColumn(
+        "detrended",
+        F.when(
+            F.col("tsum").isNotNull(),
+            F.col("cents") - F.col("tsum").cast("double") / 7,
+        ),
+    )
+    isodow = F.weekday("day") + 1
+    seas = (
+        detr.where(F.col("detrended").isNotNull())
+        .groupBy("event_type", isodow.alias("dow"))
+        .agg(F.round(F.avg("detrended"), 6).alias("seasonal"))
+    )
+    trend_milli = F.when(
+        F.col("tsum").isNotNull(),
+        F.round(1000.0 * F.col("tsum") / 7).cast("long"),
+    )
+    seasonal_milli = F.round(1000.0 * F.col("seasonal")).cast("long")
+    return (
+        detr.withColumn("dow", isodow)
+        .join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            trend_milli.alias("trend_milli"),
+            seasonal_milli.alias("seasonal_milli"),
+            F.when(
+                F.col("tsum").isNotNull(),
+                F.col("cents") * 1000
+                - F.round(1000.0 * F.col("tsum") / 7).cast("long")
+                - seasonal_milli,
+            )
+            .cast("long")
+            .alias("resid_milli"),
+        )
+        .orderBy("event_type", "day")
+    )

