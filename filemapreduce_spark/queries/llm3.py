@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.operators.vectors import dot, norm, to_double
@@ -285,4 +285,174 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_rate_milli"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------
+# Distinct-n diversity ratios (generation-diversity metric).
+# --------------------------------------------------------------------
+@register(
+    "distinct_n_diversity",
+    f"""
+    WITH toks AS (
+      SELECT source, {_SQL_WORDS} AS ws FROM documents
+    ), grams AS (
+      SELECT source, n.n,
+             unnest(CASE n.n
+               WHEN 1 THEN ws
+               WHEN 2 THEN list_transform(
+                 range(1, greatest(len(ws) - 0, 1)),
+                 i -> ws[i] || ' ' || ws[i + 1])
+               ELSE list_transform(
+                 range(1, greatest(len(ws) - 1, 1)),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+             END) AS g
+      FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) n
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           COUNT(*) AS total_ngrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           CAST(round(1000.0 * COUNT(DISTINCT g) / COUNT(*)) AS BIGINT)
+             AS distinct_milli
+    FROM grams
+    GROUP BY source, n
+    ORDER BY source, n
+    """,
+    tags=("text", "diversity", "llm"),
+)
+def distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source: the fraction of 1/2/3-grams
+    that are unique (Li et al. 2016's distinct-1/distinct-2) — the
+    standard degeneracy metric for generated text (low distinct-n =
+    repetitive corpus; also a cheap mode-collapse alarm when scoring
+    synthetic training data).
+
+    Scale: n-grams are row-local array transforms (no join), reduced
+    by one map-side-combined distinct-count per (source, n). The 3×
+    fanout rides the explode, not a shuffle of documents.
+
+    DuckDB range(1, x) is empty when x <= 1, so short docs yield no
+    bigrams/trigrams on either engine (Spark's sequence guard
+    mirrors it).
+    """
+    from filemapreduce_spark.operators.textops import words
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("source", words(F.col("text")).alias("ws"))
+    sizes = toks.select(
+        "source",
+        "ws",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("n"),
+    )
+    grams = sizes.select(
+        "source",
+        "n",
+        F.explode(
+            F.when(F.col("n") == 1, F.col("ws"))
+            .when(
+                F.col("n") == 2,
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                    " i -> concat(ws[i - 1], ' ', ws[i]))"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                    " i -> concat(ws[i - 1], ' ', ws[i], ' ', ws[i + 1]))"
+                )
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+            F.round(1000.0 * F.countDistinct("g") / F.count("*"))
+            .cast("long")
+            .alias("distinct_milli"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long"),
+            "total_ngrams",
+            "distinct_ngrams",
+            "distinct_milli",
+        )
+        .orderBy("source", "n")
+    )
+
+
+# --------------------------------------------------------------------
+# Zipf exponent fit (log-log OLS over the top-K rank-frequency curve).
+# --------------------------------------------------------------------
+_ZIPF_K = 100
+
+
+@register(
+    "zipf_exponent_fit",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_WORDS}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok
+      ORDER BY f DESC, tok LIMIT {_ZIPF_K}
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+      FROM freq
+    ), xy AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           round((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 6) AS zipf_slope,
+           round((SUM(y) - ((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                            / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)))
+                          * SUM(x)) / COUNT(*), 6) AS intercept
+    FROM xy
+    """,
+    tags=("text", "stats", "llm"),
+)
+def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(frequency) vs
+    ln(rank) over the top-100 terms — natural language sits near −1
+    (Zipf's law); a corpus that deviates sharply is a red flag for
+    templated/synthetic text, and the exponent drives vocabulary-
+    size and coverage planning.
+
+    Scale: term counts reduce map-side; the top-K is a
+    TakeOrderedAndProject (no global sort of the vocabulary); the
+    regression runs over exactly K rows. The ln/Σ float terms follow
+    the registry's 6-dp contract.
+    """
+    from filemapreduce_spark.operators.textops import words
+
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("tok"))
+        .limit(_ZIPF_K)
+    )
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("f").desc(), F.col("tok"))
+        ),
+    )
+    xy = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    n = F.count("*")
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return xy.agg(
+        n.cast("long").alias("k"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / n, 6).alias("intercept"),
     )

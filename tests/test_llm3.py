@@ -49,3 +49,27 @@ def test_vocab_coverage_internal_consistency(spark, registry):
             / r["total_tokens"]
         )
         assert r["oov_rate_milli"] == expect
+
+
+def test_distinct_n_ratios_bounded_and_decreasing_totals(spark, registry):
+    """distinct <= total per cell; higher n has fewer total n-grams
+    for the same source (each doc loses n-1 grams per increment)."""
+    rows = registry["distinct_n_diversity"].fn(spark, SF_SMALL).collect()
+    by_source: dict[str, dict[int, tuple]] = {}
+    for r in rows:
+        assert 0 < r["distinct_ngrams"] <= r["total_ngrams"]
+        assert 0 <= r["distinct_milli"] <= 1000
+        by_source.setdefault(r["source"], {})[r["n"]] = r["total_ngrams"]
+    for totals in by_source.values():
+        if 1 in totals and 2 in totals:
+            assert totals[2] <= totals[1]
+        if 2 in totals and 3 in totals:
+            assert totals[3] <= totals[2]
+
+
+def test_zipf_slope_is_negative(spark, registry):
+    """Rank-frequency curves slope downward by construction (freq is
+    sorted desc by rank), so the fitted exponent must be negative."""
+    row = registry["zipf_exponent_fit"].fn(spark, SF_SMALL).collect()[0]
+    assert row["k"] > 10
+    assert row["zipf_slope"] < 0

@@ -168,6 +168,9 @@ def test_registry_wide_plan_audit(spark, registry):
         # kaplan_meier_signup_purchase: windows over the day-grain
         # event grid — bounded by the observation horizon in days.
         "kaplan_meier_signup_purchase",
+        # zipf_exponent_fit: row_number over the LIMIT-100 term list
+        # (config-bounded K, never data volume).
+        "zipf_exponent_fit",
     }
 
     offenders = {}
