@@ -421,3 +421,170 @@ def histogram_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_milli")
     )
+
+
+# --------------------------------------------------------------------
+# Join-cardinality estimation audit (optimizer-style q-error).
+# --------------------------------------------------------------------
+@register(
+    "join_cardinality_estimate_audit",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n_a,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_a
+      FROM orders
+    ), b AS (
+      SELECT COUNT(*) AS n_b,
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS d_b
+      FROM customer
+    ), actual AS (
+      SELECT CAST(SUM(oc.n * cc.n) AS BIGINT) AS actual_rows
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) oc
+      JOIN (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) cc
+        ON cc.k = oc.k
+    )
+    SELECT n_a, d_a, n_b, d_b,
+           CAST(n_a * n_b / greatest(d_a, d_b) AS BIGINT) AS est_rows,
+           actual_rows,
+           CAST(round(1000.0 * greatest(
+                  CAST(n_a * n_b / greatest(d_a, d_b) AS DOUBLE)
+                    / actual_rows,
+                  CAST(actual_rows AS DOUBLE)
+                    / CAST(n_a * n_b / greatest(d_a, d_b) AS BIGINT)))
+                AS BIGINT) AS q_error_milli
+    FROM a CROSS JOIN b CROSS JOIN actual
+    """,
+    tags=("diagnostics", "optimizer", "join"),
+)
+def join_cardinality_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optimizer-style join-cardinality estimation audited against
+    truth: the textbook uniform-frequency estimate |A⋈B| ≈
+    nₐ·n_b / max(dₐ, d_b) (System R's containment assumption) next
+    to the EXACT size Σ_k cₐ(k)·c_b(k) from per-key histograms, with
+    the q-error (max of over/under ratio) that cost-model literature
+    grades estimators by. This is the diagnostic you run when a plan
+    picks a bad join order: it tells you how wrong the stats were.
+
+    Scale: the estimate needs two 1-row (count, distinct) aggregates;
+    the truth needs per-key counts joined on the key — one shuffle
+    each, sizes bounded by key cardinality. Both are the state a
+    stats collector (ANALYZE) maintains anyway.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    a = o.agg(
+        F.count("*").alias("n_a"),
+        F.countDistinct("o_custkey").cast("long").alias("d_a"),
+    )
+    b = c.agg(
+        F.count("*").alias("n_b"),
+        F.countDistinct("c_custkey").cast("long").alias("d_b"),
+    )
+    oc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n_o")
+    )
+    cc = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("n_c")
+    )
+    actual = (
+        oc.join(cc, "k")
+        .agg(F.sum(F.col("n_o") * F.col("n_c")).cast("long").alias(
+            "actual_rows"
+        ))
+    )
+    est = (F.col("n_a") * F.col("n_b") / F.greatest("d_a", "d_b")).cast(
+        "long"
+    )
+    q_err = F.round(
+        1000.0
+        * F.greatest(
+            est.cast("double") / F.col("actual_rows"),
+            F.col("actual_rows").cast("double") / est,
+        )
+    ).cast("long")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_a",
+            "d_a",
+            "n_b",
+            "d_b",
+            est.alias("est_rows"),
+            "actual_rows",
+            q_err.alias("q_error_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Out-of-order arrival audit (streaming watermark sizing input).
+# --------------------------------------------------------------------
+@register(
+    "out_of_order_audit",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY event_type ORDER BY event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backward,
+           CAST(round(1000.0 * SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS backward_milli,
+           CAST(COALESCE(MAX(CASE WHEN ts < prev_ts
+                    THEN epoch_us(prev_ts) - epoch_us(ts) END), 0)
+                AS BIGINT) AS max_backward_us
+    FROM seq
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("diagnostics", "streaming", "audit"),
+)
+def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit: treating event_id as arrival order,
+    count how often event time steps BACKWARD within each type and
+    the worst backward jump in microseconds — exactly the disorder
+    measurement that sizes a streaming watermark (the max backward
+    jump is the lateness bound a `withWatermark` must cover to drop
+    nothing).
+
+    Scale: one lag window per type partition and one agg on the same
+    partitioning — a single shuffle, no global ordering.
+    """
+    e = t(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        "ts",
+        F.lag("ts")
+        .over(Window.partitionBy("event_type").orderBy("event_id"))
+        .alias("prev_ts"),
+    )
+    backward = F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(backward).cast("long").alias("n_backward"),
+            F.round(1000.0 * F.sum(backward) / F.count("*"))
+            .cast("long")
+            .alias("backward_milli"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("ts") < F.col("prev_ts"),
+                        F.unix_micros("prev_ts") - F.unix_micros("ts"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_backward_us"),
+        )
+        .orderBy("event_type")
+    )

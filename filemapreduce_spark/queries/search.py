@@ -141,3 +141,122 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# --------------------------------------------------------------------
+# BM25 ranked retrieval over the inverted index.
+# --------------------------------------------------------------------
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+)
+
+
+@register(
+    "bm25_search_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dlen AS DOUBLE)) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('{"', '".join(_BM25_TERMS)}')
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT t.doc_id,
+             SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * ({_BM25_K1} + 1.0))
+                 / (t.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B}
+                       + {_BM25_B} * l.dlen / s.avgdl))) AS score
+      FROM tf t
+      JOIN df d ON d.tok = t.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id)
+               AS rn
+      FROM scored
+    ) WHERE rn <= {_BM25_TOPK}
+    ORDER BY bm25 DESC, doc_id
+    """,
+    tags=("search", "ranking", "text"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2, b=0.75)
+    for a fixed 3-term query: classic idf × saturated-tf ×
+    length-normalized scoring, top-10 documents — the baseline every
+    retrieval system is benchmarked against, and the scoring half the
+    trigram index's candidate generation feeds in a real search
+    stack.
+
+    Exactness: tf/df/doc-length are exact integers; the score is the
+    one float chain (ln + fixed-order arithmetic), rounded to 6 dp
+    BEFORE ranking so the rank comparison is on identical values,
+    ties by doc_id.
+
+    Scale: posting-list shaped — the tf table only holds
+    (doc, query-term) pairs (the WHERE pushes the 3-term filter into
+    the token stream); df is 3 rows; the corpus stats are one 1-row
+    broadcast. The final top-k is WindowGroupLimit/TakeOrdered-
+    pruned — no global sort of scores.
+    """
+    from filemapreduce_spark.operators.textops import words
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dlen").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tfnorm).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    ranked = scored.select(
+        "doc_id", F.round("score", 6).alias("bm25")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        ),
+    )
+    return (
+        ranked.where(F.col("rn") <= _BM25_TOPK)
+        .select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    )

@@ -183,3 +183,25 @@ def test_parallel_scan_equals_sequential_fold(spark, registry):
         .collect()
     }
     assert par == seq
+
+
+def test_join_cardinality_actual_matches_real_join(spark, registry):
+    row = registry["join_cardinality_estimate_audit"].fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    true_n = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).count()
+    assert row["actual_rows"] == true_n
+    assert row["q_error_milli"] >= 1000  # q-error is >= 1 by definition
+
+
+def test_out_of_order_counts_bounded(spark, registry):
+    rows = registry["out_of_order_audit"].fn(spark, SF_SMALL).collect()
+    for r in rows:
+        assert 0 <= r["n_backward"] < r["n_events"]
+        assert r["max_backward_us"] >= 0
+        if r["n_backward"] == 0:
+            assert r["max_backward_us"] == 0

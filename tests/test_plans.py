@@ -111,6 +111,7 @@ def test_registry_wide_plan_audit(spark, registry):
     allowed_bnlj = {
         "acf_daily_lags",  # 7-row lag-index broadcast over daily grain
         "benford_first_digit_audit",  # 1-row grand-total broadcast
+        "bm25_search_topk",  # 1-row corpus-stats broadcast
         "calibration_curve_deciles",  # 1-row decile-threshold broadcast
         "ccnet_perplexity_buckets",
         "class_balance_downsample",  # 1-row minority-size broadcast
@@ -122,6 +123,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "histogram_sketch_percentiles",  # 256-row bin-summary broadcast
         "hard_negative_mining",  # tiny query-slice broadcast, != join
         "ivf_recall_measure",
+        "join_cardinality_estimate_audit",  # three 1-row stat broadcasts
         "kaplan_meier_signup_purchase",  # 1-row subject-total broadcast
         "kmeans_lloyd_2iter",
         "minhash_lsh_recall",

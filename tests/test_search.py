@@ -36,3 +36,11 @@ def test_trigram_search_has_no_false_negatives(spark, registry):
         r = rows[term]
         assert r["n_verified"] == truth
         assert r["n_candidates"] >= r["n_verified"]
+
+
+def test_bm25_scores_positive_and_ranked(spark, registry):
+    rows = registry["bm25_search_topk"].fn(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
