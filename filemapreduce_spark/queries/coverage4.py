@@ -588,3 +588,71 @@ def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# Dense global IDs without a global sort (banded two-phase ranking).
+# --------------------------------------------------------------------
+@register(
+    "banded_dense_row_ids",
+    """
+    SELECT doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+             AS global_id
+    FROM documents
+    ORDER BY global_id
+    """,
+    tags=("ranking", "ids", "scale-pattern"),
+)
+def banded_dense_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row IDs in (n_chars, doc_id) order WITHOUT a
+    global sort: band rows by a value prefix (row-local key), rank
+    within each band in parallel, compute per-band offsets from the
+    tiny band-count summary, and add. The oracle is the naive global
+    row_number — proving the banded two-phase assignment produces
+    the IDENTICAL dense 0..N−1 numbering.
+
+    This is the standard scale treatment for every "needs a global
+    rank" ask (stable ids, global quantile ranks, total-order
+    export): zipWithIndex without leaving the DataFrame API, and the
+    same trick `orderkey_gap_audit` uses for its band hierarchy.
+
+    Scale: the only global structure touched is the per-band count
+    summary (#bands rows — value-domain-bounded); ranking windows
+    partition by band and the data shuffles once on the band key.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    band = (F.col("n_chars") / 64).cast("long")
+    ranked = d.select(
+        "doc_id",
+        "n_chars",
+        band.alias("band"),
+        F.row_number()
+        .over(
+            Window.partitionBy(band).orderBy("n_chars", "doc_id")
+        )
+        .alias("rnk"),
+    )
+    counts = ranked.groupBy("band").agg(F.count("*").alias("bn"))
+    offsets = counts.select(
+        "band",
+        (
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("band").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "band")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("off") + F.col("rnk") - 1).cast("long").alias("global_id"),
+        )
+        .orderBy("global_id")
+    )

@@ -205,3 +205,11 @@ def test_out_of_order_counts_bounded(spark, registry):
         assert r["max_backward_us"] >= 0
         if r["n_backward"] == 0:
             assert r["max_backward_us"] == 0
+
+
+def test_banded_ids_are_dense_and_order_consistent(spark, registry):
+    rows = registry["banded_dense_row_ids"].fn(spark, SF_SMALL).collect()
+    ids = [r["global_id"] for r in rows]
+    assert ids == list(range(len(rows)))
+    keys = [(r["n_chars"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)

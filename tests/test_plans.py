@@ -173,6 +173,9 @@ def test_registry_wide_plan_audit(spark, registry):
         # zipf_exponent_fit: row_number over the LIMIT-100 term list
         # (config-bounded K, never data volume).
         "zipf_exponent_fit",
+        # banded_dense_row_ids: offset prefix-sum over the per-band
+        # COUNT summary (#bands rows, value-domain-bounded).
+        "banded_dense_row_ids",
     }
 
     offenders = {}
