@@ -656,3 +656,148 @@ def banded_dense_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_id")
     )
+
+
+# --------------------------------------------------------------------
+# Approximate query processing: sampled estimate + exact error.
+# --------------------------------------------------------------------
+_SAMPLE_MOD = 10  # keep 1/10 of rows, deterministically
+
+
+@register(
+    "sampled_aggregate_estimate",
+    f"""
+    WITH tagged AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+             ('0x' || substring(md5('aqp:' || CAST(l_orderkey AS VARCHAR)
+                || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+               % {_SAMPLE_MOD} AS bucket
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(cents) AS BIGINT) AS exact_cents,
+           CAST({_SAMPLE_MOD} * SUM(CASE WHEN bucket = 0
+                                         THEN cents ELSE 0 END) AS BIGINT)
+             AS est_cents,
+           CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(round(1000.0 * abs({_SAMPLE_MOD} * SUM(CASE WHEN bucket = 0
+                          THEN cents ELSE 0 END) - SUM(cents))
+                      / SUM(cents)) AS BIGINT) AS rel_err_milli
+    FROM tagged
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aqp", "sampling", "agg"),
+)
+def sampled_aggregate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with honesty: estimate each
+    return flag's revenue from a deterministic md5 1-in-10 row sample
+    (Horvitz–Thompson scale-up ×10) and report the TRUE relative
+    error against the exact sum — the sample-then-scale pattern every
+    interactive AQP layer (BlinkDB-style) runs, with the error column
+    the production version replaces by a CLT confidence interval.
+
+    Scale: the sample predicate is row-local hashing (no RNG state,
+    reproducible across engines and runs); estimate and truth reduce
+    in ONE map-side-combined aggregate here for the audit — the
+    production deployment scans only the pre-materialized sample
+    partition, which is the entire point.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("aqp:"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SAMPLE_MOD
+    )
+    tagged = li.select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("cents"),
+        bucket.alias("bucket"),
+    )
+    in_sample = F.when(F.col("bucket") == 0, F.col("cents")).otherwise(0)
+    est = (_SAMPLE_MOD * F.sum(in_sample)).cast("long")
+    exact = F.sum("cents").cast("long")
+    return (
+        tagged.groupBy("l_returnflag")
+        .agg(
+            exact.alias("exact_cents"),
+            est.alias("est_cents"),
+            F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.round(1000.0 * F.abs(est - exact) / exact)
+            .cast("long")
+            .alias("rel_err_milli"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# Tie-safe argmax per group via max(struct) — no window, pure agg.
+# --------------------------------------------------------------------
+@register(
+    "argmax_struct_per_type",
+    """
+    WITH totals AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(MAX({'c': cents, 'nu': -user_id}).c AS BIGINT) AS top_cents,
+           CAST(-(MAX({'c': cents, 'nu': -user_id}).nu) AS BIGINT)
+             AS top_user
+    FROM totals
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "argmax"),
+)
+def argmax_struct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-safe argmax as a pure aggregate: the top-spending user per
+    event type via max(struct(value, -user_id)) — struct comparison
+    is lexicographic, so ties on value break toward the SMALLEST
+    user id deterministically, unlike `max_by` whose tie choice is
+    engine/partition-dependent. One map-side-combined aggregate, no
+    window, no shuffle beyond the group keys — the cheapest argmax
+    shape and the one that stays exact under any partitioning.
+
+    Scale: two chained aggs (user totals, then per-type max) on
+    successively smaller keys; the struct max is associative and
+    commutative, so partial aggregation is safe — contrast the
+    row_number() formulation, which needs a per-type sort.
+    """
+    e = t(spark, sf_dir, "events")
+    totals = e.groupBy("event_type", "user_id").agg(
+        F.sum(cents("value")).cast("long").alias("cents")
+    )
+    pick = F.max(
+        F.struct(F.col("cents"), (-F.col("user_id")).alias("neg_user"))
+    )
+    return (
+        totals.groupBy("event_type")
+        .agg(pick.alias("m"))
+        .select(
+            "event_type",
+            F.col("m.cents").cast("long").alias("top_cents"),
+            (-F.col("m.neg_user")).cast("long").alias("top_user"),
+        )
+        .orderBy("event_type")
+    )

@@ -213,3 +213,54 @@ def test_banded_ids_are_dense_and_order_consistent(spark, registry):
     assert ids == list(range(len(rows)))
     keys = [(r["n_chars"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_sampled_estimate_matches_handcheck(spark, registry):
+    """The exact column must equal a direct sum; the estimate must be
+    exactly 10x the sampled mass."""
+    rows = registry["sampled_aggregate_estimate"].fn(
+        spark, SF_SMALL
+    ).collect()
+    direct = {
+        r["l_returnflag"]: r["s"]
+        for r in spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("s")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["exact_cents"] == direct[r["l_returnflag"]]
+        assert r["est_cents"] % 10 == 0
+        assert r["n_sampled"] > 0
+
+
+def test_argmax_struct_matches_window_formulation(spark, registry):
+    from pyspark.sql import Window
+
+    rows = {
+        r["event_type"]: (r["top_cents"], r["top_user"])
+        for r in registry["argmax_struct_per_type"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    totals = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").desc(), F.col("user_id").asc()
+    )
+    ref = {
+        r["event_type"]: (r["cents"], r["user_id"])
+        for r in totals.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert rows == ref
