@@ -801,3 +801,247 @@ def argmax_struct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# Incremental SCD2 merge: applying a delta equals the full rebuild.
+# --------------------------------------------------------------------
+_SCD2_CUT = "2024-01-22"
+
+
+def _runs(df):
+    """Collapse an event slice into (user, local version, type,
+    n_events, valid_from_us) runs — the SCD2 derivation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (
+        df.select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "chg",
+            F.when(
+                ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("version", F.sum("chg").over(wrun))
+    )
+    return runs.groupBy("user_id", "version", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("valid_from_us"),
+    )
+
+
+@register(
+    "scd2_incremental_merge",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS version,
+           event_type, COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS valid_from_us
+    FROM runs GROUP BY user_id, run_id, event_type
+    ORDER BY user_id, version
+    """,
+    tags=("cdc", "temporal", "incremental"),
+)
+def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: the dimension history is built
+    from events BEFORE the cut date, then the post-cut delta is
+    MERGED in — the open (current) version extends if the delta
+    starts with the same attribute value, otherwise it closes and
+    the delta's runs append with shifted version numbers. The oracle
+    is the FULL REBUILD over all events: a hash match proves the
+    incremental apply is exactly equivalent, which is the entire
+    contract of incremental dimension maintenance (and the property
+    warehouse MERGE jobs silently assume).
+
+    Scale: base and delta runs each take one user-partitioned
+    window pass over their slice (the delta pass only touches new
+    data — the point of incrementality); the merge is a per-user
+    join of run summaries, shuffled on user_id only.
+    """
+    e = t(spark, sf_dir, "events")
+    cut = F.lit(_SCD2_CUT).cast("timestamp")
+    base = _runs(e.where(F.col("ts") < cut))
+    delta = _runs(e.where(F.col("ts") >= cut))
+
+    last = base.groupBy("user_id").agg(
+        F.max(F.struct("version", "event_type")).alias("lv")
+    ).select(
+        "user_id",
+        F.col("lv.version").alias("last_v"),
+        F.col("lv.event_type").alias("last_type"),
+    )
+    # _runs numbers the first run 1 (lag NULL -> chg=1), so the
+    # delta's opening run is version == 1
+    first_delta = delta.where(F.col("version") == 1).select(
+        "user_id",
+        F.col("event_type").alias("first_type"),
+        F.col("n_events").alias("first_n"),
+    )
+    info = last.join(first_delta, "user_id", "full").select(
+        "user_id",
+        "last_v",
+        "last_type",
+        "first_type",
+        "first_n",
+        (
+            F.col("last_type").isNotNull()
+            & F.col("first_type").isNotNull()
+            & (F.col("last_type") == F.col("first_type"))
+        ).alias("merges"),
+    )
+
+    b = base.join(info, "user_id", "left")
+    base_out = b.select(
+        "user_id",
+        "version",
+        "event_type",
+        F.when(
+            (F.col("version") == F.col("last_v")) & F.col("merges"),
+            F.col("n_events") + F.col("first_n"),
+        )
+        .otherwise(F.col("n_events"))
+        .alias("n_events"),
+        "valid_from_us",
+    )
+    d = delta.join(info, "user_id", "left")
+    delta_out = d.where(
+        ~(F.coalesce(F.col("merges"), F.lit(False)) & (F.col("version") == 1))
+    ).select(
+        "user_id",
+        F.when(F.col("last_v").isNull(), F.col("version"))
+        .when(F.col("merges"), F.col("last_v") + F.col("version") - 1)
+        .otherwise(F.col("last_v") + F.col("version"))
+        .cast("long")
+        .alias("version"),
+        "event_type",
+        "n_events",
+        "valid_from_us",
+    )
+    return (
+        base_out.unionByName(delta_out)
+        .select(
+            "user_id",
+            F.col("version").cast("long"),
+            "event_type",
+            "n_events",
+            "valid_from_us",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --------------------------------------------------------------------
+# Inclusion-dependency (FK candidate) discovery by containment.
+# --------------------------------------------------------------------
+@register(
+    "fk_containment_discovery",
+    """
+    WITH pairs AS (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS pair,
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS child_keys,
+             (SELECT COUNT(*) FROM (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM customer)))
+               AS contained
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey',
+             (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+             (SELECT COUNT(*) FROM (
+                SELECT DISTINCT l_partkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part)))
+      UNION ALL
+      SELECT 'events.user_id->customer.c_custkey',
+             (SELECT COUNT(DISTINCT user_id) FROM events),
+             (SELECT COUNT(*) FROM (
+                SELECT DISTINCT user_id FROM events
+                WHERE user_id IN (SELECT c_custkey FROM customer)))
+    )
+    SELECT pair,
+           CAST(child_keys AS BIGINT) AS child_keys,
+           CAST(contained AS BIGINT) AS contained,
+           CAST(round(1000.0 * contained / child_keys) AS BIGINT)
+             AS containment_milli,
+           CAST(CASE WHEN contained = child_keys THEN 1 ELSE 0 END
+                AS BIGINT) AS is_inclusion
+    FROM pairs
+    ORDER BY pair
+    """,
+    tags=("audit", "discovery", "keys"),
+)
+def fk_containment_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery (the SPIDER/Bell–Brockhausen
+    question): for each candidate FK edge, what fraction of the
+    child's distinct keys exist in the parent — containment 1000‰
+    means the edge is a valid foreign key; anything less localizes
+    referential corruption before a join silently drops rows. The
+    complement of `fk_integrity_violations` (which counts violating
+    ROWS; this ranks candidate EDGES).
+
+    Scale: each edge costs a distinct on the child side and a
+    LEFT SEMI join against the parent keys (broadcast when the
+    parent is a dimension) — the same state an ANALYZE-style stats
+    collector gathers, and trivially parallel across edges.
+    """
+
+    def edge(pair: str, child, ckey: str, parent, pkey: str):
+        ck = child.select(F.col(ckey).alias("k")).distinct()
+        pk = parent.select(F.col(pkey).alias("k"))
+        n = ck.agg(
+            F.count("*").alias("child_keys"),
+        )
+        inn = ck.join(pk.distinct(), "k", "semi").agg(
+            F.count("*").alias("contained")
+        )
+        return (
+            n.crossJoin(F.broadcast(inn))
+            .select(
+                F.lit(pair).alias("pair"),
+                F.col("child_keys").cast("long"),
+                F.col("contained").cast("long"),
+                F.round(
+                    1000.0 * F.col("contained") / F.col("child_keys")
+                )
+                .cast("long")
+                .alias("containment_milli"),
+                F.when(F.col("contained") == F.col("child_keys"), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("is_inclusion"),
+            )
+        )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    e = t(spark, sf_dir, "events")
+    return (
+        edge(
+            "orders.o_custkey->customer.c_custkey", o, "o_custkey", c,
+            "c_custkey",
+        )
+        .unionByName(
+            edge(
+                "lineitem.l_partkey->part.p_partkey", li, "l_partkey", p,
+                "p_partkey",
+            )
+        )
+        .unionByName(
+            edge(
+                "events.user_id->customer.c_custkey", e, "user_id", c,
+                "c_custkey",
+            )
+        )
+        .orderBy("pair")
+    )

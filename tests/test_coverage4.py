@@ -264,3 +264,35 @@ def test_argmax_struct_matches_window_formulation(spark, registry):
         .collect()
     }
     assert rows == ref
+
+
+def test_scd2_incremental_equals_rebuild_and_versions_dense(
+    spark, registry
+):
+    """Versions per user must be dense 1..K with no gaps, and the
+    total event mass must be conserved."""
+    rows = registry["scd2_incremental_merge"].fn(spark, SF_SMALL).collect()
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r["version"])
+    for versions in per_user.values():
+        versions.sort()
+        assert versions == list(range(1, len(versions) + 1))
+    n_total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_total
+
+
+def test_fk_containment_known_edges(spark, registry):
+    rows = {
+        r["pair"]: r
+        for r in registry["fk_containment_discovery"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    for r in rows.values():
+        assert 0 <= r["contained"] <= r["child_keys"]
+        assert r["is_inclusion"] == (
+            1 if r["contained"] == r["child_keys"] else 0
+        )
