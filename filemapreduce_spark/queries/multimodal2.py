@@ -330,3 +330,104 @@ def image_decode_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(decode_pool, schema=schema)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# Corpus-level pixel-intensity histogram over decoded images.
+# --------------------------------------------------------------------
+@register(
+    "image_pixel_histogram",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents
+    ), fullpx AS (
+      SELECT doc_id, unnest(generate_series(0, w * h * 3 - 1)) AS q
+      FROM p
+    ), fb AS (
+      SELECT q % 3 AS channel,
+             ((doc_id * {_WAV_A} + q * {_WAV_B} + {_WAV_C}) % 256) // 32
+               AS bin
+      FROM fullpx
+    )
+    SELECT CAST(channel AS BIGINT) AS channel,
+           CAST(bin AS BIGINT) AS bin,
+           COUNT(*) AS n_pixels
+    FROM fb
+    GROUP BY channel, bin
+    ORDER BY channel, bin
+    """,
+    tags=("multimodal", "image", "histogram", "llm"),
+)
+def image_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level pixel-intensity histogram over DECODED images:
+    synthesize the PPM containers, parse them with the real
+    header-walking decoder, and histogram every pixel byte into 8
+    intensity bins per channel — the brightness/contrast profile a
+    vision-data pipeline computes before normalization (mean/std
+    image stats, exposure skew, dead-channel detection). The DuckDB
+    oracle re-derives every pixel from the shared recurrence, so the
+    counts must match exactly.
+
+    Scale shape: synth/decode/histogram are row-local Arrow stages
+    emitting 24 partial rows per TASK (channel × bin counts reduce
+    inside the Python stage before the one tiny shuffle) — image
+    bytes never cross the network, which is the only viable layout
+    when frames are MB-scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(_python_stage_partitions(spark))
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 9
+                h = 6 + doc_id % 7
+                q = np.arange(w * h * 3, dtype=np.int64)
+                px = ((doc_id * _WAV_A + q * _WAV_B + _WAV_C) % 256).astype(
+                    np.uint8
+                )
+                header = f"P6\n{w} {h}\n255\n".encode("ascii")
+                payloads.append(header + px.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def hist_partial(batches):
+        # per-TASK partial histogram: 24 rows leave Python per batch,
+        # never per image
+        for pdf in batches:
+            acc = np.zeros((3, 8), dtype=np.int64)
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id = int(doc_id)
+                _, _, arr = parse_ppm(doc_id, bytes(b))
+                for c in range(3):
+                    acc[c] += np.bincount(
+                        (arr[:, :, c] >> 5).ravel(), minlength=8
+                    )
+            ch, bins = np.indices(acc.shape)
+            yield pd.DataFrame(
+                {
+                    "channel": ch.ravel(),
+                    "bin": bins.ravel(),
+                    "n_pixels": acc.ravel(),
+                }
+            )
+
+    return (
+        d.mapInPandas(synth, schema="doc_id long, payload binary")
+        .mapInPandas(
+            hist_partial, schema="channel long, bin long, n_pixels long"
+        )
+        .groupBy("channel", "bin")
+        .agg(F.sum("n_pixels").cast("long").alias("n_pixels"))
+        .orderBy("channel", "bin")
+    )

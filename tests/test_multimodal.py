@@ -173,3 +173,25 @@ def test_audio_frame_energy_matches_recurrence(spark, registry, sf_small):
             frame = vals[r.frame_idx * 16 : (r.frame_idx + 1) * 16]
             assert r.energy == sum(v * v for v in frame)
             assert r.n_samples == len(frame)
+
+
+def test_image_histogram_conserves_pixel_count(spark):
+    """Histogram mass must equal the total decoded pixel count
+    (3 channels x W x H per doc)."""
+    from filemapreduce_spark.queries import load_all
+
+    registry = load_all()
+    rows = registry["image_pixel_histogram"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r["n_pixels"] for r in rows)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id").collect()
+    expect = sum(
+        (8 + r["doc_id"] % 9) * (6 + r["doc_id"] % 7) * 3 for r in docs
+    )
+    assert total == expect
+    assert len(rows) <= 24
+    for r in rows:
+        assert 0 <= r["bin"] <= 7 and 0 <= r["channel"] <= 2
