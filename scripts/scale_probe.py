@@ -124,12 +124,87 @@ def main():
             .save()
         )
 
+    # round-3 families: posting-index build, SRP banding, grid join
+    def trigram_postings(dc):
+        return lambda: (
+            dc.select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(1, length(lower(text)) - 2),"
+                            " i -> substring(lower(text), i, 3))"
+                        )
+                    )
+                ).alias("tri"),
+            )
+            .groupBy("tri")
+            .agg(F.count("*").alias("df"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    from filemapreduce_spark.queries.llm3 import _PLANES
+    from filemapreduce_spark.operators.vectors import dot, to_double
+
+    em10 = replicate(em1, ["vec_id"], 10_000_000)
+
+    def srp_bands(em):
+        v = em.select("vec_id", to_double(F.col("embedding")).alias("_v"))
+        sig = None
+        for p, plane in enumerate(_PLANES):
+            lit_plane = F.array([F.lit(w) for w in plane])
+            bit = F.when(dot(F.col("_v"), lit_plane) >= 0, 1 << p).otherwise(0)
+            sig = bit if sig is None else (sig + bit)
+        return lambda: (
+            v.select((sig % 256).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    from filemapreduce_spark.queries.analytics5 import (
+        _CELL_DEG,
+        _coord_col,
+    )
+
+    cu1 = spark.read.parquet(f"{SF_DIR}/customer.parquet").repartition(32)
+    cu10 = replicate(cu1, ["c_custkey"], 10_000_000)
+
+    def geo_grid(cu):
+        pts = cu.select(
+            F.col("c_custkey").alias("id"),
+            _coord_col("lat", F.col("c_custkey")).alias("lat"),
+            _coord_col("lon", F.col("c_custkey")).alias("lon"),
+        )
+        cells = pts.select(
+            "id",
+            F.floor(F.col("lat") / _CELL_DEG).cast("long").alias("cx"),
+            F.floor(F.col("lon") / _CELL_DEG).cast("long").alias("cy"),
+        )
+        a = cells.select(F.col("id").alias("id_a"), "cx", "cy")
+        b = cells.select(F.col("id").alias("id_b"), "cx", "cy")
+        return lambda: (
+            a.join(b, ["cx", "cy"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .agg(F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
     results = {}
     for name, f1, f10 in (
         ("groupby_agg", q1(li1), q1(li10)),
         ("fact_fact_join", join_agg(li1, od1), join_agg(li10, od10)),
         ("minhash_signature", minhash(dc1), minhash(dc10)),
         ("gram_matrix_100x", gram(em1), gram(em100)),
+        ("trigram_postings", trigram_postings(dc1), trigram_postings(dc10)),
+        ("srp_banding", srp_bands(em1), srp_bands(em10)),
+        ("geo_grid_join", geo_grid(cu1), geo_grid(cu10)),
     ):
         t1, t10 = timed(f1), timed(f10)
         results[name] = {
