@@ -431,3 +431,90 @@ def image_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_pixels").cast("long").alias("n_pixels"))
         .orderBy("channel", "bin")
     )
+
+
+# --------------------------------------------------------------------
+# Audio decimation: decode → channel-0 → 2:1 block-sum downsample.
+# --------------------------------------------------------------------
+@register(
+    "audio_decimate_2to1",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 50 + doc_id % 77 AS n_frames, 1 + doc_id % 2 AS ch
+      FROM documents
+    ), outk AS (
+      SELECT doc_id, ch,
+             unnest(generate_series(0, n_frames // 2 - 1)) AS k
+      FROM p
+    ), y AS (
+      SELECT doc_id, k,
+             ((doc_id * {_WAV_A} + (2 * k) * ch * {_WAV_B} + {_WAV_C})
+                % 65536 - 32768)
+             + ((doc_id * {_WAV_A} + (2 * k + 1) * ch * {_WAV_B} + {_WAV_C})
+                % 65536 - 32768) AS v
+      FROM outk
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_out,
+           CAST(SUM(v * (1 + k % 97)) AS BIGINT) AS checksum,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak
+    FROM y
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "dsp", "llm"),
+)
+def audio_decimate_2to1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decimation on decoded PCM: synthesize the WAV corpus,
+    parse it with the real RIFF chunk walker, take channel 0, and
+    downsample 2:1 by summing sample pairs (the anti-aliased
+    production version convolves a low-pass FIR first — the plumbing
+    is identical), emitting the output length, a position-weighted
+    checksum of the decimated signal, and its peak amplitude. The
+    oracle re-derives channel-0 samples from the shared recurrence
+    (channel-0 frame i sits at interleaved index i·ch).
+
+    Scale shape: synth/decode/decimate are row-local Arrow stages;
+    the decimated payload reduces to three numbers per doc inside
+    Python, so only the summary shuffles. Sample-rate conversion at
+    fleet scale is exactly this map over the audio shards.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(_python_stage_partitions(spark))
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield synth_wav_pdf(pdf)
+
+    def decimate(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_out": [], "checksum": [], "peak": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id = int(doc_id)
+                ch, rate, data = parse_wav(doc_id, bytes(b))
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                ch0 = samples[::ch]
+                n_out = len(ch0) // 2
+                pairs = ch0[: 2 * n_out].reshape(n_out, 2)
+                y = pairs.sum(axis=1)
+                k = np.arange(n_out, dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_out"].append(n_out)
+                out["checksum"].append(int((y * (1 + k % 97)).sum()))
+                out["peak"].append(int(np.abs(y).max()) if n_out else 0)
+            yield pd.DataFrame(out)
+
+    return (
+        d.mapInPandas(synth, schema="doc_id long, payload binary")
+        .mapInPandas(
+            decimate,
+            schema="doc_id long, n_out long, checksum long, peak long",
+        )
+        .orderBy("doc_id")
+    )

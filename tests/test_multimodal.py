@@ -195,3 +195,18 @@ def test_image_histogram_conserves_pixel_count(spark):
     assert len(rows) <= 24
     for r in rows:
         assert 0 <= r["bin"] <= 7 and 0 <= r["channel"] <= 2
+
+
+def test_audio_decimation_halves_and_bounds_peak(spark):
+    from filemapreduce_spark.queries import load_all
+
+    registry = load_all()
+    rows = registry["audio_decimate_2to1"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        n_frames = 50 + r["doc_id"] % 77
+        assert r["n_out"] == n_frames // 2
+        # a pair-sum of two int16 samples is bounded by 2*32768
+        assert 0 <= r["peak"] <= 2 * 32768
