@@ -1045,3 +1045,139 @@ def fk_containment_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# --------------------------------------------------------------------
+# Bitmap audience overlap: AND + popcount on mergeable bitmap words.
+# --------------------------------------------------------------------
+@register(
+    "bitmap_audience_overlap",
+    """
+    WITH bits AS (
+      SELECT DISTINCT event_type, user_id // 32 AS word_idx,
+             CAST(1 AS BIGINT) << (user_id % 32) AS mask
+      FROM events
+    ), words AS (
+      SELECT event_type, word_idx,
+             CAST(bit_or(mask) AS BIGINT) AS word
+      FROM bits GROUP BY event_type, word_idx
+    ), sizes AS (
+      SELECT event_type,
+             CAST(SUM(bit_count(word)) AS BIGINT) AS n_users
+      FROM words GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(bit_count(a.word & b.word)) AS BIGINT) AS n_both
+      FROM words a JOIN words b
+        ON a.word_idx = b.word_idx AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    ), exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both_exact
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           sa.n_users AS n_a, sb.n_users AS n_b,
+           p.n_both, e.n_both_exact,
+           CAST(CASE WHEN p.n_both = e.n_both_exact THEN 1 ELSE 0 END
+                AS BIGINT) AS bitmap_matches_exact
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+    tags=("sketch", "bitmap", "setops"),
+)
+def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix on mergeable bitmap state: each event
+    type's user set becomes 32-bit words (bit_or-mergeable — the
+    roaring-bitmap pattern in plain SQL types); pairwise overlap is
+    word-wise AND + popcount on the word summaries, NEVER on raw
+    rows. The relationally-computed exact intersection rides along
+    and the match flag proves the bitmap algebra is exact, not
+    approximate — the difference from HLL intersection estimates.
+
+    Scale: bitmap build is one distinct + bit_or agg (words are
+    user-domain/32 rows per audience); every pairwise overlap reads
+    ONLY word summaries joined on word_idx. At sparse-id scale,
+    add a bucket level (hash ids into dense per-bucket ranges) —
+    the same two-level layout roaring uses.
+    """
+    e = t(spark, sf_dir, "events")
+    bits = e.select(
+        "event_type",
+        F.expr("user_id div 32").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        .alias("mask"),
+    ).distinct()
+    words = bits.groupBy("event_type", "word_idx").agg(
+        F.bit_or("mask").cast("long").alias("word")
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_users")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"),
+        "word_idx",
+        F.col("word").alias("wa"),
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"),
+        "word_idx",
+        F.col("word").alias("wb"),
+    )
+    pairs = (
+        a.join(b, "word_idx")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("long")
+            .alias("n_both")
+        )
+    )
+    du = e.select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both_exact"))
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_users").alias("n_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            sizes.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_users").alias("n_b"),
+            ),
+            "type_b",
+        )
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            "n_both_exact",
+            F.when(F.col("n_both") == F.col("n_both_exact"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("bitmap_matches_exact"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -296,3 +296,11 @@ def test_fk_containment_known_edges(spark, registry):
         assert r["is_inclusion"] == (
             1 if r["contained"] == r["child_keys"] else 0
         )
+
+
+def test_bitmap_overlap_always_matches_exact(spark, registry):
+    rows = registry["bitmap_audience_overlap"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 10  # 5 types -> C(5,2) pairs
+    for r in rows:
+        assert r["bitmap_matches_exact"] == 1
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])

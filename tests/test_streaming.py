@@ -258,3 +258,32 @@ def test_streaming_partitioned_sink(spark, tmp_path):
         "WHERE event_type = 'click'"
     ).fetchone()[0]
     assert got.count() == want
+
+
+def test_native_session_window_agrees_with_manual_sessionization(spark):
+    """The native session_window operator and the lag/cumsum manual
+    formulation must find the same per-user session STARTS (both use
+    a 30-min gap; the native end is last+gap, so starts are the
+    comparable anchor)."""
+    from filemapreduce_spark.queries import load_all
+
+    registry = load_all()
+    sf = "/root/testdata/sf0.001"
+    native = {
+        (r["user_id"], r["session_start_us"])
+        for r in registry["session_window_batch_events"]
+        .fn(spark, sf)
+        .collect()
+    }
+    manual = registry["sessionize_events"].fn(spark, sf)
+    cols = set(manual.columns)
+    assert "user_id" in cols
+    start_col = next(
+        c
+        for c in ("session_start_us", "start_epoch_us", "start_us")
+        if c in cols
+    )
+    manual_set = {
+        (r["user_id"], r[start_col]) for r in manual.collect()
+    }
+    assert native == manual_set
