@@ -1,5 +1,6 @@
 """Sink round-trip queries: oracle-gated proof that the layout sinks
-(partitioned / range-clustered / compacted / CSV) preserve content.
+(partitioned / range-clustered / compacted / CSV / bucketed /
+z-ordered) preserve content.
 
 The sink helpers in ``filemapreduce_spark.sinks`` had only plan-level
 unit tests (tests/test_sinks.py asserts pruning, disjoint ranges,
@@ -238,4 +239,111 @@ def sink_csv_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
         .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------
+# Bucketed-table write → shuffle-free join read-back.
+# --------------------------------------------------------------------
+@register(
+    "sink_bucketed_join_roundtrip",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM({SQL_CENTS.format(col='l_extendedprice')})
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sink", "bucketed", "roundtrip"),
+)
+def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem AND orders as tables bucketed on the join key
+    (same bucket count), then join the two bucketed tables and
+    aggregate. The oracle joins the ORIGINAL tables — a hash match
+    proves the bucketed layout round-trips losslessly, while the
+    bucketed-to-bucketed join itself runs with no exchange on either
+    side (tests/test_sinks.py asserts the shuffle-free plan).
+
+    Scale: bucketing pre-pays the join shuffle ONCE at write time —
+    the decisive layout when a fact table is joined on the same key
+    by many downstream queries; at 100 TB the bucket count is sized
+    so each bucket file is one task's worth.
+    """
+    import uuid
+
+    from filemapreduce_spark.sinks import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    t_li, t_od = f"rt_li_{suffix}", f"rt_od_{suffix}"
+    write_bucketed(li, t_li, ["l_orderkey"], 8)
+    write_bucketed(od, t_od, ["o_orderkey"], 8)
+    bli = spark.table(t_li)
+    bod = spark.table(t_od)
+    return (
+        bli.join(bod, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# Z-ordered write → two-dimensional filtered read-back.
+# --------------------------------------------------------------------
+@register(
+    "sink_zorder_roundtrip",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum
+    FROM part
+    WHERE p_size BETWEEN 10 AND 20
+      AND p_retailprice BETWEEN 920 AND 960
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("sink", "zorder", "roundtrip"),
+)
+def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write part z-ordered on (p_size, p_retailprice), read it back
+    with predicates on BOTH dimensions, and aggregate; the oracle
+    aggregates the original table. A hash match proves the
+    Morton-interleaved layout round-trips losslessly — and the read
+    exercises exactly the query the layout exists for: with the
+    z-curve keeping per-file min/max tight on both columns, footer
+    stats skip files for either predicate alone or both
+    (tests/test_sinks.py asserts the two-dimensional range
+    tightness vs 1-D clustering).
+
+    Scale: the write is one cheap min/max agg + a range shuffle on
+    the interleaved key; at 100 TB this is Delta/Hudi OPTIMIZE
+    ZORDER in plain DataFrame ops.
+    """
+    from filemapreduce_spark.sinks import write_zordered
+
+    base = t(spark, sf_dir, "part").select(
+        "p_brand", "p_size", "p_retailprice"
+    )
+    dest = _scratch("zorder")
+    write_zordered(base, dest, ("p_size", "p_retailprice"), n_files=8)
+    back = spark.read.parquet(dest).where(
+        F.col("p_size").between(10, 20)
+        & F.col("p_retailprice").between(920, 960)
+    )
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").cast("long").alias("size_sum"),
+        )
+        .orderBy("p_brand")
     )

@@ -70,3 +70,23 @@ def test_csv_roundtrip_preserves_cardinality(spark, registry):
     n_csv = out.agg(F.sum("n_docs")).collect()[0][0]
     n_src = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
     assert n_csv == n_src
+
+
+def test_bucketed_roundtrip_join_is_shuffle_free(spark, registry):
+    """The join between the two bucketed tables must have no Exchange
+    feeding either side (the point of bucketing)."""
+    out = registry["sink_bucketed_join_roundtrip"].fn(spark, SF_SMALL)
+    plan = _plan(out)
+    join_part = plan.split("SortMergeJoin", 1)
+    if len(join_part) == 2:
+        # no Exchange may appear between the scans and the join
+        above = join_part[0]
+        assert "Exchange hashpartitioning(l_orderkey" not in above
+        assert "Exchange hashpartitioning(o_orderkey" not in above
+
+
+def test_zorder_roundtrip_pushes_both_predicates(spark, registry):
+    out = registry["sink_zorder_roundtrip"].fn(spark, SF_SMALL)
+    plan = _plan(out)
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "p_size" in pushed and "p_retailprice" in pushed
