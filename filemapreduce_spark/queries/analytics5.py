@@ -508,3 +508,109 @@ def seasonal_decomposition_daily(
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------
+# Covariance matrix from one pass of exact co-moments.
+# --------------------------------------------------------------------
+@register(
+    "covariance_matrix_lineitem",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS sp,
+             CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sd,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq,
+             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                      * CAST(round(l_extendedprice*100) AS BIGINT))
+                  AS BIGINT) AS spp,
+             CAST(SUM(CAST(round(l_discount*100) AS BIGINT)
+                      * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+               AS sdd,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice*100) AS BIGINT))
+                  AS BIGINT) AS sqp,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+               AS sqd,
+             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                      * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+               AS spd
+      FROM lineitem
+    ), cells(var_a, var_b, s_ab, s_a, s_b) AS (
+      SELECT 'quantity', 'quantity', sqq, sq, sq FROM m
+      UNION ALL SELECT 'quantity', 'price_cents', sqp, sq, sp FROM m
+      UNION ALL SELECT 'quantity', 'discount_cents', sqd, sq, sd FROM m
+      UNION ALL SELECT 'price_cents', 'price_cents', spp, sp, sp FROM m
+      UNION ALL SELECT 'price_cents', 'discount_cents', spd, sp, sd FROM m
+      UNION ALL SELECT 'discount_cents', 'discount_cents', sdd, sd, sd FROM m
+    )
+    SELECT var_a, var_b,
+           round((CAST(s_ab AS DOUBLE)
+                  - CAST(s_a AS DOUBLE) * s_b / (SELECT n FROM m))
+                 / ((SELECT n FROM m) - 1), 6) AS cov
+    FROM cells
+    ORDER BY var_a, var_b
+    """,
+    tags=("stats", "covariance", "linalg"),
+)
+def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix of (quantity, price, discount) from
+    ONE aggregation pass: all 9 sufficient statistics (3 sums + 6
+    cross/self products, exact BIGINT) reduce map-side, and every
+    matrix cell derives from them with the identical
+    (Σab − Σa·Σb/n)/(n−1) double expression — the feature-covariance
+    input to PCA/whitening and the multivariate generalization of the
+    registry's pairwise correlation operator.
+
+    Scale: the whole matrix costs one scan regardless of dimension
+    count growing as d(d+1)/2 sufficient statistics — for wide d the
+    same pattern runs as the mapInArrow gram-matrix operator
+    (X^T·X partials); this is the exact-integer small-d form. Cross
+    products of cents stay under 2^63 up to ~10^9 rows; band to
+    DECIMAL accumulators beyond.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    p = cents("l_extendedprice")
+    d = cents("l_discount")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("long").alias("sq"),
+        F.sum(p).cast("long").alias("sp"),
+        F.sum(d).cast("long").alias("sd"),
+        F.sum(q * q).cast("long").alias("sqq"),
+        F.sum(p * p).cast("long").alias("spp"),
+        F.sum(d * d).cast("long").alias("sdd"),
+        F.sum(q * p).cast("long").alias("sqp"),
+        F.sum(q * d).cast("long").alias("sqd"),
+        F.sum(p * d).cast("long").alias("spd"),
+    )
+    cells = [
+        ("quantity", "quantity", "sqq", "sq", "sq"),
+        ("quantity", "price_cents", "sqp", "sq", "sp"),
+        ("quantity", "discount_cents", "sqd", "sq", "sd"),
+        ("price_cents", "price_cents", "spp", "sp", "sp"),
+        ("price_cents", "discount_cents", "spd", "sp", "sd"),
+        ("discount_cents", "discount_cents", "sdd", "sd", "sd"),
+    ]
+    out = None
+    for va, vb, ab, a, b in cells:
+        cov = F.round(
+            (
+                F.col(ab).cast("double")
+                - F.col(a).cast("double") * F.col(b) / F.col("n")
+            )
+            / (F.col("n") - 1),
+            6,
+        )
+        row = m.select(
+            F.lit(va).alias("var_a"),
+            F.lit(vb).alias("var_b"),
+            cov.alias("cov"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("var_a", "var_b")

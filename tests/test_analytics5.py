@@ -119,3 +119,24 @@ def test_seasonal_decomposition_reconstructs_exactly(spark, registry):
         else:
             assert r["resid_milli"] is None
     assert saw_trend > 0
+
+
+def test_covariance_matrix_psd_diagonal_and_symmetric_cells(
+    spark, registry
+):
+    """Variances (diagonal cells) must be non-negative, and each
+    off-diagonal |cov| must satisfy Cauchy-Schwarz against the
+    diagonals."""
+    rows = {
+        (r["var_a"], r["var_b"]): r["cov"]
+        for r in registry["covariance_matrix_lineitem"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    names = ("discount_cents", "price_cents", "quantity")
+    var = {n: rows[(n, n)] for n in names}
+    for n in names:
+        assert var[n] >= 0
+    for (a, b), cov in rows.items():
+        if a != b:
+            assert cov * cov <= var[a] * var[b] * (1 + 1e-9)
