@@ -614,3 +614,149 @@ def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("var_a", "var_b")
+
+
+# --------------------------------------------------------------------
+# Trailing-window exact quantile (p90 over the last 7 days).
+# --------------------------------------------------------------------
+@register(
+    "trailing_quantile_7day",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, day, cents,
+             list_sort(list(cents) OVER tw) AS win,
+             COUNT(*) OVER tw AS n
+      FROM daily
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+           CAST(win[CAST(ceil(0.9 * n) AS BIGINT)] AS BIGINT)
+             AS p90_trailing
+    FROM w
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "quantile", "window"),
+)
+def trailing_quantile_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day exact p90 per series: each day's value next to
+    the 90th percentile of its own last week — the rolling SLA band
+    ops dashboards draw (alert when today's value exceeds its recent
+    p90). The quantile is defined EXPLICITLY as the ⌈0.9·n⌉-th
+    element of the sorted window (1-based) and computed by the same
+    sorted-array indexing in both engines — no reliance on either
+    engine's quantile-function interpolation semantics.
+
+    Scale: the window carries at most 7 integers per row (bounded by
+    the window length, not data volume) over the per-series
+    partitioning — collect-sort-index inside a 7-element window is
+    O(1) per row.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents("value")).cast("long").alias("cents"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sort_array(F.collect_list("cents").over(tw)).alias("win"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+    idx = F.ceil(0.9 * F.col("n")).cast("int")
+    return w.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.element_at("win", idx).cast("long").alias("p90_trailing"),
+    ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------
+# Market concentration: HHI + CR4 per nation's supplier balances.
+# --------------------------------------------------------------------
+@register(
+    "market_concentration_hhi",
+    """
+    WITH pos AS (
+      SELECT s_nationkey,
+             CAST(round(s_acctbal*100) AS BIGINT) AS bal
+      FROM supplier WHERE s_acctbal > 0
+    ), shares AS (
+      SELECT s_nationkey, bal,
+             CAST(SUM(bal) OVER (PARTITION BY s_nationkey) AS BIGINT)
+               AS total,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY bal DESC, bal) AS rnk
+      FROM pos
+    )
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(round(1e6 * SUM((CAST(bal AS DOUBLE) / total)
+                                * (CAST(bal AS DOUBLE) / total)))
+                AS BIGINT) AS hhi_micro,
+           CAST(round(1000.0 * SUM(CASE WHEN rnk <= 4
+                                        THEN CAST(bal AS DOUBLE) / total
+                                        ELSE 0 END)) AS BIGINT)
+             AS cr4_milli
+    FROM shares
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    tags=("stats", "concentration", "economics"),
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration indices per nation over positive supplier
+    balances: the Herfindahl–Hirschman index (Σ share², micro-scaled
+    — antitrust's standard concentration score) and the CR4
+    four-firm concentration ratio. Complements the per-group Gini
+    (inequality of the whole distribution) with the head-focused
+    measures regulators actually threshold on.
+
+    Scale: shares derive from a per-nation windowed total (one
+    shuffle on the group key reused by the rank and the final agg);
+    share squares are row-local doubles with identical op order.
+    """
+    s = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0)
+    pos = s.select(
+        "s_nationkey", cents("s_acctbal").alias("bal")
+    )
+    wp = Window.partitionBy("s_nationkey")
+    shares = pos.select(
+        "s_nationkey",
+        "bal",
+        F.sum("bal").over(wp).cast("long").alias("total"),
+        F.row_number()
+        .over(
+            Window.partitionBy("s_nationkey").orderBy(
+                F.col("bal").desc(), F.col("bal")
+            )
+        )
+        .alias("rnk"),
+    )
+    share = F.col("bal").cast("double") / F.col("total")
+    return (
+        shares.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(1e6 * F.sum(share * share)).cast("long").alias(
+                "hhi_micro"
+            ),
+            F.round(
+                1000.0
+                * F.sum(F.when(F.col("rnk") <= 4, share).otherwise(0.0))
+            )
+            .cast("long")
+            .alias("cr4_milli"),
+        )
+        .orderBy("s_nationkey")
+    )

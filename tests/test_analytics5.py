@@ -140,3 +140,33 @@ def test_covariance_matrix_psd_diagonal_and_symmetric_cells(
     for (a, b), cov in rows.items():
         if a != b:
             assert cov * cov <= var[a] * var[b] * (1 + 1e-9)
+
+
+def test_trailing_p90_bounds_current_value_distribution(spark, registry):
+    """p90 must lie within the window's [min, max]; with n=1 (first
+    day) it equals the day's own value."""
+    rows = registry["trailing_quantile_7day"].fn(spark, SF_SMALL).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r["day"])
+        assert series[0]["p90_trailing"] == series[0]["cents"]
+        window: list[int] = []
+        for r in series:
+            window.append(r["cents"])
+            recent = window[-7:]
+            assert min(recent) <= r["p90_trailing"] <= max(recent)
+
+
+def test_hhi_bounds_and_monopoly_limit(spark, registry):
+    """HHI lies in (1e6/n, 1e6]; CR4 <= 1000 and CR4 >= HHI-implied
+    floor is not asserted (not generally true), only the bounds."""
+    rows = registry["market_concentration_hhi"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    for r in rows:
+        n = r["n_suppliers"]
+        assert 1_000_000 // n - 1 <= r["hhi_micro"] <= 1_000_001
+        assert 0 < r["cr4_milli"] <= 1001
