@@ -10,7 +10,6 @@ problem into an output-linear join.
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 from pyspark.sql import DataFrame, SparkSession, Window

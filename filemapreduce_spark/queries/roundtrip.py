@@ -30,7 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filemapreduce_spark.operators.money import SQL_CENTS, as_money, cents
+from filemapreduce_spark.operators.money import SQL_CENTS, cents
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sinks import (
     compact_files,
