@@ -759,3 +759,155 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# --------------------------------------------------------------------
+# Hysteresis alert state (two-threshold Schmitt trigger over a series).
+# --------------------------------------------------------------------
+@register(
+    "hysteresis_alert_state",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), th AS (
+      SELECT event_type,
+             CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+      FROM daily GROUP BY event_type
+    ), flagged AS (
+      SELECT d.event_type, d.day, d.cents,
+             CASE WHEN d.cents * t.n * 10 > t.s * 12 THEN 1
+                  WHEN d.cents * t.n * 10 < t.s * 8 THEN 0
+             END AS crossing
+      FROM daily d JOIN th t ON t.event_type = d.event_type
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+           CAST(COALESCE(last_value(crossing IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+                AS BIGINT) AS alert_state
+    FROM flagged
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "alerting", "window"),
+)
+def hysteresis_alert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold alert state machine (Schmitt trigger) per series:
+    the alert SETS when a day's total exceeds 120% of the series mean
+    and CLEARS only below 80% — days in the dead band inherit the
+    last decided state (the hysteresis that stops alert flapping,
+    which a single-threshold rule cannot). State is −1 before the
+    first crossing.
+
+    The trick that keeps this a plain window op: the state at day t
+    is exactly the most recent SET/CLEAR crossing at or before t, so
+    ``last_value(crossing) IGNORE NULLS`` over the day order IS the
+    state machine — no recursive fold needed. Threshold comparisons
+    are exact integer cross-products (cents·n·10 vs s·12), no float
+    thresholds.
+
+    Scale: one shuffle to daily grain; thresholds are a #series-row
+    broadcast; the navigation window is per-series.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents("value")).cast("long").alias("cents"))
+    th = daily.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("s"), F.count("*").alias("n")
+    )
+    flagged = daily.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "day",
+        "cents",
+        F.when(
+            F.col("cents") * F.col("n") * 10 > F.col("s") * 12, F.lit(1)
+        )
+        .when(F.col("cents") * F.col("n") * 10 < F.col("s") * 8, F.lit(0))
+        .alias("crossing"),
+    )
+    wnav = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.coalesce(
+            F.last("crossing", ignorenulls=True).over(wnav), F.lit(-1)
+        )
+        .cast("long")
+        .alias("alert_state"),
+    ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------
+# Order-to-ship latency quantiles per priority (fulfillment SLA).
+# --------------------------------------------------------------------
+@register(
+    "order_to_ship_latency",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(quantile_disc(days, 0.50) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(days, 0.90) AS BIGINT) AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("timeseries", "sla", "join"),
+)
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency SLA per order priority: join line
+    shipments to their orders, measure order-to-ship days, and report
+    exact discrete p50/p90/max — the canonical operational-SLA query
+    (and the one a priority system is graded by: higher priorities
+    should show lower quantiles). Discrete percentiles over integer
+    days are hash-exact.
+
+    Scale: one broadcast-or-shuffle equi-join on the order key, then
+    a map-side-combinable agg per priority (percentile_disc state is
+    per-group sorted counts — at extreme group sizes swap in the
+    registry's histogram quantile sketch, same contract).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("days"),
+        )
+    )
+    lat.createOrReplaceTempView("_ots_lat")
+    return lat.sparkSession.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY days)
+                    AS BIGINT) AS p50_days,
+               CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY days)
+                    AS BIGINT) AS p90_days,
+               CAST(MAX(days) AS BIGINT) AS max_days
+        FROM _ots_lat
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

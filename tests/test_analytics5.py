@@ -170,3 +170,36 @@ def test_hhi_bounds_and_monopoly_limit(spark, registry):
         n = r["n_suppliers"]
         assert 1_000_000 // n - 1 <= r["hhi_micro"] <= 1_000_001
         assert 0 < r["cr4_milli"] <= 1001
+
+
+def test_hysteresis_state_only_changes_on_crossings(spark, registry):
+    """The state must equal the most recent crossing decision and
+    never change while the signal stays inside the dead band —
+    recomputed independently from the daily series."""
+    rows = registry["hysteresis_alert_state"].fn(spark, SF_SMALL).collect()
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(r)
+    totals = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        totals[r["event_type"]][0] += r["cents"]
+        totals[r["event_type"]][1] += 1
+    for etype, days in series.items():
+        s, n = totals[etype]
+        days.sort(key=lambda r: r["day"])
+        state = -1
+        for r in days:
+            if r["cents"] * n * 10 > s * 12:
+                state = 1
+            elif r["cents"] * n * 10 < s * 8:
+                state = 0
+            assert r["alert_state"] == state
+
+
+def test_ship_latency_nonnegative_and_ordered_quantiles(spark, registry):
+    rows = registry["order_to_ship_latency"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
