@@ -911,3 +911,135 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+# --------------------------------------------------------------------
+# Paired-difference t test (before/after the month midpoint, per user).
+# --------------------------------------------------------------------
+@register(
+    "paired_diff_ttest",
+    """
+    WITH halves AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value*100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS before_c,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value*100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS after_c
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT after_c - before_c AS diff FROM halves
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(diff) AS BIGINT) AS sum_diff_cents,
+           CAST(round(1000.0 * SUM(diff) / COUNT(*)) AS BIGINT)
+             AS mean_diff_milli,
+           CAST(round(1000.0 * (CAST(SUM(diff) AS DOUBLE) / COUNT(*))
+                 / sqrt(((CAST(SUM(diff*diff) AS DOUBLE)
+                          - CAST(SUM(diff) AS DOUBLE) * SUM(diff) / COUNT(*))
+                         / (COUNT(*) - 1)) / COUNT(*))) AS BIGINT)
+             AS t_milli
+    FROM d
+    """,
+    tags=("stats", "hypothesis-test", "paired"),
+)
+def paired_diff_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-difference t test: each user is their own control —
+    per-user spend in the back half of the month minus the front
+    half, tested against zero mean (t = mean(d)/(s_d/√n)). The
+    paired design removes between-user variance, which is why it
+    detects shifts the unpaired Welch test (also in the registry)
+    washes out.
+
+    Exactness: per-user halves and diffs are exact integer cents;
+    Σd and Σd² reduce map-side; mean/sd/t are derived doubles with
+    identical op order, milli-rounded.
+
+    Scale: one map-side-combined agg to per-user rows, one 1-row
+    reduction — no join, no window; the date split prunes nothing
+    here but becomes partition pruning on a date-partitioned layout.
+    """
+    e = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    c = cents("value")
+    halves = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, c).otherwise(0))
+        .cast("long")
+        .alias("before_c"),
+        F.sum(F.when(F.col("ts") >= cut, c).otherwise(0))
+        .cast("long")
+        .alias("after_c"),
+    )
+    d = halves.select((F.col("after_c") - F.col("before_c")).alias("diff"))
+    n = F.count("*")
+    sd = F.sum("diff")
+    sdd = F.sum(F.col("diff") * F.col("diff"))
+    mean = sd.cast("double") / n
+    var = (sdd.cast("double") - sd.cast("double") * sd / n) / (n - 1)
+    return d.agg(
+        n.alias("n_users"),
+        sd.cast("long").alias("sum_diff_cents"),
+        F.round(1000.0 * sd / n).cast("long").alias("mean_diff_milli"),
+        F.round(1000.0 * mean / F.sqrt(var / n))
+        .cast("long")
+        .alias("t_milli"),
+    )
+
+
+# --------------------------------------------------------------------
+# Dispersion index (variance-to-mean of per-user counts) per type.
+# --------------------------------------------------------------------
+@register(
+    "dispersion_index_by_type",
+    """
+    WITH counts AS (
+      SELECT event_type, user_id, COUNT(*) AS k
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           COUNT(*) AS n_users,
+           CAST(SUM(k) AS BIGINT) AS n_events,
+           CAST(round(1000.0
+                 * ((CAST(SUM(k*k) AS DOUBLE)
+                     - CAST(SUM(k) AS DOUBLE) * SUM(k) / COUNT(*))
+                    / (COUNT(*) - 1))
+                 / (CAST(SUM(k) AS DOUBLE) / COUNT(*))) AS BIGINT)
+             AS dispersion_milli
+    FROM counts
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("stats", "count-model", "diagnostics"),
+)
+def dispersion_index_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance-to-mean ratio) of per-user event
+    counts, per type — the Poisson-model diagnostic: ≈1000‰ means
+    Poisson-like arrivals, ≫1000 means overdispersion (bursty users
+    → negative-binomial territory, and every rate-based alert
+    threshold needs widening). Count sufficient statistics (Σk, Σk²)
+    are exact integers; the ratio is derived doubles, milli-rounded.
+
+    Scale: two chained map-side-combined aggs (user-type counts,
+    then per-type moments) — no window, no join.
+    """
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("k")
+    )
+    n = F.count("*")
+    sk = F.sum("k")
+    skk = F.sum(F.col("k") * F.col("k"))
+    var = (skk.cast("double") - sk.cast("double") * sk / n) / (n - 1)
+    mean = sk.cast("double") / n
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            n.alias("n_users"),
+            sk.cast("long").alias("n_events"),
+            F.round(1000.0 * var / mean).cast("long").alias(
+                "dispersion_milli"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -203,3 +203,24 @@ def test_ship_latency_nonnegative_and_ordered_quantiles(spark, registry):
     assert rows
     for r in rows:
         assert 0 <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+
+
+def test_paired_ttest_consistency(spark, registry):
+    row = registry["paired_diff_ttest"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] > 1
+    assert row["mean_diff_milli"] == round(
+        1000.0 * row["sum_diff_cents"] / row["n_users"]
+    )
+    # t and mean difference must share a sign
+    if row["mean_diff_milli"] != 0:
+        assert (row["t_milli"] > 0) == (row["mean_diff_milli"] > 0)
+
+
+def test_dispersion_index_positive(spark, registry):
+    rows = registry["dispersion_index_by_type"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["dispersion_milli"] >= 0
+        assert r["n_events"] >= r["n_users"]
