@@ -281,3 +281,76 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------
+# Daily active/new/returning decomposition + cumulative adoption.
+# --------------------------------------------------------------------
+@register(
+    "daily_active_new_returning",
+    """
+    WITH seen AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events GROUP BY 1, 2
+    ), first_seen AS (
+      SELECT user_id, MIN(day) AS first_day FROM seen GROUP BY user_id
+    ), daily AS (
+      SELECT s.day,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN f.first_day = s.day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new
+      FROM seen s JOIN first_seen f ON f.user_id = s.user_id
+      GROUP BY s.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_active, n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily
+    ORDER BY day
+    """,
+    tags=("growth", "timeseries", "agg"),
+)
+def daily_active_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth dashboard's first chart: per day, active users split
+    into NEW (first ever appearance) vs RETURNING, plus the
+    cumulative adoption curve (running total of first appearances —
+    which equals the distinct-users-to-date count without any
+    cumulative-distinct machinery: count each user once, on their
+    first day).
+
+    Scale: first-seen is one map-side-combined min per user; the
+    daily split joins (user, day) activity to the broadcast-or-
+    shuffled first-seen table on user_id; the only window runs over
+    the DAY GRID (horizon-bounded — 36.5k rows per century), never
+    user-level data.
+    """
+    e = t(spark, sf_dir, "events")
+    seen = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    first_seen = seen.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        seen.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long").alias(
+            "n_returning"
+        ),
+        F.sum("n_new").over(wcum).cast("long").alias("cum_users"),
+    ).orderBy("day")

@@ -66,3 +66,23 @@ def test_backtest_has_no_lookahead_and_exact_errors(spark, registry):
         assert r["abs_err_milli"] == abs(
             r["actual_cents"] * 1000 - r["pred_milli"]
         )
+
+
+def test_active_split_and_adoption_monotone(spark, registry):
+    rows = registry["daily_active_new_returning"].fn(
+        spark, SF_SMALL
+    ).collect()
+    rows.sort(key=lambda r: r["day"])
+    total_users = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    prev_cum = 0
+    for r in rows:
+        assert r["n_active"] == r["n_new"] + r["n_returning"]
+        assert r["cum_users"] >= prev_cum
+        prev_cum = r["cum_users"]
+    assert rows[-1]["cum_users"] == total_users
+    assert rows[0]["n_returning"] == 0  # day one: everyone is new

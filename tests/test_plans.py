@@ -168,9 +168,11 @@ def test_registry_wide_plan_audit(spark, registry):
         "shard_stripe_balance",
         "decision_stump_split",
         "histogram_sketch_percentiles",
-        # kaplan_meier_signup_purchase: windows over the day-grain
-        # event grid — bounded by the observation horizon in days.
+        # kaplan_meier_signup_purchase / daily_active_new_returning:
+        # windows over the day-grain grid — bounded by the
+        # observation horizon in days, never data volume.
         "kaplan_meier_signup_purchase",
+        "daily_active_new_returning",
         # zipf_exponent_fit: row_number over the LIMIT-100 term list
         # (config-bounded K, never data volume).
         "zipf_exponent_fit",
