@@ -354,3 +354,83 @@ def daily_active_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_new").over(wcum).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------
+# Burst detection: busiest trailing hour per user (RANGE frame).
+# --------------------------------------------------------------------
+@register(
+    "burst_busiest_hour",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ep, event_id FROM events
+    ), winct AS (
+      SELECT user_id, ep, event_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ep
+                            RANGE BETWEEN 3600000000 PRECEDING
+                            AND CURRENT ROW) AS hr_count
+      FROM e
+    ), best AS (
+      SELECT user_id, ep, hr_count,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY hr_count DESC, ep ASC,
+                                         event_id ASC) AS rn
+      FROM winct
+    )
+    SELECT user_id,
+           CAST(hr_count AS BIGINT) AS peak_events_per_hour,
+           CAST(ep AS BIGINT) AS peak_window_end_us
+    FROM best WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("timeseries", "burst", "window"),
+)
+def burst_busiest_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection per user: the maximum number of events inside
+    any trailing one-hour window (evaluated at each event — the
+    sliding-window maximum IS attained at some event's timestamp),
+    with the deterministic earliest window end on ties. The number
+    that sizes rate limits and flags scripted/abusive activity.
+
+    The RANGE frame counts by event-TIME extent (microseconds), not
+    row position — the time-interval frame a ROWS window cannot
+    express when events arrive unevenly.
+
+    Scale: one shuffle on user_id reused by the RANGE count and the
+    top-1 rank; WindowGroupLimit prunes the rank below the exchange.
+    Per-user frame state is bounded by the busiest hour's event
+    count.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ep"), "event_id"
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    winct = e.select(
+        "user_id",
+        "ep",
+        "event_id",
+        F.count(F.lit(1)).over(wr).alias("hr_count"),
+    )
+    best = winct.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("hr_count").desc(),
+                F.col("ep").asc(),
+                F.col("event_id").asc(),
+            )
+        ),
+    )
+    return (
+        best.where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("hr_count").cast("long").alias("peak_events_per_hour"),
+            F.col("ep").cast("long").alias("peak_window_end_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -86,3 +86,31 @@ def test_active_split_and_adoption_monotone(spark, registry):
         prev_cum = r["cum_users"]
     assert rows[-1]["cum_users"] == total_users
     assert rows[0]["n_returning"] == 0  # day one: everyone is new
+
+
+def test_burst_peak_is_a_true_sliding_max(spark, registry):
+    """Recompute three users' busiest hour by brute force over raw
+    events and compare exactly."""
+    rows = {
+        r["user_id"]: (r["peak_events_per_hour"], r["peak_window_end_us"])
+        for r in registry["burst_busiest_hour"].fn(spark, SF_SMALL).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .selectExpr("user_id", "unix_micros(ts) AS ep", "event_id")
+        .collect()
+    )
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for e in ev:
+        per_user[e["user_id"]].append((e["ep"], e["event_id"]))
+    for uid in list(per_user)[:3]:
+        pts = sorted(per_user[uid])
+        best = None
+        for end_ep, end_id in pts:
+            n = sum(1 for ep, _ in pts if end_ep - 3_600_000_000 <= ep <= end_ep)
+            key = (-n, end_ep, end_id)
+            if best is None or key < best[0]:
+                best = (key, n, end_ep)
+        assert rows[uid] == (best[1], best[2])
