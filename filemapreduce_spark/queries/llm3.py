@@ -456,3 +456,181 @@ def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.sum("y") - slope * F.sum("x")) / n, 6).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------
+# Cross-source near-duplication matrix (who copies whom).
+# --------------------------------------------------------------------
+def _minhash_pairs_sql() -> str:
+    from filemapreduce_spark.queries.llm import _MINHASH_ORACLE
+
+    sql = _MINHASH_ORACLE.strip()
+    assert sql.endswith("ORDER BY doc_a, doc_b")
+    return sql[: -len("ORDER BY doc_a, doc_b")]
+
+
+@register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH pairs AS (
+      {{pairs}}
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(round(p.jaccard * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_jaccard_milli
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+    tags=("dedup", "curation", "llm"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: MinHash+LSH verified
+    near-dup pairs (the registry's banded pipeline, reused verbatim)
+    rolled up by unordered source pair — the curation diagnostic
+    that shows WHICH sources mirror each other (off-diagonal mass =
+    cross-source syndication; diagonal mass = within-source
+    boilerplate), i.e. where a per-source dedup pass would silently
+    miss duplicates that only a global pass catches.
+
+    Exactness: pair Jaccards are 6-dp values from the shared
+    pipeline; the matrix sums them as milli INTEGERS, so cell
+    hashes are order-independent.
+
+    Scale: inherits the banded LSH shape (output-linear candidates);
+    the rollup adds one broadcast join to doc sources and a tiny
+    matrix agg.
+    """
+    from filemapreduce_spark.queries.llm import neardup_minhash_lsh
+
+    pairs = neardup_minhash_lsh(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.round(F.col("jaccard") * 1000).cast("long"))
+            .cast("long")
+            .alias("sum_jaccard_milli"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# patch the oracle with the shared pairs SQL (registered above with a
+# placeholder; QuerySpec is frozen, so re-register the final text)
+from filemapreduce_spark.queries import REGISTRY as _REG  # noqa: E402
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+_spec = _REG["cross_source_dup_matrix"]
+_REG["cross_source_dup_matrix"] = _dc_replace(
+    _spec, oracle=_spec.oracle.format(pairs=_minhash_pairs_sql())
+)
+
+
+# --------------------------------------------------------------------
+# Heaps' law vocabulary-growth curve (fixed 20-checkpoint grid).
+# --------------------------------------------------------------------
+_HEAPS_CK = 20
+
+
+@register(
+    "heaps_law_curve",
+    f"""
+    WITH bounds AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ), toks AS (
+      SELECT ((d.doc_id - b.lo) * {_HEAPS_CK}) // (b.hi - b.lo + 1)
+               AS ck,
+             unnest({{words}}) AS tok
+      FROM documents d CROSS JOIN bounds b
+    ), per_ck AS (
+      SELECT ck, COUNT(*) AS n_toks FROM toks GROUP BY ck
+    ), first_ck AS (
+      SELECT tok, MIN(ck) AS ck FROM toks GROUP BY tok
+    ), new_vocab AS (
+      SELECT ck, COUNT(*) AS n_new FROM first_ck GROUP BY ck
+    )
+    SELECT p.ck AS checkpoint,
+           CAST(SUM(p.n_toks) OVER w AS BIGINT) AS tokens_cum,
+           CAST(SUM(COALESCE(v.n_new, 0)) OVER w AS BIGINT) AS vocab_cum
+    FROM per_ck p LEFT JOIN new_vocab v ON v.ck = p.ck
+    WINDOW w AS (ORDER BY p.ck
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY checkpoint
+    """.replace(
+        "{words}",
+        "list_filter(regexp_split_to_array(lower(d.text), '\\s+'),"
+        " w -> w != '')",
+    ),
+    tags=("text", "stats", "llm"),
+)
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct
+    vocabulary vs cumulative token count at 20 fixed corpus
+    checkpoints (docs in id order) — natural language grows V ≈
+    K·N^β with β ≈ 0.4–0.6; a flattening curve means the corpus has
+    saturated its domain, a too-straight one suggests synthetic or
+    id-heavy text. The companion of the Zipf fit, over growth
+    instead of rank.
+
+    The scale trick: cumulative DISTINCT needs no distinct machinery
+    — each token counts once, at the checkpoint of its FIRST
+    occurrence (the adoption-curve move), so the plan is two
+    map-side-combined aggs plus windows over the FIXED 20-row
+    checkpoint grid (config-bounded at any corpus size; checkpoint
+    ids derive from a 1-row min/max broadcast).
+    """
+    from filemapreduce_spark.operators.textops import words
+
+    docs = t(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    toks = docs.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"((doc_id - lo) * {_HEAPS_CK}) div (hi - lo + 1)"
+        ).alias("ck"),
+        F.explode(words(F.col("text"))).alias("tok"),
+    )
+    per_ck = toks.groupBy("ck").agg(F.count("*").alias("n_toks"))
+    first_ck = toks.groupBy("tok").agg(F.min("ck").alias("ck"))
+    new_vocab = first_ck.groupBy("ck").agg(F.count("*").alias("n_new"))
+    wcum = Window.orderBy("ck").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_ck.join(new_vocab, "ck", "left")
+        .select(
+            F.col("ck").alias("checkpoint"),
+            F.sum("n_toks").over(wcum).cast("long").alias("tokens_cum"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("vocab_cum"),
+        )
+        .orderBy("checkpoint")
+    )

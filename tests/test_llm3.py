@@ -73,3 +73,31 @@ def test_zipf_slope_is_negative(spark, registry):
     row = registry["zipf_exponent_fit"].fn(spark, SF_SMALL).collect()[0]
     assert row["k"] > 10
     assert row["zipf_slope"] < 0
+
+
+def test_cross_source_matrix_accounts_every_pair(spark, registry):
+    """Matrix pair mass must equal the underlying near-dup pair
+    count, and source pairs must be canonically ordered."""
+    pairs_n = registry["neardup_minhash_lsh"].fn(spark, SF_SMALL).count()
+    rows = registry["cross_source_dup_matrix"].fn(spark, SF_SMALL).collect()
+    assert sum(r["n_pairs"] for r in rows) == pairs_n
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert r["sum_jaccard_milli"] >= 200 * r["n_pairs"]  # jac >= 0.2
+
+
+def test_heaps_curve_monotone_and_conserves_totals(spark, registry):
+    rows = registry["heaps_law_curve"].fn(spark, SF_SMALL).collect()
+    rows.sort(key=lambda r: r["checkpoint"])
+    prev_t = prev_v = 0
+    for r in rows:
+        assert r["tokens_cum"] >= prev_t and r["vocab_cum"] >= prev_v
+        assert r["vocab_cum"] <= r["tokens_cum"]
+        prev_t, prev_v = r["tokens_cum"], r["vocab_cum"]
+    from pyspark.sql import functions as F
+    from filemapreduce_spark.operators.textops import words
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    toks = docs.select(F.explode(words(F.col("text"))).alias("tok"))
+    assert rows[-1]["tokens_cum"] == toks.count()
+    assert rows[-1]["vocab_cum"] == toks.distinct().count()

@@ -179,6 +179,9 @@ def test_registry_wide_plan_audit(spark, registry):
         # banded_dense_row_ids: offset prefix-sum over the per-band
         # COUNT summary (#bands rows, value-domain-bounded).
         "banded_dense_row_ids",
+        # heaps_law_curve: cumulative windows over the FIXED 20-row
+        # checkpoint grid (config-bounded at any corpus size).
+        "heaps_law_curve",
     }
 
     offenders = {}
