@@ -668,3 +668,74 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --------------------------------------------------------------------
+# Empirical-Bayes rate shrinkage (m-estimate toward the global prior).
+# --------------------------------------------------------------------
+_EB_M = 20
+
+
+@register(
+    "empirical_bayes_rate_shrinkage",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ), prior AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS gx, CAST(SUM(n) AS BIGINT) AS gn
+      FROM per_user
+    )
+    SELECT u.user_id, u.n, u.x,
+           CAST(round(1000.0 * u.x / u.n) AS BIGINT) AS raw_milli,
+           CAST(round(1000.0
+                 * (u.x + {_EB_M} * (CAST(p.gx AS DOUBLE) / p.gn))
+                 / (u.n + {_EB_M})) AS BIGINT) AS shrunk_milli
+    FROM per_user u CROSS JOIN prior p
+    ORDER BY u.user_id
+    """,
+    tags=("ml", "stats", "smoothing"),
+)
+def empirical_bayes_rate_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates: the
+    m-estimate (x + m·p₀)/(n + m) pulls every user's raw rate toward
+    the global prior with pseudo-count m=20 — the standard fix for
+    small-sample rate ranking (CTRs, ratings, conversion), where raw
+    rates crown the 1-for-1 user over the 90-for-100 one. Raw and
+    shrunk rates ride together so the shrinkage is auditable per row.
+
+    Exactness: counts are exact integers; p₀ and the shrunk rate are
+    derived doubles with identical op order, milli-rounded.
+
+    Scale: one map-side-combined per-user agg; the prior is a 1-row
+    aggregate broadcast back over the user summary — the same
+    threshold-broadcast shape as RFM, never a window.
+    """
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    prior = per_user.agg(
+        F.sum("x").cast("long").alias("gx"),
+        F.sum("n").cast("long").alias("gn"),
+    )
+    j = per_user.crossJoin(F.broadcast(prior))
+    p0 = F.col("gx").cast("double") / F.col("gn")
+    return j.select(
+        "user_id",
+        "n",
+        "x",
+        F.round(1000.0 * F.col("x") / F.col("n")).cast("long").alias(
+            "raw_milli"
+        ),
+        F.round(1000.0 * (F.col("x") + _EB_M * p0) / (F.col("n") + _EB_M))
+        .cast("long")
+        .alias("shrunk_milli"),
+    ).orderBy("user_id")

@@ -149,3 +149,18 @@ def test_mutual_information_nonnegative_and_bounded(spark, registry):
     assert len(rows) == 2
     for r in rows:
         assert -1e-6 <= r["mi_nats"] <= math.log(2) + 1e-6
+
+
+def test_eb_shrinkage_pulls_toward_prior(spark, registry):
+    """Every shrunk rate must lie between the raw rate and the global
+    prior (within rounding)."""
+    rows = registry["empirical_bayes_rate_shrinkage"].fn(
+        spark, SF_SMALL
+    ).collect()
+    gx = sum(r["x"] for r in rows)
+    gn = sum(r["n"] for r in rows)
+    p0_milli = 1000.0 * gx / gn
+    for r in rows:
+        lo = min(r["raw_milli"], p0_milli) - 1
+        hi = max(r["raw_milli"], p0_milli) + 1
+        assert lo <= r["shrunk_milli"] <= hi

@@ -118,6 +118,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "contingency_chi2_cells",
         "copurchase_lift_top50",
         "dsir_importance_weights",
+        "empirical_bayes_rate_shrinkage",  # 1-row global-prior broadcast
         "fk_containment_discovery",  # 1-row per-edge stat broadcasts
         "funnel_conversion_window",
         "group_kfold_assignment",  # 1-row leak-audit broadcast
