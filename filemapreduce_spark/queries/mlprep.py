@@ -739,3 +739,123 @@ def empirical_bayes_rate_shrinkage(
         .cast("long")
         .alias("shrunk_milli"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------
+# Stratified adjusted difference (Cochran adjustment over strata).
+# --------------------------------------------------------------------
+@register(
+    "stratified_adjusted_difference",
+    """
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CASE WHEN MIN(ts) < TIMESTAMP '2024-01-01 06:00:00'
+                  THEN 1 ELSE 0 END AS treated
+      FROM events GROUP BY user_id
+    ), th AS (
+      SELECT quantile_disc(n, [0.25, 0.5, 0.75]) AS q FROM per_user
+    ), strat AS (
+      SELECT u.*,
+             CAST((CASE WHEN n > q[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN n > q[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN n > q[3] THEN 1 ELSE 0 END) AS BIGINT)
+               AS stratum
+      FROM per_user u CROSS JOIN th
+    )
+    SELECT stratum,
+           CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_treated,
+           CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_control,
+           CAST(SUM(CASE WHEN treated = 1 THEN x ELSE 0 END) AS BIGINT)
+             AS x_treated,
+           CAST(SUM(CASE WHEN treated = 0 THEN x ELSE 0 END) AS BIGINT)
+             AS x_control,
+           CAST(round(1000.0
+                 * (CAST(SUM(CASE WHEN treated = 1 THEN x ELSE 0 END)
+                         AS DOUBLE)
+                      / SUM(CASE WHEN treated = 1 THEN n ELSE 0 END)
+                    - CAST(SUM(CASE WHEN treated = 0 THEN x ELSE 0 END)
+                           AS DOUBLE)
+                      / SUM(CASE WHEN treated = 0 THEN n ELSE 0 END)))
+                AS BIGINT) AS rate_diff_milli
+    FROM strat
+    GROUP BY stratum
+    HAVING SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) > 0
+    ORDER BY stratum
+    """,
+    tags=("ml", "causal", "stats"),
+)
+def stratified_adjusted_difference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified treatment-control comparison (Cochran 1968): users
+    who appeared within the first six hours ('treated' by early
+    exposure)
+    vs later arrivals, compared on purchase rate WITHIN activity-
+    volume strata (quartiles of event count — the confounder: active
+    users both appear earlier and purchase more). Each stratum
+    reports both arms' exact counts and the within-stratum rate
+    difference; the overall adjusted effect is the stratum-size-
+    weighted combination of these rows — the simplest honest
+    observational adjustment, and the shape propensity stratification
+    generalizes.
+
+    Scale: one per-user agg; quartile thresholds are a 1-row exact
+    percentile broadcast (the RFM shape); strata reduce map-side.
+    Degenerate strata (an empty arm) are excluded.
+    """
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.when(
+            F.min("ts") < F.lit("2024-01-01 06:00:00").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("treated"),
+    )
+    th = per_user.agg(
+        F.expr(
+            "percentile_disc(array(0.25, 0.5, 0.75))"
+            " WITHIN GROUP (ORDER BY n)"
+        ).alias("q")
+    )
+    stratum = F.lit(0)
+    for i in range(3):
+        stratum = stratum + F.when(
+            F.col("n") > F.col("q")[i], 1
+        ).otherwise(0)
+    strat = per_user.crossJoin(F.broadcast(th)).select(
+        "n", "x", "treated", stratum.cast("long").alias("stratum")
+    )
+    t1 = F.col("treated") == 1
+    n_t = F.sum(F.when(t1, 1).otherwise(0))
+    n_c = F.sum(F.when(~t1, 1).otherwise(0))
+    x_t = F.sum(F.when(t1, F.col("x")).otherwise(0))
+    x_c = F.sum(F.when(~t1, F.col("x")).otherwise(0))
+    ev_t = F.sum(F.when(t1, F.col("n")).otherwise(0))
+    ev_c = F.sum(F.when(~t1, F.col("n")).otherwise(0))
+    return (
+        strat.groupBy("stratum")
+        .agg(
+            n_t.cast("long").alias("n_treated"),
+            n_c.cast("long").alias("n_control"),
+            x_t.cast("long").alias("x_treated"),
+            x_c.cast("long").alias("x_control"),
+            F.round(
+                1000.0
+                * (x_t.cast("double") / ev_t - x_c.cast("double") / ev_c)
+            )
+            .cast("long")
+            .alias("rate_diff_milli"),
+        )
+        .where((F.col("n_treated") > 0) & (F.col("n_control") > 0))
+        .orderBy("stratum")
+    )

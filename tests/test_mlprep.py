@@ -164,3 +164,15 @@ def test_eb_shrinkage_pulls_toward_prior(spark, registry):
         lo = min(r["raw_milli"], p0_milli) - 1
         hi = max(r["raw_milli"], p0_milli) + 1
         assert lo <= r["shrunk_milli"] <= hi
+
+
+def test_stratified_adjustment_internal_consistency(spark, registry):
+    rows = registry["stratified_adjusted_difference"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_treated"] > 0 and r["n_control"] > 0
+        assert 0 <= r["stratum"] <= 3
+        assert r["x_treated"] >= 0 and r["x_control"] >= 0
+        assert -1000 <= r["rate_diff_milli"] <= 1000

@@ -138,6 +138,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "semdedup_cluster_prune",
         "session_cooccurrence_pmi",
         "similarity_bruteforce_topk",
+        "stratified_adjusted_difference",  # 1-row quartile broadcast
         "similarity_ivf_probe2",
         "temperature_mixture_weights",  # 1-row normalizer broadcast
         "tfidf_top_term_per_doc",
