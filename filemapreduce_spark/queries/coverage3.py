@@ -748,15 +748,25 @@ def setsim_prefix_filter_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the naive full inverted-index join: prefix+length
     filtering is result-preserving, so both sides produce identical
     nearest neighbors — THAT equality is what the hash check proves.
+
+    Scale posture: ``toks`` is persisted because SIX plan branches
+    read it (freq, ordered, sizes, the two verify-join sides) —
+    without the cache the tokenize+distinct would re-run per branch.
+    No forced broadcasts: ``freq`` (one row per vocab term) and
+    ``sizes``/``na``/``nb`` (one row PER DOCUMENT) are unbounded at
+    corpus scale, so join strategy is left to Catalyst/AQE — at small
+    SF they auto-broadcast under the threshold; at 100 TB they
+    shuffle-join instead of OOM-ing the driver with a forced hint.
     """
     toks = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(words("text")).alias("w"))
         .distinct()
+        .persist()
     )
     freq = toks.groupBy("w").agg(F.count("*").alias("df"))
     ordered = (
-        toks.join(F.broadcast(freq), "w")
+        toks.join(freq, "w")
         .withColumn(
             "pos",
             F.row_number().over(
@@ -765,12 +775,18 @@ def setsim_prefix_filter_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    with_n = ordered.join(F.broadcast(sizes), "doc_id")
+    with_n = ordered.join(sizes, "doc_id")
     # prefix length for Jaccard t=3/5: n - ceil(t*n) + 1
-    prefix = with_n.filter(
-        F.col("pos")
-        <= F.col("n") - F.ceil(F.col("n") * 3 / 5).cast("long") + 1
-    ).select("doc_id", "w", "n")
+    # persisted: the candidate self-join reads it as BOTH sides, and
+    # the df-ordering window above is a shuffle worth paying once
+    prefix = (
+        with_n.filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.col("n") * 3 / 5).cast("long") + 1
+        )
+        .select("doc_id", "w", "n")
+        .persist()
+    )
     cand = (
         prefix.alias("a")
         .join(
@@ -804,8 +820,8 @@ def setsim_prefix_filter_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
     )
     qual = (
-        pair_inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        pair_inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .filter(8 * F.col("isz") >= 3 * (F.col("n_a") + F.col("n_b")))
     )
     both = qual.select(

@@ -444,13 +444,16 @@ def histogram_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON cc.k = oc.k
     )
     SELECT n_a, d_a, n_b, d_b,
-           CAST(n_a * n_b / greatest(d_a, d_b) AS BIGINT) AS est_rows,
+           -- floor() matches Spark's cast("long") truncation; DuckDB's
+           -- bare CAST(double AS BIGINT) rounds-to-nearest instead
+           CAST(floor(n_a * n_b / greatest(d_a, d_b)) AS BIGINT)
+             AS est_rows,
            actual_rows,
            CAST(round(1000.0 * greatest(
-                  CAST(n_a * n_b / greatest(d_a, d_b) AS DOUBLE)
+                  floor(n_a * n_b / greatest(d_a, d_b))
                     / actual_rows,
                   CAST(actual_rows AS DOUBLE)
-                    / CAST(n_a * n_b / greatest(d_a, d_b) AS BIGINT)))
+                    / floor(n_a * n_b / greatest(d_a, d_b))))
                 AS BIGINT) AS q_error_milli
     FROM a CROSS JOIN b CROSS JOIN actual
     """,

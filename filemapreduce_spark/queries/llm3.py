@@ -154,9 +154,11 @@ def srp_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("vec_id", "b.band_idx", "b.band_val")
     # both self-join sides read bands: persist so signatures (the
-    # only nontrivial math) compute once
+    # only nontrivial math) compute once. No eager count() — plan
+    # construction (EXPLAIN, plan audit) must stay lazy; the cache
+    # populates on first real action and the self-join's second scan
+    # reads the cached partitions.
     bands = bands.persist()
-    bands.count()
 
     a = bands.select(
         F.col("vec_id").alias("id_a"), "band_idx", "band_val"
@@ -348,18 +350,25 @@ def distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n",
         F.explode(
+            # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]), so
+            # the greatest(...,0) clamp alone would emit phantom NULL
+            # n-grams on docs shorter than n words — gate on size(ws)
             F.when(F.col("n") == 1, F.col("ws"))
             .when(
                 F.col("n") == 2,
                 F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                    "CASE WHEN size(ws) >= 2 THEN"
+                    " transform(sequence(1, size(ws) - 1),"
                     " i -> concat(ws[i - 1], ' ', ws[i]))"
+                    " ELSE array() END"
                 ),
             )
             .otherwise(
                 F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                    "CASE WHEN size(ws) >= 3 THEN"
+                    " transform(sequence(1, size(ws) - 2),"
                     " i -> concat(ws[i - 1], ' ', ws[i], ' ', ws[i + 1]))"
+                    " ELSE array() END"
                 )
             )
         ).alias("g"),

@@ -25,6 +25,8 @@ collide; at sf0.01 each dataset is a few MB.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,9 +41,34 @@ from filemapreduce_spark.sinks import (
 )
 from filemapreduce_spark.sources.tables import load_table as t
 
+# Scratch dirs and uuid-suffixed bucketed tables created per
+# invocation are reaped at interpreter exit so repeated runs (bench
+# reps, sweeps, long sessions) don't permanently accumulate /tmp
+# directories and spark-warehouse tables.
+_SCRATCH_DIRS: list[str] = []
+_SCRATCH_TABLES: list[str] = []
+
+
+@atexit.register
+def _reap_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    if _SCRATCH_TABLES:
+        try:
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                for name in _SCRATCH_TABLES:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass  # JVM already gone — warehouse dirs swept below
+        for name in _SCRATCH_TABLES:
+            shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+
 
 def _scratch(label: str) -> str:
-    return tempfile.mkdtemp(prefix=f"fmr_{label}_")
+    d = tempfile.mkdtemp(prefix=f"fmr_{label}_")
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 # --------------------------------------------------------------------
@@ -281,6 +308,7 @@ def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     t_li, t_od = f"rt_li_{suffix}", f"rt_od_{suffix}"
+    _SCRATCH_TABLES.extend([t_li, t_od])
     write_bucketed(li, t_li, ["l_orderkey"], 8)
     write_bucketed(od, t_od, ["o_orderkey"], 8)
     bli = spark.table(t_li)

@@ -87,9 +87,15 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.array_distinct(
+                # guard: Spark's sequence(1, stop) counts DOWN when
+                # stop < 1 (sequence(1,0) = [1,0]), so docs shorter
+                # than 3 chars must yield an EMPTY trigram set, not
+                # phantom 1-2-char fragments
                 F.expr(
-                    "transform(sequence(1, length(lower(text)) - 2),"
+                    "CASE WHEN length(text) >= 3 THEN"
+                    " transform(sequence(1, length(lower(text)) - 2),"
                     " i -> substring(lower(text), i, 3))"
+                    " ELSE array() END"
                 )
             )
         ).alias("tri"),

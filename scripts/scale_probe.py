@@ -131,9 +131,13 @@ def main():
                 "doc_id",
                 F.explode(
                     F.array_distinct(
+                        # guard: sequence(1, stop<1) counts DOWN in
+                        # Spark — short docs must yield empty arrays
                         F.expr(
-                            "transform(sequence(1, length(lower(text)) - 2),"
+                            "CASE WHEN length(text) >= 3 THEN"
+                            " transform(sequence(1, length(lower(text)) - 2),"
                             " i -> substring(lower(text), i, 3))"
+                            " ELSE array() END"
                         )
                     )
                 ).alias("tri"),

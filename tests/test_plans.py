@@ -259,3 +259,61 @@ def test_iterative_ops_constant_plan_depth(spark, registry):
             f"truncated (expected <= {max_joins})"
         )
         assert "ExistingRDD" in plan or "Scan" in plan
+
+
+def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
+    """A forced ``F.broadcast`` hint over an unbounded-cardinality
+    side is the one plan shape AQE cannot undo: at 100 TB a per-
+    document or per-vector table is billions of rows and the hint
+    turns a shuffle join into a driver OOM (the round-3 defect in
+    ``setsim_prefix_filter_top1``).
+
+    This guard fails any query that BOTH reads a corpus table
+    (documents/embeddings — detected by their signature columns in
+    the analyzed plan) AND carries a broadcast ``ResolvedHint``,
+    unless it is on the reviewed list below where every hinted side
+    is provably bounded (fixed query sets, k centroids, 1-row
+    totals, df-capped term stats — bounded by config or value
+    domain, never by corpus size). Adding a new hint over a corpus
+    table means reviewing its bound and adding it here.
+    """
+    reviewed_bounded_hint = {
+        "banded_dense_row_ids",  # per-band COUNT summary (#bands rows)
+        "bm25_search_topk",  # fixed query terms + 1-row corpus stats
+        "ccnet_perplexity_buckets",  # hashed-bigram model w/ cap
+        "class_balance_downsample",  # 1-row minority size
+        "contamination_8gram_overlap",  # test-set grams (fixed suite)
+        "contingency_chi2_cells",  # row/col marginal totals
+        "dsir_importance_weights",  # hashed-bucket weight table (2^k)
+        "hard_negative_mining",  # fixed query slice
+        "heaps_law_curve",  # fixed 20-row checkpoint grid
+        "ivf_recall_measure",  # k centroids + fixed queries
+        "kmeans_lloyd_2iter",  # k centroids per iteration
+        "parents_prefix_inheritance",  # bounded dir-level table
+        "semdedup_cluster_prune",  # k centroids
+        "similarity_bruteforce_topk",  # fixed query vectors
+        "similarity_ivf_probe2",  # k centroids + fixed queries
+        "similarity_ivf_topk",  # k centroids + fixed queries
+        "temperature_mixture_weights",  # per-language summary
+        "tfidf_cosine_pairs",  # df-capped term stats (stopword cap)
+        "tfidf_top_term_per_doc",  # per-term df (vocab, df-capped)
+        "trigram_index_search",  # fixed search-term trigram set
+        "unigram_surprisal_filter",  # capped unigram model
+        "vocab_coverage_oov",  # fixed top-K vocabulary
+    }
+    offenders = []
+    for name, spec in sorted(registry.items()):
+        if "streaming" in spec.tags or name.startswith("streaming_"):
+            continue
+        if name in reviewed_bounded_hint:
+            continue
+        df = spec.fn(spark, SF_DIR)
+        ana = df._jdf.queryExecution().analyzed().toString()
+        reads_corpus = ("text#" in ana) or ("embedding#" in ana)
+        if reads_corpus and "ResolvedHint" in ana:
+            offenders.append(name)
+    assert not offenders, (
+        f"broadcast hint over a corpus table in {offenders} — review "
+        "the hinted side's cardinality bound and allowlist, or drop "
+        "the hint and let Catalyst/AQE choose"
+    )
