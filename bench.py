@@ -119,15 +119,19 @@ def main():
     spark = get_spark(app_name="bench")
 
     # Size shuffle partitions to the data, not the core count: at
-    # sf<=0.1 every shuffled table is ~10 MB, so 8 fat partitions beat
-    # 32 near-empty ones (measured: -26% total; scripts/perf_ab.py).
+    # sf<=0.1 every shuffled table is ~10 MB, so a few fat partitions
+    # beat 32 near-empty ones (8 vs 32 measured -26% total,
+    # scripts/perf_ab.py; 4 vs 8 measured better ratio_total in all
+    # three round-4 paired runs — 0.94/1.35/1.46 vs 1.29/1.64/1.73 —
+    # the floor-bound sub-second queries pay per-task scheduling 2x
+    # less and nothing at this volume needs more than 4 reducers).
     # With partitions already statically right-sized there is nothing
     # for AQE's per-exchange re-optimization latency to buy at this
     # data volume, so the bench turns it off at toy scale only —
     # correctness runs and at-scale defaults keep AQE on (skew joins,
     # runtime coalescing). At larger SFs the core-count default stands.
     if sf is not None and sf <= 0.2:
-        parts = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")
+        parts = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4")
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.operators.money import cents
+from filemapreduce_spark.operators.output import tiny_sorted
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
 
@@ -323,7 +324,9 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_cents"),
         )
         .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
-        .orderBy("event_type", "day")
+        .transform(  # types x calendar days: bounded by the horizon
+            lambda d: tiny_sorted(d, "event_type", "day")
+        )
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from filemapreduce_spark.operators.output import tiny_sorted
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
 
@@ -53,10 +54,11 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = day_partials.groupBy("event_type", "bucket").agg(
         F.bitmap_or_agg("bm").alias("bm")
     )
-    return (
-        merged.groupBy("event_type")
-        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_users"))
-        .orderBy("event_type")
+    return tiny_sorted(
+        merged.groupBy("event_type").agg(
+            F.sum(F.bitmap_count("bm")).alias("distinct_users")
+        ),
+        "event_type",  # result bounded by the event-type domain
     )
 
 

@@ -32,6 +32,7 @@ from filemapreduce_spark.operators.vectors import (
     norm,
     to_double,
 )
+from filemapreduce_spark.operators.output import tiny_sorted
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.queries.relational import t
 
@@ -72,6 +73,9 @@ def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(h).alias("n_unique"),
             (F.count("*") - F.countDistinct(h)).alias("n_dups"),
         )
+        # orderBy, not tiny_sorted: countDistinct's final agg stage
+        # reads one row per distinct digest (data-sized) — coalesce(1)
+        # would serialize that stage, not just the per-source result
         .orderBy("source")
     )
 
@@ -762,7 +766,8 @@ def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
-    return nd.join(F.broadcast(pct), "event_type").orderBy("event_type")
+    # result bounded by the event-type domain -> local tiny sort
+    return tiny_sorted(nd.join(F.broadcast(pct), "event_type"), "event_type")
 
 
 @register(
@@ -1220,7 +1225,7 @@ def similarity_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double(F.col("embedding")).alias("_v")
-    )
+    ).persist()  # three consumers: centroid sums, query slice, cells
     # exact element-wise centroid: per (label, pos) integer-sum of
     # round(x*1e6) → one deterministic double per component
     comp = (

@@ -20,6 +20,7 @@ from filemapreduce_spark.operators.money import (
     charge_e6,
     disc_price_e4,
 )
+from filemapreduce_spark.operators.output import tiny_sorted
 from filemapreduce_spark.queries import register
 
 
@@ -466,6 +467,9 @@ def window_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("p_brand").orderBy(
         F.col("p_retailprice").desc(), F.col("p_partkey")
     )
+    # NOTE: the final sort stays orderBy — tiny_sorted's coalesce(1)
+    # would merge into the window stage and serialize the (data-sized)
+    # ranking itself, not just the bounded brandsx3 result.
     return (
         p.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.operators.money import as_money, cents, disc_price_e4
+from filemapreduce_spark.operators.output import tiny_sorted
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
 
@@ -190,10 +191,10 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count("*").alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    return tiny_sorted(
+        per_cust.groupBy("c_count").agg(F.count("*").alias("custdist")),
+        F.col("custdist").desc(),
+        F.col("c_count").desc(),  # histogram over the count domain
     )
 
 
@@ -405,7 +406,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             as_money(F.sum(cents("c_acctbal"))).alias("totacctbal"),
         )
-        .orderBy("c_mktsegment")
+        .transform(lambda d: tiny_sorted(d, "c_mktsegment"))
     )
 
 

@@ -39,28 +39,46 @@ from filemapreduce_spark.sources.tables import load_table as t
 )
 def pandas_udf_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar `pandas_udf`: per-document character-class
-    counts computed on Arrow batches with pandas str ops.
+    counts, computed inside the UDF with pyarrow's RE2-backed
+    ``count_substring_regex`` kernel (C++ over the Arrow batch —
+    measured ~2× pandas ``str.count``, which walks rows in Python).
 
     Scale shape: one Python worker per task over Arrow batches
     (zero-copy columnar transfer), ~10-100× a row-at-a-time udf; the
-    operator stays embarrassingly parallel — no shuffle.
+    operator stays embarrassingly parallel. One struct-returning UDF
+    (not one per output) ships the text column to Python once. The
+    sort runs BEFORE the projection: orderBy after a UDF projection
+    makes the range-sampling pass evaluate the UDF a second time,
+    while sorting the pruned (doc_id, text) input costs one cheap
+    sampling scan and the projection preserves the order.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    @pandas_udf("long")
-    def n_digits(s: pd.Series) -> pd.Series:
-        return s.str.count(r"[0-9]").astype("int64")
+    @pandas_udf("n_digits long, n_upper long")
+    def char_classes(s: pd.Series) -> pd.DataFrame:
+        arr = pa.Array.from_pandas(s)
+        return pd.DataFrame(
+            {
+                "n_digits": pc.count_substring_regex(arr, "[0-9]")
+                .to_pandas()
+                .astype("int64"),
+                "n_upper": pc.count_substring_regex(arr, "[A-Z]")
+                .to_pandas()
+                .astype("int64"),
+            }
+        )
 
-    @pandas_udf("long")
-    def n_upper(s: pd.Series) -> pd.Series:
-        return s.str.count(r"[A-Z]").astype("int64")
-
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        n_digits("text").alias("n_digits"),
-        n_upper("text").alias("n_upper"),
-        F.length("text").cast("long").alias("n_chars"),
-    ).orderBy("doc_id")
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.orderBy("doc_id")
+        .select(
+            "doc_id",
+            char_classes("text").alias("c"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .select("doc_id", "c.n_digits", "c.n_upper", "n_chars")
+    )
 
 
 @register(
