@@ -45,10 +45,25 @@ def _driver_verified() -> set[str]:
     return seen
 
 
-# Names the driver window should reach before the alphabetical rest:
-# the reference's signature parents semantics, the two hardest TPC-H
-# shapes, and the multimodal decode path.
+# Names the driver window should reach before the alphabetical rest
+# (already-driver-verified names are dropped automatically). Round-4
+# priorities per the round-3 review: the de-broadcast-hinted setsim
+# operator, the graph/LSH/search representatives, and the streaming
+# family's batch-twin rows — none has a driver ledger row yet.
 _PRIORITY = (
+    "setsim_prefix_filter_top1",
+    "triangle_count_copurchase",
+    "srp_lsh_candidate_pairs",
+    "trigram_index_search",
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_dedup_keys",
+    "streaming_static_join_enrich",
+    "streaming_stream_stream_join",
+    "streaming_session_window_native",
+    "streaming_stateful_user_stats",
+    "streaming_foreachbatch_upsert",
+    # earlier-round priorities, kept as a fallback if ledgers reset
     "parents_prefix_inheritance",
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",

@@ -91,7 +91,11 @@ class Job:
       it unless ``dir_loader`` overrides.
     - sort_key: column name(s)/Column(s); establishes a deterministic
       global order before an order-sensitive reducer (Sorter,
-      interfaces.go:31-48).
+      interfaces.go:31-48). CAVEAT: setting it funnels the whole
+      mapped output through ONE partition (the reference's
+      single-reducer semantics) — on a large mapped stream this
+      serializes the reduce. Leave unset for order-insensitive
+      reducers, which run fully distributed.
     - reducer: DataFrame → DataFrame aggregation. None = map-only job
       (mapreduce.go:344-354).
     - finalizer: DataFrame → Any action (sink). None = return the
@@ -168,9 +172,15 @@ class FileEngine:
                 # Deterministic order for order-sensitive reducers: the
                 # reference funnels everything into ONE reducer
                 # goroutine (mapreduce.go:401-431); the Spark analog is
-                # a single sorted partition. Order-INSENSITIVE reducers
-                # should leave sort_key unset — aggregation then runs
-                # partial+final fully distributed.
+                # a single sorted partition. WARNING — this serializes
+                # the reduce: ``repartition(1)`` moves the WHOLE mapped
+                # output through one task, so a sort_key on a large
+                # mapped stream is a deliberate scale trade-off
+                # (faithful to the reference's single-reducer
+                # semantics), not a default. Order-INSENSITIVE reducers
+                # must leave sort_key unset — aggregation then runs
+                # partial+final fully distributed, and tests assert no
+                # single-partition funnel appears in their plans.
                 keys = job.sort_key
                 if not isinstance(keys, (list, tuple)):
                     keys = [keys]

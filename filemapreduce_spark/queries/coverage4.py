@@ -132,9 +132,11 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     the series key only.
     """
     e = t(spark, sf_dir, "events")
+    # persisted: both lag-join sides read the daily grain — without
+    # the cache the events scan + daily agg runs twice
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(cents("value")).cast("long").alias("cents"))
+    ).agg(F.sum(cents("value")).cast("long").alias("cents")).persist()
     ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
     a = daily.crossJoin(F.broadcast(ks))
     b = daily.select(

@@ -34,11 +34,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = 10
 
 
-def replicate(df: DataFrame, key_cols: list[str], offset: int) -> DataFrame:
-    """Union `COPIES` copies, offsetting integer keys per copy so
+def replicate(
+    df: DataFrame, key_cols: list[str], offset: int, copies: int = COPIES
+) -> DataFrame:
+    """Union `copies` copies, offsetting integer keys per copy so
     grouped/joined cardinalities scale with the data."""
     out = None
-    for i in range(COPIES):
+    for i in range(copies):
         c = df
         for k in key_cols:
             c = c.withColumn(k, F.col(k) + F.lit(i * offset))
@@ -62,10 +64,13 @@ def main():
 
     li1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     li10 = replicate(li1, ["l_orderkey"], 10_000_000)
+    li100 = replicate(li1, ["l_orderkey"], 10_000_000, copies=100)
     od1 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     od10 = replicate(od1, ["o_orderkey"], 10_000_000)
+    od100 = replicate(od1, ["o_orderkey"], 10_000_000, copies=100)
     dc1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(32)
     dc10 = replicate(dc1, ["doc_id"], 10_000_000)
+    dc100 = replicate(dc1, ["doc_id"], 10_000_000, copies=100)
 
     def q1(li):
         return lambda: (
@@ -204,7 +209,13 @@ def main():
     for name, f1, f10 in (
         ("groupby_agg", q1(li1), q1(li10)),
         ("fact_fact_join", join_agg(li1, od1), join_agg(li10, od10)),
+        # 100x rows for the two shapes that actually SHUFFLE heavy
+        # state (join rows / per-doc signatures): proves the
+        # sub-linear claim two orders of magnitude out, like the
+        # gram-matrix probe already does for mapInArrow
+        ("fact_fact_join_100x", join_agg(li1, od1), join_agg(li100, od100)),
         ("minhash_signature", minhash(dc1), minhash(dc10)),
+        ("minhash_signature_100x", minhash(dc1), minhash(dc100)),
         ("gram_matrix_100x", gram(em1), gram(em100)),
         ("trigram_postings", trigram_postings(dc1), trigram_postings(dc10)),
         ("srp_banding", srp_bands(em1), srp_bands(em10)),

@@ -532,3 +532,53 @@ def test_run_with_metrics_observes_without_extra_scan(spark):
     assert out["files"] == 3
     assert out["_metrics"]["sum"]["rows_mapped"] == 9
     assert out["_metrics"]["files"]["rows_mapped"] == 3
+
+
+def test_unsorted_reducer_stays_distributed(spark):
+    """sort_key=None must NOT pass the mapped stream through the
+    single-reducer funnel: the plan may contain no 1-partition
+    repartition (the reduce runs partial+final, fully distributed).
+    Only an explicit sort_key buys the reference's serialized
+    single-reducer semantics — and pays its scale cost."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    plan_df = eng.plan(
+        Job(
+            name="sum",
+            path_filter="**/*.txt",
+            loader="text",
+            mapper=lambda df: df.select(
+                F.explode(F.split(F.col("data"), "\n")).alias("line")
+            )
+            .filter(F.col("line") != "")
+            .select(F.col("line").cast("long").alias("v")),
+            reducer=lambda df: df.agg(F.sum("v").alias("s")),
+        )
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    # the scalar agg's own final stage is SinglePartition by nature;
+    # what must be absent is a Repartition(1) funnel BEFORE the reduce
+    assert "Repartition 1" not in plan
+    assert "RoundRobinPartitioning(1)" not in plan
+
+
+def test_sorted_reducer_uses_single_partition_funnel(spark):
+    """With sort_key set, the plan DOES show the documented
+    single-partition funnel (repartition(1) + local sort) — the
+    deliberate, reference-faithful serialization point."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    plan_df = eng.plan(
+        Job(
+            name="concat",
+            path_filter="**/*.txt",
+            loader="text",
+            mapper=lambda df: df.select(
+                F.explode(F.split(F.col("data"), "\n")).alias("line")
+            ).filter(F.col("line") != ""),
+            sort_key="line",
+            reducer=lambda df: df.agg(
+                F.concat_ws(",", F.collect_list("line")).alias("all")
+            ),
+        )
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan or "Repartition 1" in plan
