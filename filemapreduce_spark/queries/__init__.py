@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         coverage3,
         coverage4,
         corpus,
+        engineops,
         fileops,
         linalg,
         llm,

@@ -1,0 +1,429 @@
+"""File-engine + sink rows promoted to oracle-gated queries.
+
+Round-3 review left 9 SURVEY §2 rows gated only by pytest (VFS
+backend, single-value finalize, per-job metrics, codec selection,
+partition-layout evolution, select/compute, sort-by-key,
+strict-vs-permissive parse, incremental streaming arrival — the
+streaming one lives in queries/streaming.py). These queries close the
+loop the DRIVER can verify: each builds its inputs deterministically
+from the parquet test tables, runs the real engine/sink surface, and
+returns a result whose DuckDB oracle aggregates the same tables
+directly — a value-hash match proves the engine path is lossless.
+
+The in-memory VFS is the reference's test double
+(/root/reference/virtualFileSystem.go:9-33): a driver-built
+path→bytes dict by definition, so the bounded ``doc_id < 40`` /
+``o_orderkey < 200`` collects here are the operator's semantics, not
+a scale shortcut — the same jobs run unchanged against a disk/HDFS
+root via ``FileEngine(spark, root=...)`` (tests/test_engine.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.core.engine import FileEngine, Job
+from filemapreduce_spark.operators.money import SQL_CENTS, cents
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.queries.roundtrip import _scratch
+from filemapreduce_spark.sources.tables import load_table as t
+
+_DOC_CAP = 40  # documents with doc_id < 40 seed the VFS trees
+_ORD_CAP = 200  # orders with o_orderkey < 200 seed the JSON files
+
+# driver-built VFS dicts, keyed by (session id, sf_dir): the collect
+# is bounded (<= 40 docs / <= 50 orders) and reused by every engine
+# query in a sweep
+_VFS_CACHE: dict[tuple[int, str, str], dict[str, str]] = {}
+
+
+def _vfs_docs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    key = (id(spark), sf_dir, "docs")
+    hit = _VFS_CACHE.get(key)
+    if hit is None:
+        rows = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _DOC_CAP)
+            .select("doc_id", "source", "lang", "text")
+            .collect()
+        )
+        hit = {
+            f"{r['source']}/{r['lang']}/{r['doc_id']}.txt": r["text"]
+            for r in rows
+        }
+        _VFS_CACHE[key] = hit
+    return hit
+
+
+def _vfs_orders_json(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    key = (id(spark), sf_dir, "orders_json")
+    hit = _VFS_CACHE.get(key)
+    if hit is None:
+        rows = (
+            t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < _ORD_CAP)
+            .select("o_orderkey", "o_orderpriority")
+            .collect()
+        )
+        hit = {}
+        for r in rows:
+            k = r["o_orderkey"]
+            if k % 7 == 0:  # deterministic dead letters
+                hit[f"orders/{k}.json"] = '{"k": '
+            else:
+                hit[f"orders/{k}.json"] = (
+                    '{"k": %d, "p": "%s"}' % (k, r["o_orderpriority"])
+                )
+        _VFS_CACHE[key] = hit
+    return hit
+
+
+_SQL_DOC_SUB = f"(SELECT * FROM documents WHERE doc_id < {_DOC_CAP})"
+
+
+# --------------------------------------------------------------------
+# In-memory VFS backend + text loader + flatMap + distributed reduce.
+# --------------------------------------------------------------------
+@register(
+    "engine_vfs_wordcount",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS w
+      FROM {_SQL_DOC_SUB}
+    )
+    SELECT w, COUNT(*) AS n
+    FROM toks GROUP BY w HAVING COUNT(*) >= 3
+    ORDER BY w
+    """,
+    tags=("engine", "vfs", "mapreduce"),
+)
+def engine_vfs_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical engine pipeline on the in-memory VFS backend:
+    files → text loader → flatMap (tokenize) → distributed reduce
+    (no sort_key → partial+final agg, no single-reducer funnel). The
+    oracle tokenizes the same documents relationally — a hash match
+    proves loader + mapper + reducer preserve every token."""
+    eng = FileEngine.from_memory(spark, _vfs_docs(spark, sf_dir))
+    df = eng.plan(
+        Job(
+            name="wordcount",
+            path_filter="**/*.txt",
+            loader="text",
+            mapper=lambda d: d.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower("data"), r"\s+"),
+                        lambda w: w != "",
+                    )
+                ).alias("w")
+            ),
+            reducer=lambda d: d.groupBy("w")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 3),
+        )
+    )
+    return df.orderBy("w")
+
+
+# --------------------------------------------------------------------
+# Path-glob predicate + select/compute columns over the VFS scan.
+# --------------------------------------------------------------------
+@register(
+    "engine_vfs_select_compute",
+    f"""
+    SELECT COUNT(*) AS n_files,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM {_SQL_DOC_SUB} WHERE lang = 'en'
+    """,
+    tags=("engine", "vfs", "glob", "select"),
+)
+def engine_vfs_select_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob path predicate (``*/en/*.txt``) + computed column
+    (decoded length) through the engine scan; the oracle filters the
+    same rows on the lang column."""
+    eng = FileEngine.from_memory(spark, _vfs_docs(spark, sf_dir))
+    df = eng.plan(
+        Job(
+            name="en_chars",
+            path_filter="*/en/*.txt",
+            loader="text",
+            mapper=lambda d: d.select(
+                F.length("data").cast("long").alias("n_chars")
+            ),
+            reducer=lambda d: d.agg(
+                F.count("*").alias("n_files"),
+                F.sum("n_chars").alias("total_chars"),
+            ),
+        )
+    )
+    return df
+
+
+# --------------------------------------------------------------------
+# sort_key: deterministic global order into an order-sensitive reduce.
+# --------------------------------------------------------------------
+@register(
+    "engine_sorted_reduce_digest",
+    f"""
+    WITH f AS (
+      SELECT source || '/' || lang || '/' || CAST(doc_id AS VARCHAR)
+               || '.txt' AS path,
+             CAST(doc_id AS VARCHAR) AS id_str
+      FROM {_SQL_DOC_SUB}
+    )
+    SELECT string_agg(id_str, '|' ORDER BY path) AS ordered_ids,
+           COUNT(*) AS n_files
+    FROM f
+    """,
+    tags=("engine", "sort", "reduce"),
+)
+def engine_sorted_reduce_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sort_key`` semantics made oracle-checkable: the job funnels
+    its mapped rows through the documented single sorted partition
+    (the reference's one-reducer model) and concatenates doc ids in
+    PATH order — any ordering defect changes the digest string. The
+    oracle is ``string_agg(... ORDER BY path)``. Scale note: the
+    single-partition funnel is the point of this row (engine.py
+    sort_key caveat); the input here is the bounded VFS subset."""
+    eng = FileEngine.from_memory(spark, _vfs_docs(spark, sf_dir))
+    df = eng.plan(
+        Job(
+            name="digest",
+            path_filter="**/*.txt",
+            loader="text",
+            mapper=lambda d: d.select(
+                "path",
+                F.regexp_extract("path", r"(\d+)\.txt$", 1).alias("id_str"),
+            ),
+            sort_key="path",
+            reducer=lambda d: d.agg(
+                F.concat_ws("|", F.collect_list("id_str")).alias(
+                    "ordered_ids"
+                ),
+                F.count("*").alias("n_files"),
+            ),
+        )
+    )
+    return df
+
+
+# --------------------------------------------------------------------
+# Single-value finalize (the reference's Finalizer sink).
+# --------------------------------------------------------------------
+@register(
+    "engine_single_value_finalize",
+    f"""
+    SELECT CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM {_SQL_DOC_SUB}
+    """,
+    tags=("engine", "finalize", "sink"),
+)
+def engine_single_value_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Finalizer contract (reference interfaces.go:68-78): the
+    job's action reduces to ONE driver-side value. The query re-wraps
+    that scalar as a 1-row frame so the oracle can hash it. The
+    collect is the operator's semantics — a single-value sink IS a
+    driver-side result."""
+    eng = FileEngine.from_memory(spark, _vfs_docs(spark, sf_dir))
+    out = eng.run(
+        [
+            Job(
+                name="total",
+                path_filter="**/*.txt",
+                loader="text",
+                mapper=lambda d: d.select(
+                    F.length("data").cast("long").alias("n")
+                ),
+                reducer=lambda d: d.agg(F.sum("n").alias("s")),
+                finalizer=lambda d: d.collect()[0]["s"],
+            )
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(out["total"]),)], "total_chars BIGINT"
+    )
+
+
+# --------------------------------------------------------------------
+# Per-job metrics (observe() — zero extra scans).
+# --------------------------------------------------------------------
+@register(
+    "engine_job_metrics",
+    f"""
+    SELECT 'all_docs' AS job_name, COUNT(*) AS rows_mapped
+    FROM {_SQL_DOC_SUB}
+    UNION ALL
+    SELECT 'en_docs', COUNT(*) FROM {_SQL_DOC_SUB} WHERE lang = 'en'
+    ORDER BY job_name
+    """,
+    tags=("engine", "metrics"),
+)
+def engine_job_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-job row accounting via ``run(with_metrics=True)``: an
+    ``observe()`` rides each job's own action (no second scan); the
+    collected counters must equal the relational row counts. The
+    metrics dict is driver-side by contract — re-wrapped as a 2-row
+    frame for the oracle hash."""
+    eng = FileEngine.from_memory(spark, _vfs_docs(spark, sf_dir))
+    out = eng.run(
+        [
+            Job(
+                name="all_docs",
+                path_filter="**/*.txt",
+                finalizer=lambda d: d.count(),
+            ),
+            Job(
+                name="en_docs",
+                path_filter="*/en/*.txt",
+                finalizer=lambda d: d.count(),
+            ),
+        ],
+        with_metrics=True,
+    )
+    rows = [
+        (name, int(m["rows_mapped"]))
+        for name, m in sorted(out["_metrics"].items())
+    ]
+    return spark.createDataFrame(rows, "job_name STRING, rows_mapped BIGINT")
+
+
+# --------------------------------------------------------------------
+# Permissive parse: malformed records become null-field dead letters.
+# --------------------------------------------------------------------
+@register(
+    "engine_permissive_parse_dead_letters",
+    f"""
+    SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'dead' ELSE 'ok' END
+             AS status,
+           COUNT(*) AS n
+    FROM orders WHERE o_orderkey < {_ORD_CAP}
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("engine", "loader", "errors"),
+)
+def engine_permissive_parse_dead_letters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict-vs-permissive loader semantics, permissive half: every
+    7th JSON file is deterministically truncated; PERMISSIVE parse
+    yields null-field structs the mapper routes to a dead-letter
+    count instead of aborting (strict=FAILFAST abort is asserted in
+    tests/test_engine.py — an oracle can't hash an exception). The
+    oracle recomputes the malformed-residue split relationally."""
+    eng = FileEngine.from_memory(spark, _vfs_orders_json(spark, sf_dir))
+    df = eng.plan(
+        Job(
+            name="parse",
+            path_filter="orders/*.json",
+            loader="json:k BIGINT, p STRING",
+            mapper=lambda d: d.select(
+                F.when(F.col("data.k").isNotNull(), F.lit("ok"))
+                .otherwise(F.lit("dead"))
+                .alias("status")
+            ),
+            reducer=lambda d: d.groupBy("status").agg(
+                F.count("*").alias("n")
+            ),
+        )
+    )
+    return df.orderBy("status")
+
+
+# --------------------------------------------------------------------
+# Codec selection round trip (zstd + gzip write→read→agg).
+# --------------------------------------------------------------------
+@register(
+    "sink_codec_selection_roundtrip",
+    f"""
+    SELECT 'gzip' AS codec, COUNT(*) AS n_parts,
+           CAST(SUM({SQL_CENTS.format(col='p_retailprice')}) AS BIGINT)
+             AS retail_cents
+    FROM part
+    UNION ALL
+    SELECT 'zstd', COUNT(*),
+           CAST(SUM({SQL_CENTS.format(col='p_retailprice')}) AS BIGINT)
+    FROM part
+    ORDER BY codec
+    """,
+    tags=("sink", "codec", "roundtrip"),
+)
+def sink_codec_selection_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write part under two explicit codecs (gzip: legacy-compatible;
+    zstd: the modern ratio/speed default), read each back, aggregate.
+    The oracle aggregates the original twice — a hash match proves
+    codec choice never changes content, only bytes on disk
+    (tests/test_sinks.py asserts the size ordering)."""
+    base = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    frames = []
+    for codec in ("gzip", "zstd"):
+        dest = _scratch(f"codec_{codec}")
+        base.write.mode("overwrite").option("compression", codec).parquet(
+            dest
+        )
+        frames.append(
+            spark.read.parquet(dest).agg(
+                F.lit(codec).alias("codec"),
+                F.count("*").alias("n_parts"),
+                F.sum(cents("p_retailprice")).alias("retail_cents"),
+            )
+        )
+    return frames[0].unionAll(frames[1]).orderBy("codec")
+
+
+# --------------------------------------------------------------------
+# Partition-layout evolution: two generations, one queryable dataset.
+# --------------------------------------------------------------------
+@register(
+    "sink_partition_evolution_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("sink", "partitioned", "evolution", "roundtrip"),
+)
+def sink_partition_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-layout evolution: an old generation partitioned by
+    status and a new one by (status, priority) — written as separate
+    generations, read back as ONE union'd dataset, aggregated. The
+    oracle aggregates the original orders table: a hash match proves
+    no row is lost or duplicated across layout generations. At
+    100 TB this is the read contract that lets a table change its
+    partitioning over the years without rewriting history; pruning
+    stays effective inside each generation because each read applies
+    its own directory scheme."""
+    od = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    gen1 = _scratch("evo_gen1")
+    gen2 = _scratch("evo_gen2")
+    od.filter(F.col("o_orderkey") % 2 == 0).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(gen1)
+    od.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus", "o_orderpriority").parquet(gen2)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    back = (
+        spark.read.parquet(gen1)
+        .select(*cols)
+        .unionAll(spark.read.parquet(gen2).select(*cols))
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -713,3 +713,107 @@ def streaming_foreachbatch_upsert(
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------
+# Incremental file arrival: two waves, one checkpoint, exactly-once.
+# --------------------------------------------------------------------
+@register(
+    "streaming_incremental_file_arrival",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "incremental", "source"),
+)
+def streaming_incremental_file_arrival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming FileSystem backend's INCREMENTAL-ARRIVAL
+    contract, oracle-gated: the events table is split into two waves;
+    wave 1 lands in the source dir and a complete-mode aggregation
+    runs to completion (availableNow); then wave 2 lands and the
+    SAME query restarts against the SAME checkpoint. The file-source
+    log must process exactly the new files — the final aggregate
+    equals the batch aggregate over ALL events (the oracle) only if
+    wave 1 was not reprocessed and wave 2 was not missed.
+
+    Scale: this is the exactly-once accounting every production file
+    stream relies on (hourly drops into a landing dir); state is the
+    windowless grouped agg, sized by key cardinality not arrivals.
+    """
+    import tempfile
+
+    key = (id(spark), sf_dir, "incr_arrival")
+    hit = _RESULT_TABLES.get(key)
+    if hit is not None and spark.catalog.tableExists(hit):
+        return (
+            spark.table(hit)
+            .coalesce(1)
+            .sortWithinPartitions("event_type")
+        )
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    src = tempfile.mkdtemp(prefix="fmr_incr_src_", dir=base)
+    stage = tempfile.mkdtemp(prefix="fmr_incr_stage_", dir=base)
+    ckpt = tempfile.mkdtemp(prefix="fmr_incr_ckpt_", dir=base)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = t(spark, sf_dir, "events").select(
+            "event_type", "value", "event_id"
+        )
+        for wave, pred in (
+            (1, F.col("event_id") % 2 == 0),
+            (2, F.col("event_id") % 2 == 1),
+        ):
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                f"{stage}/w{wave}"
+            )
+
+        def land(wave: int) -> None:
+            n = 0
+            for f in sorted(os.listdir(f"{stage}/w{wave}")):
+                if f.endswith(".parquet"):
+                    os.symlink(
+                        f"{stage}/w{wave}/{f}", f"{src}/w{wave}_{n}.parquet"
+                    )
+                    n += 1
+
+        def run_wave() -> None:
+            stream = spark.readStream.schema(
+                "event_type STRING, value DOUBLE, event_id BIGINT"
+            ).parquet(src)
+            agg = stream.groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+            )
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        land(1)
+        run_wave()
+        land(2)
+        run_wave()  # same checkpoint: must pick up ONLY wave 2
+        _RESULT_TABLES[key] = name
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        # src + ckpt must outlive the query only within this session;
+        # atexit-style sweep via the module's pending-dir list
+        _PENDING_DIRS.extend([src, ckpt])
+    return (
+        spark.table(name).coalesce(1).sortWithinPartitions("event_type")
+    )
