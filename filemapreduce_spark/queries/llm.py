@@ -181,7 +181,9 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingles",
         minhash_signature(F.col("shingles"), 8).alias("sig"),
     ).persist()
-    sig.count()  # materialize before the multi-branch fan-out
+    # no eager count: plan construction (EXPLAIN, plan audits) stays
+    # lazy; the cache fills on the first real action and later branches
+    # read the cached partitions
     d2 = sig.select("doc_id", "shingles")
     # band key = the two minhashes of the band concatenated in j order
     bands = sig.select(
@@ -284,7 +286,6 @@ def neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slow (measured 15.7s vs 0.3s from a cached array column —
     # Generate evaluates outside whole-stage codegen).
     arr = d2.persist()
-    arr.count()  # materialize before the fan-out
     sh = arr.select("doc_id", F.explode("shingles").alias("s"))
     sizes = arr.select("doc_id", F.size("shingles").alias("n"))
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
@@ -382,7 +383,6 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets AQE pick the join strategy from real stats.
     """
     sig = _spark_simhash(spark, sf_dir).persist()
-    sig.count()  # materialize so both self-join sides hit the cache
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -706,7 +706,6 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same arithmetic as dot/(sqrt(dot aa)*sqrt(dot bb)), so the
     # rounded value still hash-matches the oracle
     emb = emb.withColumn("_n", norm(F.col("_v"))).persist()
-    emb.count()  # materialize: both self-join sides read the cache
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         "label",
