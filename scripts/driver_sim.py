@@ -61,6 +61,8 @@ def build_driver_like_session():
 
 def sort_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    if df.empty:  # apply(axis=1) on 0 rows yields a 2-D frame and
+        return df.reset_index(drop=True)  # argsort crashes on it
     key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
     order = np.argsort(key.to_numpy(), kind="stable")
     return df.iloc[order].reset_index(drop=True)
