@@ -34,49 +34,59 @@ _ORD_CAP = 200  # orders with o_orderkey < 200 seed the JSON files
 
 # driver-built VFS dicts, keyed by (session id, sf_dir): the collect
 # is bounded (<= 40 docs / <= 50 orders) and reused by every engine
-# query in a sweep
+# query in a sweep. Entries for other session ids are purged on each
+# miss so restarts don't grow the dict unboundedly (the dicts are
+# plain data, so a stale id() can only waste memory, never leak a
+# dead session's DataFrames — recollecting after a purge is cheap).
 _VFS_CACHE: dict[tuple[int, str, str], dict[str, str]] = {}
 
 
-def _vfs_docs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
-    key = (id(spark), sf_dir, "docs")
+def _vfs_cached(spark: SparkSession, key: tuple, build) -> dict[str, str]:
     hit = _VFS_CACHE.get(key)
     if hit is None:
+        for k in [k for k in _VFS_CACHE if k[0] != id(spark)]:
+            del _VFS_CACHE[k]
+        hit = build()
+        _VFS_CACHE[key] = hit
+    return hit
+
+
+def _vfs_docs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    def build() -> dict[str, str]:
         rows = (
             t(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < _DOC_CAP)
             .select("doc_id", "source", "lang", "text")
             .collect()
         )
-        hit = {
+        return {
             f"{r['source']}/{r['lang']}/{r['doc_id']}.txt": r["text"]
             for r in rows
         }
-        _VFS_CACHE[key] = hit
-    return hit
+
+    return _vfs_cached(spark, (id(spark), sf_dir, "docs"), build)
 
 
 def _vfs_orders_json(spark: SparkSession, sf_dir: str) -> dict[str, str]:
-    key = (id(spark), sf_dir, "orders_json")
-    hit = _VFS_CACHE.get(key)
-    if hit is None:
+    def build() -> dict[str, str]:
         rows = (
             t(spark, sf_dir, "orders")
             .filter(F.col("o_orderkey") < _ORD_CAP)
             .select("o_orderkey", "o_orderpriority")
             .collect()
         )
-        hit = {}
+        out: dict[str, str] = {}
         for r in rows:
             k = r["o_orderkey"]
             if k % 7 == 0:  # deterministic dead letters
-                hit[f"orders/{k}.json"] = '{"k": '
+                out[f"orders/{k}.json"] = '{"k": '
             else:
-                hit[f"orders/{k}.json"] = (
+                out[f"orders/{k}.json"] = (
                     '{"k": %d, "p": "%s"}' % (k, r["o_orderpriority"])
                 )
-        _VFS_CACHE[key] = hit
-    return hit
+        return out
+
+    return _vfs_cached(spark, (id(spark), sf_dir, "orders_json"), build)
 
 
 _SQL_DOC_SUB = f"(SELECT * FROM documents WHERE doc_id < {_DOC_CAP})"
