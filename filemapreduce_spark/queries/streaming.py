@@ -185,6 +185,16 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 _RESULT_TABLES: dict[tuple[int, str, str], str] = {}
 
 
+def _purge_stale_results(spark: SparkSession) -> None:
+    """Drop entries recorded under other (dead) session ids so
+    restarts don't grow the dict unboundedly; the values are just
+    memory-sink table names, so a wrong purge only re-runs a
+    bounded stream."""
+    sid = id(spark)
+    for k in [k for k in _RESULT_TABLES if k[0] != sid]:
+        del _RESULT_TABLES[k]
+
+
 def _run_to_memory(
     agg_writer, name: str, mode: str, cache_key: tuple | None = None
 ) -> str:
@@ -195,6 +205,7 @@ def _run_to_memory(
     key = None
     if cache_key is not None:
         key = (id(spark), *cache_key)
+        _purge_stale_results(spark)
         hit = _RESULT_TABLES.get(key)
         if hit is not None and spark.catalog.tableExists(hit):
             _cleanup_pending()  # builder-made scratch is unused on a hit
@@ -750,6 +761,7 @@ def streaming_incremental_file_arrival(
     import tempfile
 
     key = (id(spark), sf_dir, "incr_arrival")
+    _purge_stale_results(spark)
     hit = _RESULT_TABLES.get(key)
     if hit is not None and spark.catalog.tableExists(hit):
         return (
