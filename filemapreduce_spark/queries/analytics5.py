@@ -516,28 +516,25 @@ def seasonal_decomposition_daily(
     "covariance_matrix_lineitem",
     """
     WITH m AS (
+      -- sums stay HUGEINT (no BIGINT cast): a cents*cents product sum
+      -- exceeds int64 past ~10^5 rows, exactly like the Spark side's
+      -- DECIMAL(38,0) accumulators
       SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
-             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
-               AS sp,
-             CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sd,
-             CAST(SUM(CAST(l_quantity AS BIGINT)
-                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq,
-             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                      * CAST(round(l_extendedprice*100) AS BIGINT))
-                  AS BIGINT) AS spp,
-             CAST(SUM(CAST(round(l_discount*100) AS BIGINT)
-                      * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
-               AS sdd,
-             CAST(SUM(CAST(l_quantity AS BIGINT)
-                      * CAST(round(l_extendedprice*100) AS BIGINT))
-                  AS BIGINT) AS sqp,
-             CAST(SUM(CAST(l_quantity AS BIGINT)
-                      * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
-               AS sqd,
-             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                      * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
-               AS spd
+             SUM(CAST(l_quantity AS BIGINT)) AS sq,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sp,
+             SUM(CAST(round(l_discount*100) AS BIGINT)) AS sd,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS sqq,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * CAST(round(l_extendedprice*100) AS BIGINT)) AS spp,
+             SUM(CAST(round(l_discount*100) AS BIGINT)
+                 * CAST(round(l_discount*100) AS BIGINT)) AS sdd,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice*100) AS BIGINT)) AS sqp,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_discount*100) AS BIGINT)) AS sqd,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * CAST(round(l_discount*100) AS BIGINT)) AS spd
       FROM lineitem
     ), cells(var_a, var_b, s_ab, s_a, s_b) AS (
       SELECT 'quantity', 'quantity', sqq, sq, sq FROM m
@@ -548,9 +545,14 @@ def seasonal_decomposition_daily(
       UNION ALL SELECT 'discount_cents', 'discount_cents', sdd, sd, sd FROM m
     )
     SELECT var_a, var_b,
-           round((CAST(s_ab AS DOUBLE)
-                  - CAST(s_a AS DOUBLE) * s_b / (SELECT n FROM m))
-                 / ((SELECT n FROM m) - 1), 6) AS cov
+           -- single rounding point: the numerator n*s_ab - s_a*s_b is
+           -- EXACT in HUGEINT, so both engines convert the same
+           -- integer to double once and divide by the same n*(n-1) --
+           -- no catastrophic cancellation of independently-rounded
+           -- doubles (which diverged in the last digit at sf0.1)
+           round(CAST((SELECT n FROM m) * s_ab - s_a * s_b AS DOUBLE)
+                 / (CAST((SELECT n FROM m) AS DOUBLE)
+                    * ((SELECT n FROM m) - 1)), 6) AS cov
     FROM cells
     ORDER BY var_a, var_b
     """,
@@ -568,25 +570,28 @@ def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the whole matrix costs one scan regardless of dimension
     count growing as d(d+1)/2 sufficient statistics — for wide d the
     same pattern runs as the mapInArrow gram-matrix operator
-    (X^T·X partials); this is the exact-integer small-d form. Cross
-    products of cents stay under 2^63 up to ~10^9 rows; band to
-    DECIMAL accumulators beyond.
+    (X^T·X partials); this is the exact-integer small-d form. The
+    product accumulators are DECIMAL(38,0): a cents×cents term is
+    ~10^14, so an int64 sum overflows past ~10^5 rows (it DID at
+    sf0.1) — the decimal accumulator matches DuckDB's HUGEINT sum
+    exactly and stays partial-agg-safe.
     """
     li = t(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("long")
     p = cents("l_extendedprice")
     d = cents("l_discount")
+    dec = "decimal(38,0)"
     m = li.agg(
         F.count("*").alias("n"),
-        F.sum(q).cast("long").alias("sq"),
-        F.sum(p).cast("long").alias("sp"),
-        F.sum(d).cast("long").alias("sd"),
-        F.sum(q * q).cast("long").alias("sqq"),
-        F.sum(p * p).cast("long").alias("spp"),
-        F.sum(d * d).cast("long").alias("sdd"),
-        F.sum(q * p).cast("long").alias("sqp"),
-        F.sum(q * d).cast("long").alias("sqd"),
-        F.sum(p * d).cast("long").alias("spd"),
+        F.sum(q.cast(dec)).alias("sq"),
+        F.sum(p.cast(dec)).alias("sp"),
+        F.sum(d.cast(dec)).alias("sd"),
+        F.sum((q * q).cast(dec)).alias("sqq"),
+        F.sum((p * p).cast(dec)).alias("spp"),
+        F.sum((d * d).cast(dec)).alias("sdd"),
+        F.sum((q * p).cast(dec)).alias("sqp"),
+        F.sum((q * d).cast(dec)).alias("sqd"),
+        F.sum((p * d).cast(dec)).alias("spd"),
     )
     cells = [
         ("quantity", "quantity", "sqq", "sq", "sq"),
@@ -598,12 +603,16 @@ def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = None
     for va, vb, ab, a, b in cells:
+        # numerator exact in DECIMAL(38,0) (n*s_ab ~ 1e25, s_a*s_b ~
+        # 1e28 both fit), converted to double ONCE — mirrors the
+        # oracle's HUGEINT numerator so the single division point
+        # yields bit-identical doubles
+        numer = (
+            F.col("n").cast("decimal(38,0)") * F.col(ab)
+            - F.col(a) * F.col(b)
+        ).cast("double")
         cov = F.round(
-            (
-                F.col(ab).cast("double")
-                - F.col(a).cast("double") * F.col(b) / F.col("n")
-            )
-            / (F.col("n") - 1),
+            numer / (F.col("n").cast("double") * (F.col("n") - 1)),
             6,
         )
         row = m.select(

@@ -1311,14 +1311,17 @@ def mann_whitney_u_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY nation ORDER BY x, o_custkey) AS BIGINT) AS i
       FROM rev
     ), agg AS (
+      -- sums stay HUGEINT: the x1e6 micro-scaled numerator exceeds
+      -- int64 at sf0.1 (mirrors the Spark side's DECIMAL(38,0))
       SELECT nation,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(i * x) AS BIGINT) AS six
+             SUM(x) AS sx,
+             SUM(i * x) AS six
       FROM ranked GROUP BY nation
     )
     SELECT CAST(nation AS BIGINT) AS nation, n,
-           (1000000 * (2 * six - (n + 1) * sx)) // (n * sx) AS gini_micro
+           CAST((CAST(1000000 AS HUGEINT) * (2 * six - (n + 1) * sx))
+                // (n * sx) AS BIGINT) AS gini_micro
     FROM agg
     ORDER BY nation
     """,
@@ -1354,15 +1357,23 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rev.select(
         "nation", "x", F.row_number().over(w_rank).cast("long").alias("i")
     )
+    # DECIMAL(38,0) accumulators: Σi·x is ~rank×cents per term, and
+    # the ×10^6 micro-scaling pushes the numerator past int64 at
+    # sf0.1 already (observed ARITHMETIC_OVERFLOW) — decimal math
+    # matches DuckDB's HUGEINT exactly, and `div` on decimals keeps
+    # the integral-quotient (floor) semantics of the oracle's `//`
     agg = ranked.groupBy("nation").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("i") * F.col("x")).cast("decimal(38,0)")
+        ).alias("six"),
     )
     return agg.select(
         "nation",
         "n",
         F.expr(
-            "(1000000 * (2 * six - (n + 1) * sx)) div (n * sx)"
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (2 * six - (n + 1) * sx)) div (n * sx) AS BIGINT)"
         ).alias("gini_micro"),
     ).orderBy("nation")
