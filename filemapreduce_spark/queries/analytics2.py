@@ -579,7 +579,9 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), w AS (
       SELECT event_type, day, cents,
              CAST(SUM(cents) OVER tw AS BIGINT) AS s1,
-             CAST(SUM(cents*cents) OVER tw AS BIGINT) AS s2,
+             -- HUGEINT product+sum (mirrors Spark's DECIMAL(38,0)):
+             -- daily-cents squared passes int64 at scale
+             SUM(CAST(cents AS HUGEINT) * cents) OVER tw AS s2,
              COUNT(*) OVER tw AS n
       FROM daily
       WINDOW tw AS (PARTITION BY event_type ORDER BY day
@@ -623,7 +625,12 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "cents",
         F.sum("cents").over(tw).cast("long").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).over(tw).cast("long").alias("s2"),
+        # product + sum in DECIMAL(38,0): daily-cents squared passes
+        # int64 once a series' daily total exceeds ~3e9 cents — the
+        # window carries the wide accumulator, the z derives doubles
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).over(tw).alias("s2"),
         F.count(F.lit(1)).over(tw).alias("n"),
     )
     var_num = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(

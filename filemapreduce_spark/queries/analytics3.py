@@ -134,8 +134,9 @@ def max_drawdown_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(*) AS n,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,
-             CAST(SUM(CAST(round(value*100) AS BIGINT)
-                      * CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s2
+             -- HUGEINT sum (mirrors Spark's DECIMAL(38,0) s2)
+             SUM(CAST(round(value*100) AS BIGINT)
+                 * CAST(round(value*100) AS BIGINT)) AS s2
       FROM events GROUP BY event_type
     ), stat AS (
       SELECT event_type, n, s1, s2,
@@ -182,7 +183,9 @@ def welch_ttest_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(c).cast("long").alias("s1"),
-        F.sum(c * c).cast("long").alias("s2"),
+        # DECIMAL(38,0) second moment: sum of cents-squared passes
+        # int64 once n x c^2 nears 9e18 (n ~ 1e9 at c ~ 1e5 cents)
+        F.sum((c * c).cast("decimal(38,0)")).alias("s2"),
     )
     stat = m.select(
         "event_type",

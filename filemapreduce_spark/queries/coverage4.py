@@ -101,11 +101,13 @@ def candidate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN daily b ON b.event_type = a.event_type
                   AND b.day = a.day + CAST(k.k AS INTEGER)
     ), mom AS (
+      -- HUGEINT products+sums (mirror Spark's DECIMAL(38,0)): a
+      -- daily-cents square passes int64 at scale
       SELECT event_type, k, COUNT(*) AS n,
              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x*y) AS BIGINT) AS sxy,
-             CAST(SUM(x*x) AS BIGINT) AS sxx,
-             CAST(SUM(y*y) AS BIGINT) AS syy
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
       FROM pairs GROUP BY event_type, k
     )
     SELECT event_type, CAST(k AS BIGINT) AS lag_days, n,
@@ -149,13 +151,17 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type_b") == F.col("event_type"))
         & (F.col("day_b") == F.date_add(F.col("day"), F.col("k"))),
     ).select("event_type", "k", F.col("cents").alias("x"), "y")
+    # co-moment products in DECIMAL(38,0): a daily-cents total can
+    # pass ~3e9 at scale, where its square overflows the int64 the
+    # per-row multiply would otherwise use
+    dec = "decimal(38,0)"
     mom = pairs.groupBy("event_type", "k").agg(
         F.count("*").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
     )
     n = F.col("n")
     num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(

@@ -1995,13 +1995,15 @@ def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y).alias("sy"),
         F.sum(x * x).alias("sxx"),
         F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        # qty x cents passes int64 near 1e12 rows: decimal accumulator
+        # like syy (sxx stays long: qty^2 <= 2500 keeps it in range)
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
     )
     n_d = F.col("n").cast("double")
     sx_d = F.col("sx").cast("double")
     sy_d = F.col("sy").cast("double")
     sxx_d = F.col("sxx").cast("double")
-    sxy_d = F.col("sxy").cast("double")
+    sxy_d = F.col("sxy")  # already double (decimal-accumulated)
     cov_n = n_d * sxy_d - sx_d * sy_d
     var_x_n = n_d * sxx_d - sx_d * sx_d
     var_y_n = n_d * F.col("syy") - sy_d * sy_d
