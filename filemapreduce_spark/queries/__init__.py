@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         llm2,
         llm3,
+        llm4,
         mlprep,
         multimodal2,
         pipeline,

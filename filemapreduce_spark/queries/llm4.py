@@ -1,0 +1,253 @@
+"""Round-4 LLM-pipeline batch: exact distributed heavy hitters via
+bounded-memory Misra–Gries candidates, and asymmetric CONTAINMENT
+contamination screening.
+
+Reference parity: neither exists in the reference (its surface stops
+at scan/filter/map/reduce, `/root/reference/interfaces.go`); both are
+north-star extension rows for SURVEY.md §2 Part B.
+
+- Heavy hitters: `word_frequencies_top100` already does the exact
+  full aggregation; this operator adds the TWO-PHASE shape used when
+  even a spilling hash aggregate over the full key domain is too
+  expensive — per-partition Misra–Gries (Misra & Gries 1982, the
+  deterministic frequent-items summary) emits a config-bounded
+  candidate set with the guarantee that every token of global
+  frequency > N/K survives in at least one partition's summary
+  (pigeonhole over partitions); an exact count pass then touches
+  candidates only.
+- Containment: Jaccard dilutes when a small benchmark item is pasted
+  into a large training document; the decontamination literature
+  (e.g. Brown et al. 2020 appendix C; Lee et al. 2022) therefore
+  screens on CONTAINMENT |grams(test) ∩ grams(train)| / |grams(test)|
+  — asymmetric in exactly the direction leakage happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.textops import word_shingles, words
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+)
+_MG_K = 500  # Misra–Gries counter budget per partition
+_TOP = 10
+
+
+# --------------------------------------------------------------------
+# Exact heavy hitters: Misra–Gries candidates + exact verify pass.
+# --------------------------------------------------------------------
+@register(
+    "heavy_hitters_exact_mg",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_WORDS}) AS tok FROM documents
+    ), cnt AS (
+      SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), total AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cnt
+    ), top AS (
+      SELECT tok, CAST(n AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+               AS rank
+      FROM cnt ORDER BY n DESC, tok LIMIT {_TOP}
+    )
+    SELECT rank, tok, n,
+           CAST(CASE WHEN n * {_MG_K} > n_total THEN 1 ELSE 0 END
+                AS BIGINT) AS rank_certified
+    FROM top CROSS JOIN total
+    ORDER BY rank
+    """,
+    tags=("llm", "heavy-hitters", "sketch", "udx"),
+)
+def heavy_hitters_exact_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-{TOP} tokens computed the way it is done when
+    the token domain is too wide for even a spilling full aggregate:
+    phase 1 runs MISRA–GRIES with K={K} counters inside each
+    partition (an Arrow-batched ``mapInPandas`` whose state lives
+    across the partition's batches), emitting ≤ K candidates per
+    partition; phase 2 exact-counts ONLY the union of candidates and
+    takes the top {TOP}.
+
+    Correctness: Misra–Gries guarantees any item with per-partition
+    frequency > n_p/K survives that partition's summary, and a
+    globally heavy item (count > N/K) must be locally heavy in at
+    least one partition — so the candidate union contains every token
+    with count > N/K regardless of partitioning. Each output row
+    carries ``rank_certified`` = (n·K > N): a certified row's rank is
+    EXACT because no non-candidate token can out-count it. The oracle
+    is the plain full aggregation — equality holds whenever the top
+    rows are certified (they are, at every shipped SF; the K budget
+    is the dial).
+
+    Scale shape: phase 1 is shuffle-free (candidates ≤ K·#partitions
+    rows, config-bounded — the broadcast below is bounded by the SAME
+    constant, never by corpus size); phase 2 shuffles only candidate
+    tokens' partial counts. The decrement step here is the O(K)
+    textbook form; the production variant keeps an offset counter for
+    O(1) amortized decrements — same plan shape.
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(words("text")).alias("tok")
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_K:
+                    counters[tok] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    cand = (
+        toks.mapInPandas(mg_partition, schema="tok string")
+        .distinct()
+    )
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    total = toks.agg(F.count("*").alias("n_total"))
+    top = (
+        exact.orderBy(F.col("n").desc(), "tok")
+        .limit(_TOP)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "tok"))
+            .cast("long"),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "n",
+            F.when(F.col("n") * _MG_K > F.col("n_total"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rank_certified"),
+        )
+        .orderBy("rank")
+    )
+
+
+heavy_hitters_exact_mg.__doc__ = heavy_hitters_exact_mg.__doc__.replace(
+    "{TOP}", str(_TOP)
+).replace("{K}", str(_MG_K))
+
+
+# --------------------------------------------------------------------
+# Asymmetric containment contamination screen (test ⊂ train).
+# --------------------------------------------------------------------
+@register(
+    "containment_contamination_screen",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(ws)-3),
+               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '
+                    ||ws[i+4]))) AS ng
+      FROM d WHERE len(ws) >= 5
+    ), test_sz AS (
+      SELECT doc_id AS t_doc, COUNT(*) AS n_test_grams
+      FROM g WHERE source = 'src0' GROUP BY doc_id
+    ), shared AS (
+      SELECT b.doc_id AS t_doc, a.doc_id AS train_doc,
+             COUNT(*) AS n_shared
+      FROM g a JOIN g b ON a.ng = b.ng
+      WHERE b.source = 'src0' AND a.source <> 'src0'
+      GROUP BY b.doc_id, a.doc_id
+    ), scored AS (
+      SELECT s.t_doc, s.train_doc,
+             CAST(s.n_shared AS BIGINT) AS n_shared,
+             CAST(z.n_test_grams AS BIGINT) AS n_test_grams,
+             (1000 * s.n_shared) // z.n_test_grams AS containment_milli,
+             row_number() OVER (
+               PARTITION BY s.t_doc
+               ORDER BY (1000 * s.n_shared) // z.n_test_grams DESC,
+                        s.train_doc) AS rk
+      FROM shared s JOIN test_sz z ON z.t_doc = s.t_doc
+    )
+    SELECT t_doc AS test_doc, train_doc, n_shared, n_test_grams,
+           containment_milli
+    FROM scored WHERE rk = 1
+    ORDER BY test_doc
+    """,
+    tags=("llm", "contamination", "dedup", "similarity"),
+)
+def containment_contamination_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-benchmark-item CONTAINMENT screening: for each test doc
+    (source src0), the training doc sharing the largest fraction of
+    the TEST doc's distinct 5-gram set — |∩| / |grams(test)| in
+    milli, exact integers. Jaccard fails here by construction: a
+    50-token benchmark item fully pasted into a 50k-token page has
+    Jaccard ≈ 0.001 but containment 1.0; the asymmetric denominator
+    is the one leakage actually moves.
+
+    Scale shape: the benchmark corpus is tiny next to the training
+    corpus, so the test-side gram set is broadcast (bounded by the
+    benchmark suite, never the corpus) and the training side streams
+    map-side; only the (test, train) pair agg — contaminated pairs
+    only — shuffles. Per-test top-1 is a window over that sliver.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", words("text").alias("ws")
+    )
+    g = d.filter(F.size("ws") >= 5).select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("ws"), 5)).alias("ng"),
+    )
+    test = g.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("t_doc"), F.col("ng").alias("t_ng")
+    )
+    test_sz = test.groupBy("t_doc").agg(
+        F.count("*").alias("n_test_grams")
+    )
+    train = g.filter(F.col("source") != "src0")
+    shared = (
+        train.join(F.broadcast(test), F.col("ng") == F.col("t_ng"))
+        .groupBy("t_doc", F.col("doc_id").alias("train_doc"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    cm = F.expr("(1000 * n_shared) div n_test_grams")
+    w_top = Window.partitionBy("t_doc").orderBy(
+        cm.desc(), "train_doc"
+    )
+    return (
+        shared.join(F.broadcast(test_sz), "t_doc")
+        .withColumn("containment_milli", cm)
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("t_doc").alias("test_doc"),
+            "train_doc",
+            "n_shared",
+            F.col("n_test_grams").cast("long"),
+            "containment_milli",
+        )
+        .orderBy("test_doc")
+    )

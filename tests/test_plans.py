@@ -184,6 +184,9 @@ def test_registry_wide_plan_audit(spark, registry):
         # heaps_law_curve: cumulative windows over the FIXED 20-row
         # checkpoint grid (config-bounded at any corpus size).
         "heaps_law_curve",
+        # heavy_hitters_exact_mg: rank window over the LIMIT-10 row
+        # set (config-bounded, never data volume).
+        "heavy_hitters_exact_mg",
     }
 
     offenders = {}
@@ -279,6 +282,8 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
     """
     reviewed_bounded_hint = {
         "banded_dense_row_ids",  # per-band COUNT summary (#bands rows)
+        "containment_contamination_screen",  # benchmark-corpus side
+        "heavy_hitters_exact_mg",  # <=K-per-partition candidates + 1-row N
         "bm25_search_topk",  # fixed query terms + 1-row corpus stats
         "ccnet_perplexity_buckets",  # hashed-bigram model w/ cap
         "class_balance_downsample",  # 1-row minority size
