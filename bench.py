@@ -73,6 +73,10 @@ HEADLINE = [
     "srp_lsh_candidate_pairs",
     "geo_radius_join_customers",
     "ks_test_vs_view",
+    # round-4 additions (real work on both engines: MG candidate scan
+    # + verify; 5-gram containment self-join)
+    "heavy_hitters_exact_mg",
+    "containment_contamination_screen",
 ]
 
 
