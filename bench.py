@@ -115,6 +115,12 @@ def duckdb_anchor(registry, sf_dir: str) -> dict[str, float]:
 
 
 def main():
+    # Streaming queries memoize their completed-stream result table per
+    # session (production semantics: a streaming job stays up and serves
+    # its sink). For TIMING that would turn reps 2-3 into a table lookup
+    # while the DuckDB anchor re-executes — force real re-execution of
+    # the micro-batch machinery on every invocation instead.
+    os.environ["FMR_STREAM_FORCE_REEXEC"] = "1"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

@@ -184,8 +184,10 @@ def welch_ttest_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(c).cast("long").alias("s1"),
         # DECIMAL(38,0) second moment: sum of cents-squared passes
-        # int64 once n x c^2 nears 9e18 (n ~ 1e9 at c ~ 1e5 cents)
-        F.sum((c * c).cast("decimal(38,0)")).alias("s2"),
+        # int64 once n x c^2 nears 9e18 (n ~ 1e9 at c ~ 1e5 cents);
+        # cast an OPERAND so the multiply itself is decimal — a cast
+        # on the product still evaluates c*c in int64 first
+        F.sum(c.cast("decimal(38,0)") * c).alias("s2"),
     )
     stat = m.select(
         "event_type",

@@ -1365,8 +1365,11 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("nation").agg(
         F.count("*").alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        # cast an OPERAND, not the product: i*x evaluated in int64
+        # first could wrap silently (ANSI off) before the cast —
+        # decimal multiply keeps every per-row term exact
         F.sum(
-            (F.col("i") * F.col("x")).cast("decimal(38,0)")
+            F.col("i").cast("decimal(38,0)") * F.col("x")
         ).alias("six"),
     )
     return agg.select(

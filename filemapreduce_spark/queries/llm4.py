@@ -87,33 +87,48 @@ def heavy_hitters_exact_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: phase 1 is shuffle-free (candidates ≤ K·#partitions
     rows, config-bounded — the broadcast below is bounded by the SAME
     constant, never by corpus size); phase 2 shuffles only candidate
-    tokens' partial counts. The decrement step here is the O(K)
-    textbook form; the production variant keeps an offset counter for
-    O(1) amortized decrements — same plan shape.
+    tokens' partial counts. Phase 1 is fully vectorized: per-batch
+    ``value_counts`` (a zero-error MG summary) merged via the
+    mergeable-summaries COMBINE+PRUNE (Agarwal et al. 2013) — no
+    per-token interpreted loop anywhere; the only Python-side work per
+    Arrow batch is one C-speed count plus an O(K) summary merge. An
+    uncertified top row raises a named error at execution rather than
+    silently diverging from the full-aggregation oracle.
     """
     toks = t(spark, sf_dir, "documents").select(
         F.explode(words("text")).alias("tok")
     )
 
     def mg_partition(batches):
+        import numpy as np
         import pandas as pd
 
-        counters: dict[str, int] = {}
+        # Vectorized Misra–Gries: a per-batch EXACT value_counts (C
+        # speed — no per-token Python) is itself a zero-error MG
+        # summary, and MG summaries are mergeable (Agarwal et al.
+        # 2013, "Mergeable Summaries"): COMBINE by adding counters,
+        # then PRUNE to K entries by subtracting the (K+1)-th largest
+        # counter from all and dropping non-positives. The merged
+        # summary keeps the invariant (any token with partition
+        # frequency > n_p/K survives), so the candidate-union
+        # guarantee is unchanged — only the constant factor moves.
+        summary = pd.Series(dtype="int64")
         for pdf in batches:
-            for tok in pdf["tok"]:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < _MG_K:
-                    counters[tok] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"tok": list(counters.keys())})
+            vc = pdf["tok"].value_counts()
+            summary = (
+                vc
+                if summary.empty
+                # aligned add promotes to float64 (NaN intermediate);
+                # counts are < 2^53 so the cast back is exact
+                else summary.add(vc, fill_value=0).astype("int64")
+            )
+            if len(summary) > _MG_K:
+                vals = np.partition(
+                    summary.to_numpy(), len(summary) - _MG_K - 1
+                )
+                thresh = vals[len(summary) - _MG_K - 1]
+                summary = summary[summary > thresh] - thresh
+        yield pd.DataFrame({"tok": summary.index.astype(str)})
 
     cand = (
         toks.mapInPandas(mg_partition, schema="tok string")
@@ -141,9 +156,26 @@ def heavy_hitters_exact_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "tok",
             "n",
-            F.when(F.col("n") * _MG_K > F.col("n_total"), 1)
-            .otherwise(0)
-            .cast("long")
+            # fail fast on an uncertified rank: oracle equality is only
+            # guaranteed when every returned row is certified (n·K > N),
+            # so a too-small K budget must surface as THIS named error —
+            # not as a silent top-10 mismatch that reads like an
+            # operator regression in a sweep after an SF change
+            F.when(
+                F.col("n") * _MG_K > F.col("n_total"),
+                F.lit(1).cast("long"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "heavy_hitters_exact_mg: top rank NOT certified"
+                        f" (n*K <= N with K={_MG_K}) - the Misra-Gries"
+                        " counter budget is too small for this corpus;"
+                        " raise _MG_K in queries/llm4.py (a config dial,"
+                        " not an operator regression)"
+                    )
+                ).cast("long")
+            )
             .alias("rank_certified"),
         )
         .orderBy("rank")

@@ -1994,10 +1994,13 @@ def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
         F.sum(x * x).alias("sxx"),
-        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+        # cast an OPERAND so the multiply itself runs in decimal — a
+        # cast on the product would evaluate y*y in int64 first and
+        # could wrap before widening (ANSI off)
+        F.sum(y.cast("decimal(38,0)") * y).cast("double").alias("syy"),
         # qty x cents passes int64 near 1e12 rows: decimal accumulator
         # like syy (sxx stays long: qty^2 <= 2500 keeps it in range)
-        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum(x.cast("decimal(38,0)") * y).cast("double").alias("sxy"),
     )
     n_d = F.col("n").cast("double")
     sx_d = F.col("sx").cast("double")

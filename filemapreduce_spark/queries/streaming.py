@@ -179,10 +179,17 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 # table IS the stream's steady state — re-invoking the query would
 # restart a stream that finds zero new files and emits nothing. This
 # mirrors production semantics (a streaming job stays up and serves
-# its sink table across requests; it is not restarted per query), and
-# it is what makes repeated sweeps/bench reps pay the micro-batch
-# machinery once per session instead of per call.
+# its sink table across requests; it is not restarted per query).
+# Timing/verification harnesses MUST NOT measure a cache hit as if it
+# were a stream execution: set FMR_STREAM_FORCE_REEXEC=1 to bypass the
+# lookup so every invocation runs the micro-batch machinery for real
+# (bench.py sets it for its streaming reps; the idempotence sweep sets
+# it so the second invocation genuinely re-executes the stream).
 _RESULT_TABLES: dict[tuple[int, str, str], str] = {}
+
+
+def _cache_bypassed() -> bool:
+    return os.environ.get("FMR_STREAM_FORCE_REEXEC", "") == "1"
 
 
 def _purge_stale_results(spark: SparkSession) -> None:
@@ -206,10 +213,11 @@ def _run_to_memory(
     if cache_key is not None:
         key = (id(spark), *cache_key)
         _purge_stale_results(spark)
-        hit = _RESULT_TABLES.get(key)
-        if hit is not None and spark.catalog.tableExists(hit):
-            _cleanup_pending()  # builder-made scratch is unused on a hit
-            return hit
+        if not _cache_bypassed():
+            hit = _RESULT_TABLES.get(key)
+            if hit is not None and spark.catalog.tableExists(hit):
+                _cleanup_pending()  # builder scratch is unused on a hit
+                return hit
     # State-store instance count is frozen at stream start from
     # spark.sql.shuffle.partitions. When the session is already
     # toy-tuned (<=16 partitions — the bench/driver setting for

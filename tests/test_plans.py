@@ -310,6 +310,14 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
     for name, spec in sorted(registry.items()):
         if "streaming" in spec.tags or name.startswith("streaming_"):
             continue
+        # engine/sink queries execute real work inside fn() (eng.run()
+        # actions, parquet/CSV roundtrip writes, driver-materialized
+        # results whose returned plan is a local relation) — running
+        # them here would make a plan guard side-effectful, and their
+        # inputs are capped test fixtures, not corpus tables. Skip,
+        # as for streaming.
+        if "engine" in spec.tags or "sink" in spec.tags:
+            continue
         if name in reviewed_bounded_hint:
             continue
         df = spec.fn(spark, SF_DIR)
