@@ -46,29 +46,62 @@ def _driver_verified() -> set[str]:
 
 
 # Names the driver window should reach before the alphabetical rest
-# (already-driver-verified names are dropped automatically). Round-4
-# priorities per the round-3 review: the de-broadcast-hinted setsim
-# operator, the graph/LSH/search representatives, and the streaming
-# family's batch-twin rows — none has a driver ledger row yet.
+# (already-driver-verified names are dropped automatically). Round-5
+# priorities per the round-4 review: the highest-traffic rows a real
+# user hits first — all 22 TPC-H flagship shapes, the window family,
+# the top-k family, the sink roundtrips, and the incremental-arrival
+# streaming row; none has a driver ledger row yet (the alphabetical
+# tail m-z kept them out of rounds 1-4's windows).
 _PRIORITY = (
-    "setsim_prefix_filter_top1",
-    "triangle_count_copurchase",
-    "srp_lsh_candidate_pairs",
-    "trigram_index_search",
-    "streaming_tumbling_counts",
-    "streaming_sliding_counts",
-    "streaming_dedup_keys",
-    "streaming_static_join_enrich",
-    "streaming_stream_stream_join",
-    "streaming_session_window_native",
-    "streaming_stateful_user_stats",
-    "streaming_foreachbatch_upsert",
-    # earlier-round priorities, kept as a fallback if ledgers reset
-    "parents_prefix_inheritance",
+    # TPC-H flagships q1-q22 (numeric order)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_value_concentration",
+    "q12_shipping_delay",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
-    "multimodal_decode_features",
-    "session_window_batch_events",
+    "q22_idle_customers",
+    # window family
+    "window_lag_event_gaps",
+    "window_nav_supplier_balance",
+    "window_percentile_position",
+    "window_range_30day_revenue",
+    "window_rank_supplier_balance",
+    "window_running_supplier",
+    "window_topk_per_brand",
+    # top-k family
+    "topk_orders_by_price",
+    "topk_with_ties_orders",
+    "lateral_topk_per_nation",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "bm25_search_topk",
+    # sink roundtrips
+    "sink_bucketed_join_roundtrip",
+    "sink_clustered_timerange_roundtrip",
+    "sink_codec_selection_roundtrip",
+    "sink_compact_roundtrip",
+    "sink_csv_schema_roundtrip",
+    "sink_partition_evolution_roundtrip",
+    "sink_partitioned_prune_roundtrip",
+    "sink_zorder_roundtrip",
+    # streaming incremental arrival (rows-only gate; judge-called-out)
+    "streaming_incremental_file_arrival",
 )
 
 
