@@ -129,28 +129,43 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     double, milli-rounded op-for-op with the oracle.
 
     Scale: the series is first reduced to daily grain (map-side
-    combined), so the lag self-join touches #days×7 rows per type —
-    time-horizon-bounded, not data-bounded; everything shuffles on
-    the series key only.
+    combined), then the 7 lagged pairings come from ONE window pass
+    (7 ``lead`` offsets over the type-partitioned day-ordered grain,
+    unpivoted) — no self-join, no persisted intermediate, #days×7
+    rows per type, time-horizon-bounded. A row-offset lead is k ROWS
+    ahead, not k DAYS, so each offset's pair keeps the ACTUAL day
+    distance and the filter keeps distances 1..7: on a gappy calendar
+    the day+k partner (if present) sits at some row offset j ≤ k, so
+    scanning all 7 offsets reproduces the lag-join pairing exactly.
     """
     e = t(spark, sf_dir, "events")
-    # persisted: both lag-join sides read the daily grain — without
-    # the cache the events scan + daily agg runs twice
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(cents("value")).cast("long").alias("cents")).persist()
-    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
-    a = daily.crossJoin(F.broadcast(ks))
-    b = daily.select(
-        F.col("event_type").alias("event_type_b"),
-        F.col("day").alias("day_b"),
-        F.col("cents").alias("y"),
+    ).agg(F.sum(cents("value")).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    leads = F.array(
+        *[
+            F.struct(
+                F.datediff(F.lead("day", j).over(w), F.col("day")).alias(
+                    "k"
+                ),
+                F.lead("cents", j).over(w).alias("y"),
+            )
+            for j in range(1, 8)
+        ]
     )
-    pairs = a.join(
-        b,
-        (F.col("event_type_b") == F.col("event_type"))
-        & (F.col("day_b") == F.date_add(F.col("day"), F.col("k"))),
-    ).select("event_type", "k", F.col("cents").alias("x"), "y")
+    pairs = (
+        # window exprs first, generator second (Spark forbids a
+        # window function inside a generator projection)
+        daily.select(
+            "event_type", F.col("cents").alias("x"), leads.alias("ls")
+        )
+        .select("event_type", "x", F.explode("ls").alias("p"))
+        .select(
+            "event_type", F.col("p.k").alias("k"), "x", F.col("p.y").alias("y")
+        )
+        .where(F.col("k").between(1, 7))
+    )
     # co-moment products in DECIMAL(38,0): a daily-cents total can
     # pass ~3e9 at scale, where its square overflows the int64 the
     # per-row multiply would otherwise use
