@@ -22,6 +22,34 @@ def tiny_sorted(df: DataFrame, *cols: Column | str) -> DataFrame:
 
     Use ONLY when the input's row count is bounded independent of
     data volume; a data-sized input through ``coalesce(1)``
-    serializes the job (that's what ``orderBy`` is for).
+    serializes the job (that's what ``orderBy`` is for). When the
+    RESULT is bounded but the producing STAGE is data-sized (a
+    ranking window, a distinct-count final agg, a grouped Python
+    stage), use :func:`one_part_sorted` instead — its real exchange
+    keeps the upstream stage parallel.
     """
     return df.coalesce(1).sortWithinPartitions(*cols)
+
+
+def one_part_sorted(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Total-order a bounded result whose PRODUCING STAGE is
+    data-sized, without a range exchange and without serializing the
+    producer.
+
+    ``coalesce(1)`` (:func:`tiny_sorted`) merges the upstream stage
+    into one task — wrong when that stage ranks/aggregates/maps a
+    data-sized input. ``repartition(1)`` instead inserts a REAL
+    single-partition exchange: the upstream stage keeps its full
+    parallelism and exactly the bounded result rows cross the wire,
+    then one task sorts them locally. Compared to ``orderBy`` this
+    drops the range-partitioner's sampling job, which re-executes the
+    child plan (ruinous when the child holds a Python stage — the
+    sampling pass runs `applyInPandas` a second time). Measured at
+    sf0.1: window-top-k 0.24→0.13 s, exact-dedup 0.22→0.14 s,
+    two-stage pandas top-3 0.88→0.60 s (paired min-of-4).
+
+    Use ONLY when the input's row count is bounded independent of
+    data volume (types × k, brands × k, #sources); the single
+    reducer sees exactly those rows.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)

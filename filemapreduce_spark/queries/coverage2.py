@@ -40,22 +40,28 @@ from filemapreduce_spark.sources.tables import load_table as t
 )
 def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT DISTINCT computed as mergeable bitmap partials:
-    (type, day, bucket) bitmaps OR-merge up to (type, bucket) and then
-    sum bitmap_count — the re-aggregatable exact-distinct pattern
-    (rollup tables at 100 TB keep day-level bitmap state and answer
-    any coarser grain without rescanning raw data). The oracle is the
-    plain COUNT(DISTINCT): bitmaps are exact, so hashes match."""
+    per-partition (type, bucket) bitmaps built map-side by
+    ``bitmap_construct_agg`` (whose partial buffers OR-merge across
+    partitions inside the one shuffle — the same merge
+    ``bitmap_or_agg`` exposes for persisted state), then
+    ``sum(bitmap_count)`` per type. The re-aggregatable pattern at
+    100 TB keeps bitmap state at the storage grain (e.g. per day) and
+    answers any coarser grain by ``bitmap_or_agg`` without rescanning
+    raw data. The oracle is the plain COUNT(DISTINCT): bitmaps are
+    exact, so hashes match.
+
+    Two aggs, not three: an earlier form materialized an explicit
+    day grain first — a third exchange that adds no information when
+    the query answers the type grain directly (0.26→0.19 s at sf0.1;
+    the remaining gap to the 9 ms DuckDB twin is per-action floor,
+    not plan shape)."""
     e = t(spark, sf_dir, "events")
-    day_partials = e.groupBy(
+    partials = e.groupBy(
         "event_type",
-        F.col("ts").cast("date").alias("day"),
         F.bitmap_bucket_number("user_id").alias("bucket"),
     ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
-    merged = day_partials.groupBy("event_type", "bucket").agg(
-        F.bitmap_or_agg("bm").alias("bm")
-    )
     return tiny_sorted(
-        merged.groupBy("event_type").agg(
+        partials.groupBy("event_type").agg(
             F.sum(F.bitmap_count("bm")).alias("distinct_users")
         ),
         "event_type",  # result bounded by the event-type domain

@@ -32,7 +32,7 @@ from filemapreduce_spark.operators.vectors import (
     norm,
     to_double,
 )
-from filemapreduce_spark.operators.output import tiny_sorted
+from filemapreduce_spark.operators.output import one_part_sorted, tiny_sorted
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.queries.relational import t
 
@@ -66,17 +66,18 @@ def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern that scales to any corpus (shuffle on a 128-bit key)."""
     d = t(spark, sf_dir, "documents")
     h = F.md5(F.lower("text"))
-    return (
-        d.groupBy("source")
-        .agg(
+    return one_part_sorted(
+        # one_part_sorted, not tiny_sorted: countDistinct's final agg
+        # stage reads one row per distinct digest (data-sized) —
+        # coalesce(1) would serialize that stage; the repartition(1)
+        # exchange keeps it parallel and ships only #sources rows
+        # (0.22→0.14 s vs orderBy's sampling pass at sf0.1)
+        d.groupBy("source").agg(
             F.count("*").alias("n_docs"),
             F.countDistinct(h).alias("n_unique"),
             (F.count("*") - F.countDistinct(h)).alias("n_dups"),
-        )
-        # orderBy, not tiny_sorted: countDistinct's final agg stage
-        # reads one row per distinct digest (data-sized) — coalesce(1)
-        # would serialize that stage, not just the per-source result
-        .orderBy("source")
+        ),
+        "source",
     )
 
 
@@ -756,7 +757,9 @@ def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-count and percentiles aggregate SEPARATELY: combining
     # them makes Catalyst expand every row for the distinct rewrite
     # and drag the percentile buffers through the expanded stream —
-    # two lean aggs + a 5-row broadcast join is 2x faster
+    # two lean aggs + a 5-row broadcast join is faster (re-measured
+    # round 5: combined single agg 0.55 s vs this form 0.32 s at
+    # sf0.1, paired min-of-4 — the single-pass form loses)
     nd = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )

@@ -61,10 +61,15 @@ def test_topk_uses_take_ordered(spark, registry):
 
 def test_window_topk_partitions_by_brand(spark, registry):
     """Per-group top-k must partition the window by the group key —
-    no 'move everything to one partition' WindowExec."""
+    no 'move everything to one partition' WindowExec. The final
+    one_part_sorted gather IS an intentional SinglePartition exchange,
+    but it sits ABOVE the window (only brands×k ranked rows cross it);
+    nothing at or below the window node may be single-partition."""
     plan = plan_of(spark, registry, "window_topk_per_brand")
     assert "Window" in plan
-    assert "SinglePartition" not in plan
+    below_window = plan[plan.index("Window"):]
+    assert "SinglePartition" not in below_window
+    assert "hashpartitioning(p_brand" in below_window
 
 
 def test_minhash_no_cartesian(spark, registry):
