@@ -945,7 +945,7 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(1000.0 * SUM(diff) / COUNT(*)) AS BIGINT)
              AS mean_diff_milli,
            CAST(round(1000.0 * (CAST(SUM(diff) AS DOUBLE) / COUNT(*))
-                 / sqrt(((CAST(SUM(diff*diff) AS DOUBLE)
+                 / sqrt(((CAST(SUM(CAST(diff AS HUGEINT)*diff) AS DOUBLE)
                           - CAST(SUM(diff) AS DOUBLE) * SUM(diff) / COUNT(*))
                          / (COUNT(*) - 1)) / COUNT(*))) AS BIGINT)
              AS t_milli
@@ -983,7 +983,9 @@ def paired_diff_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = halves.select((F.col("after_c") - F.col("before_c")).alias("diff"))
     n = F.count("*")
     sd = F.sum("diff")
-    sdd = F.sum(F.col("diff") * F.col("diff"))
+    # decimal operand: per-user cents diffs reach ~1e9 at volume, so
+    # Σd² passes int64 well before 1e9 users — widen the multiply
+    sdd = F.sum(F.col("diff").cast("decimal(38,0)") * F.col("diff"))
     mean = sd.cast("double") / n
     var = (sdd.cast("double") - sd.cast("double") * sd / n) / (n - 1)
     return d.agg(
@@ -1010,7 +1012,7 @@ def paired_diff_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_users,
            CAST(SUM(k) AS BIGINT) AS n_events,
            CAST(round(1000.0
-                 * ((CAST(SUM(k*k) AS DOUBLE)
+                 * ((CAST(SUM(CAST(k AS HUGEINT)*k) AS DOUBLE)
                      - CAST(SUM(k) AS DOUBLE) * SUM(k) / COUNT(*))
                     / (COUNT(*) - 1))
                  / (CAST(SUM(k) AS DOUBLE) / COUNT(*))) AS BIGINT)
@@ -1038,7 +1040,11 @@ def dispersion_index_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count("*")
     sk = F.sum("k")
-    skk = F.sum(F.col("k") * F.col("k"))
+    # decimal operand so the k² multiply can't wrap in int64: a 100-TB
+    # heavy user reaches k~1e6 (k²=1e12), and Σ over 1e9 users passes
+    # 9.2e18 — same class as the covariance/Gini overflows the sf0.1
+    # sweep caught live
+    skk = F.sum(F.col("k").cast("decimal(38,0)") * F.col("k"))
     var = (skk.cast("double") - sk.cast("double") * sk / n) / (n - 1)
     mean = sk.cast("double") / n
     return (

@@ -461,7 +461,7 @@ def histogram_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS d_b
       FROM customer
     ), actual AS (
-      SELECT CAST(SUM(oc.n * cc.n) AS BIGINT) AS actual_rows
+      SELECT CAST(SUM(CAST(oc.n AS HUGEINT) * cc.n) AS BIGINT) AS actual_rows
       FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) oc
       JOIN (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) cc
         ON cc.k = oc.k
@@ -516,9 +516,15 @@ def join_cardinality_estimate_audit(
     )
     actual = (
         oc.join(cc, "k")
-        .agg(F.sum(F.col("n_o") * F.col("n_c")).cast("long").alias(
-            "actual_rows"
-        ))
+        # decimal operand: a hot key's c_a(k)·c_b(k) product is fine in
+        # int64, but the Σ across keys is the JOIN SIZE — widen the
+        # accumulator so intermediate sums can't wrap before the final
+        # bounded cast (same discipline as the second-moment sums)
+        .agg(
+            F.sum(F.col("n_o").cast("decimal(38,0)") * F.col("n_c"))
+            .cast("long")
+            .alias("actual_rows")
+        )
     )
     est = (F.col("n_a") * F.col("n_b") / F.greatest("d_a", "d_b")).cast(
         "long"

@@ -280,10 +280,12 @@ def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE d.df BETWEEN 2 AND 60
     ),
     norms AS (
-      SELECT doc_id, SUM(wm * wm) AS n2 FROM post GROUP BY doc_id
+      SELECT doc_id, SUM(CAST(wm AS HUGEINT) * wm) AS n2
+      FROM post GROUP BY doc_id
     ),
     dots AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wm * b.wm) AS num
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CAST(a.wm AS HUGEINT) * b.wm) AS num
       FROM post a JOIN post b
         ON a.word = b.word AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
@@ -303,7 +305,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine similarity over the inverted index — the
     IR-style near-dup complement to dense embedding cosine. Weights
     are scaled to integer micro-units so norms and dot products are
-    exact BIGINT sums (order-independent); one sqrt+division at the
+    exact integer sums (DECIMAL(38,0) accumulators — a long doc's
+    wm² passes int64), order-independent; one sqrt+division at the
     end. The posting-list self-join is blocked per TERM, and terms
     with df > 60 are dropped (stop-word pruning — exactly what bounds
     bucket sizes at corpus scale; without it the most common term
@@ -331,8 +334,12 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # signature cache
         .persist()
     )
+    # decimal operand on both second moments: wm ≈ tf·idf·1e6 reaches
+    # ~1e12 for a very long doc's top term, so a single wm² (1e24)
+    # wraps int64 — the accumulators stay exact in DECIMAL(38,0) and
+    # convert to double once at the cosine
     norms = post.groupBy("doc_id").agg(
-        F.sum(F.col("wm") * F.col("wm")).alias("n2")
+        F.sum(F.col("wm").cast("decimal(38,0)") * F.col("wm")).alias("n2")
     )
     a, b = post.alias("a"), post.alias("b")
     dots = (
@@ -344,7 +351,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.sum(F.col("a.wm") * F.col("b.wm")).alias("num"))
+        .agg(
+            F.sum(F.col("a.wm").cast("decimal(38,0)") * F.col("b.wm")).alias(
+                "num"
+            )
+        )
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))

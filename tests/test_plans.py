@@ -335,3 +335,51 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "the hinted side's cardinality bound and allowlist, or drop "
         "the hint and let Catalyst/AQE choose"
     )
+
+
+def test_no_narrow_product_accumulators(spark, registry):
+    """Accumulator-width guard: no registered query may SUM a product
+    of two bare long columns — the multiply evaluates in int64 (ANSI
+    off) and wraps silently at exactly the volumes a 100-TB run hits.
+    The round-4 cross-SF sweeps caught this class LIVE twice
+    (covariance, Gini); the fix is casting an OPERAND to
+    DECIMAL(38,0) so the multiply itself is decimal. A cast wrapped
+    around the product (``sum(cast((a*b) as decimal))``) still
+    evaluates a*b in int64 first and is equally banned.
+
+    Scope: longs only (the ``#nL`` attribute suffix is unambiguous in
+    analyzed-plan text; int and double attrs both print bare, and
+    double co-moments are a different, non-wrapping class). Queries
+    whose product is provably value-domain-bounded are allowlisted
+    with the bound.
+    """
+    import re
+
+    bare = re.compile(r"sum\(\((\w+#\d+L) \* (\w+#\d+L)\)\)")
+    wrapped = re.compile(r"sum\(cast\(\((\w+#\d+L) \* (\w+#\d+L)\) as decimal")
+    bounded_product = {
+        # qty² ≤ 50² = 2500 per row (TPC-H quantity domain); the long
+        # SUM accumulator holds 3.7e15 such rows
+        "stats_corr_regression",
+        # daily-grain cents × power-of-two weight ≤ 512, summed over a
+        # 10-term truncated horizon per (type, day) — calendar-bounded
+        "ewma_daily_value",
+    }
+    offenders = []
+    for name, spec in sorted(registry.items()):
+        if "streaming" in spec.tags or name.startswith("streaming_"):
+            continue
+        if "engine" in spec.tags or "sink" in spec.tags:
+            continue
+        if name in bounded_product:
+            continue
+        df = spec.fn(spark, SF_DIR)
+        ana = df._jdf.queryExecution().analyzed().toString()
+        hits = bare.findall(ana) + wrapped.findall(ana)
+        if hits:
+            offenders.append((name, hits[:3]))
+    assert not offenders, (
+        f"narrow product accumulator in {offenders} — cast an operand "
+        "to DECIMAL(38,0) (sum(col('a').cast('decimal(38,0)') * "
+        "col('b'))) or document the value-domain bound and allowlist"
+    )
