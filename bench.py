@@ -213,6 +213,22 @@ def main():
         for n in times
     }
 
+    # Paired round-over-round comparison on the 48-query suite that
+    # rounds 3 and 4 both ran (HEADLINE minus the two round-4
+    # additions). Cross-session absolute seconds swing ±25-50% with
+    # machine load, but the DuckDB anchor runs IN THIS PROCESS, so
+    # the Spark/DuckDB ratio over the identical query set is the
+    # load-cancelling number to compare across rounds (the r3
+    # committed record reads 1.32, r4 read 1.54 on it).
+    r3_common = [
+        n
+        for n in HEADLINE
+        if n
+        not in ("heavy_hitters_exact_mg", "containment_contamination_screen")
+    ]
+    common_total = round(sum(times[n] for n in r3_common), 3)
+    common_ddb = round(sum(ddb[n] for n in r3_common if n in ddb), 3)
+
     # Per-query detail goes to a file — the driver's tail capture holds
     # ~2 KB, and round 2's all-inline line overran it (parsed: null).
     detail_path = os.path.join(
@@ -249,6 +265,10 @@ def main():
                 "suite_wall_sec": suite_wall,
                 "suite_ratio": (
                     round(suite_wall / ddb_total, 2) if ddb_total else None
+                ),
+                "r3_common48_sec": common_total,
+                "r3_common48_ratio": (
+                    round(common_total / common_ddb, 2) if common_ddb else None
                 ),
                 "detail": "BENCH_DETAIL.json",
             }
