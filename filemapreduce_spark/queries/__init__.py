@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm2,
         llm3,
         llm4,
+        llm5,
         mlprep,
         multimodal2,
         pipeline,

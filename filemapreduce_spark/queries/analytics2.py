@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.operators.money import cents
-from filemapreduce_spark.operators.output import tiny_sorted
+from filemapreduce_spark.operators.output import one_part_sorted, tiny_sorted
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
 
@@ -151,7 +151,10 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (60000000.0 * F.count(F.lit(1)))
             ).alias("avg_minutes_to_convert"),
         )
-        .orderBy("channel")
+        # result bounded by the channel domain; the distinct agg
+        # below is data-sized, so a real 1-partition exchange (not
+        # coalesce, not orderBy's sampling pass) gathers it
+        .transform(lambda d: one_part_sorted(d, "channel"))
     )
 
 

@@ -1,0 +1,343 @@
+"""Round-5 LLM-pipeline batch: MMR diversified retrieval and
+winnowing document fingerprints.
+
+Reference parity: neither exists in the reference (its surface stops
+at scan/filter/map/reduce, `/root/reference/interfaces.go`); both are
+north-star extension rows for SURVEY.md §2 Part B.
+
+- MMR (maximal marginal relevance, Carbonell & Goldstein 1998): the
+  standard diversified top-k re-ranker every RAG retrieval stack
+  ships — greedy selection maximizing λ·rel(d) − (1−λ)·max sim to the
+  already-selected set, so near-duplicate passages don't crowd the
+  context window.
+- Winnowing (Schleimer, Wilkerson & Aiken 2003, the MOSS algorithm):
+  position-robust document fingerprinting — k-gram hashes thinned to
+  the minimum per sliding window, guaranteeing any sufficiently long
+  shared substring shares a fingerprint while storing only ~2/(w+1)
+  of the hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.vectors import dot, norm, to_double
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+_MMR_QUERY_ID = 0
+_MMR_N_CAND = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two FLOAT[] columns, rounded 6dp, in the
+    same index-ordered fold both engines evaluate (llm.py pattern)."""
+    return f"""
+    round(
+      list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))),
+      6)
+    """
+
+
+def _mmr_oracle() -> str:
+    lam, om = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 1)
+    head = f"""
+    WITH q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = {_MMR_QUERY_ID}
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id != {_MMR_QUERY_ID}
+    ), scored AS (
+      SELECT cid, {_cos_sql("qe", "ce")} AS rel FROM c CROSS JOIN q
+    ), cand AS (
+      SELECT cid, rel FROM scored ORDER BY rel DESC, cid LIMIT {_MMR_N_CAND}
+    ), cv AS (
+      SELECT cand.cid, embedding AS ce FROM cand
+      JOIN embeddings ON vec_id = cid
+    ), sims AS (
+      SELECT a.cid AS ca, b.cid AS cb, {_cos_sql("a.ce", "b.ce")} AS sim
+      FROM cv a JOIN cv b ON a.cid != b.cid
+    ), s1 AS (
+      SELECT cid, rel, 1 AS step, rel AS score
+      FROM cand ORDER BY rel DESC, cid LIMIT 1
+    ), sel1 AS (SELECT cid FROM s1)
+    """
+    steps = [head]
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+    , r{i} AS (
+      SELECT c.cid, c.rel,
+             round({lam} * c.rel - {om} * MAX(s.sim), 9) AS score
+      FROM cand c JOIN sims s
+        ON s.ca = c.cid AND s.cb IN (SELECT cid FROM sel{i - 1})
+      WHERE c.cid NOT IN (SELECT cid FROM sel{i - 1})
+      GROUP BY c.cid, c.rel
+    ), s{i} AS (
+      SELECT cid, rel, {i} AS step, score
+      FROM r{i} ORDER BY score DESC, cid LIMIT 1
+    ), sel{i} AS (
+      SELECT cid FROM sel{i - 1} UNION ALL SELECT cid FROM s{i}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, _MMR_K + 1)
+    )
+    steps.append(f"""
+    SELECT CAST(step AS BIGINT) AS step, cid AS vec_id, rel,
+           score AS mmr_score
+    FROM ({union}) ORDER BY step
+    """)
+    return "".join(steps)
+
+
+@register(
+    "mmr_diversified_topk",
+    _mmr_oracle(),
+    tags=("similarity", "retrieval", "mmr", "llm"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedy top-{K} selection from the query's top-{N} cosine
+    candidates, each step maximizing λ·rel(d) − (1−λ)·max_{{s∈S}}
+    sim(d, s) with λ={LAM} — the diversified retrieval every RAG stack
+    uses so near-duplicate passages don't crowd the context window.
+    Step 1's score is its relevance (nothing selected yet); ties break
+    on vec_id; rel/sim are 6dp-rounded cosines and scores 9dp-rounded,
+    so both engines compare identical doubles.
+
+    Scale shape: candidate generation is the broadcast-query brute
+    cosine (one corpus scan, window top-N — at scale the IVF/SRP
+    candidate paths in this registry replace it, same contract); the
+    greedy phase touches ONLY the N-candidate set (persisted: N rows,
+    config-bounded) and its N×N pairwise sims — driver-free unrolled
+    DataFrame steps whose cost is independent of corpus size. K and N
+    are config dials; the selection is exact greedy MMR, not an
+    approximation.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        to_double(F.col("embedding")).alias("_qv")
+    )
+    corpus = emb.filter(F.col("vec_id") != _MMR_QUERY_ID).select(
+        F.col("vec_id").alias("cid"), to_double(F.col("embedding")).alias("_cv")
+    )
+    rel = F.round(
+        dot(F.col("_qv"), F.col("_cv"))
+        / (norm(F.col("_qv")) * norm(F.col("_cv"))),
+        6,
+    )
+    # candidate set: config-bounded (N rows) and referenced by every
+    # unrolled greedy step — persist so the corpus scan runs once
+    cand = (
+        corpus.crossJoin(F.broadcast(qv))
+        .select("cid", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "cid")
+        .limit(_MMR_N_CAND)
+        .persist()
+    )
+    cand_vec = cand.join(
+        emb.select(F.col("vec_id").alias("cid"), "embedding"), "cid"
+    ).select("cid", to_double(F.col("embedding")).alias("_v"))
+    a = cand_vec.select(F.col("cid").alias("ca"), F.col("_v").alias("_va"))
+    b = cand_vec.select(F.col("cid").alias("cb"), F.col("_v").alias("_vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("ca") != F.col("cb"))
+        .select(
+            "ca",
+            "cb",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (norm(F.col("_va")) * norm(F.col("_vb"))),
+                6,
+            ).alias("sim"),
+        )
+        .persist()  # N×(N−1) rows, config-bounded
+    )
+
+    lam = F.lit(_MMR_LAMBDA)
+    om = F.lit(round(1 - _MMR_LAMBDA, 1))
+    # each pick is lineage-truncated (lazy localCheckpoint, the same
+    # pattern as the k-means/label-propagation loops): without it,
+    # step i's plan embeds steps 1..i−1 as live subtrees and the
+    # greedy unroll re-executes them combinatorially — with it, every
+    # 1-row pick materializes once and later steps read the
+    # checkpointed row (measured 5.2 s → 1.3 s warm at sf0.01)
+    picks = [
+        cand.orderBy(F.col("rel").desc(), "cid")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            F.col("cid"),
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+        .localCheckpoint(eager=False)
+    ]
+    selected = picks[0].select("cid")
+    for i in range(2, _MMR_K + 1):
+        maxsim = (
+            sims.join(
+                F.broadcast(selected.select(F.col("cid").alias("cb"))), "cb"
+            )
+            .groupBy(F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        scored = (
+            cand.join(F.broadcast(selected), "cid", "left_anti")
+            .join(maxsim, "cid")
+            .select(
+                "cid",
+                "rel",
+                F.round(lam * F.col("rel") - om * F.col("ms"), 9).alias(
+                    "score"
+                ),
+            )
+        )
+        pick = (
+            scored.orderBy(F.col("score").desc(), "cid")
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("step"),
+                "cid",
+                "rel",
+                F.col("score").alias("mmr_score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick)
+        selected = selected.unionAll(pick.select("cid"))
+
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "step", F.col("cid").alias("vec_id"), "rel", "mmr_score"
+    ).orderBy("step")
+
+
+mmr_diversified_topk.__doc__ = mmr_diversified_topk.__doc__.format(
+    K=_MMR_K, N=_MMR_N_CAND, LAM=_MMR_LAMBDA
+)
+
+
+# --------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer et al. 2003 / MOSS).
+# --------------------------------------------------------------------
+_WIN_K = 5  # char k-gram width
+_WIN_W = 4  # winnowing window (hashes per window)
+_WIN_DFCAP = 50  # stop-fingerprint prune: drop fps in > this many docs
+_WIN_MIN_SHARED = 10  # report pairs sharing at least this many fps
+
+_WIN_HASH_SQL = (
+    "('0x' || substr(md5(substring(txt, i, 5)), 1, 8))::BIGINT"
+)
+
+
+@register(
+    "winnowing_shared_fingerprints",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS txt FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CASE WHEN length(txt) >= {_WIN_K + _WIN_W - 1}
+                  THEN list_transform(range(1, length(txt) - {_WIN_K - 2}),
+                                      i -> {_WIN_HASH_SQL})
+                  ELSE [] END AS hs
+      FROM d
+    ), fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - {_WIN_W - 2}),
+               i -> list_min(hs[i:i+{_WIN_W - 1}])))) AS f
+      FROM h WHERE len(hs) >= {_WIN_W}
+    ), kept AS (
+      SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= {_WIN_DFCAP}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_shared
+      FROM fp a JOIN kept USING (f) JOIN fp b USING (f)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    WHERE n_shared >= {_WIN_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "fingerprint", "similarity"),
+)
+def winnowing_shared_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS plagiarism detector): hash every {K}-char gram, slide a
+    window of {W} hashes, keep each window's MINIMUM — any shared
+    substring of length ≥ {KW} chars is GUARANTEED to share a
+    selected fingerprint, while only ~2/(w+1) of positions are kept.
+    Documents are then paired by shared fingerprints (≥ {MIN} after
+    stop-fingerprint pruning at df ≤ {CAP}) — position-robust overlap
+    detection that survives insertions/reordering, unlike fixed-stride
+    chunk hashes.
+
+    Hash parity: fingerprint values are the first 8 md5 hex digits of
+    each gram as int64 — identical literals in both engines (the
+    registry's established md5-hex bridge). Window minima and the
+    distinct-per-doc set are pure array ops, row-local.
+
+    Scale shape: fingerprint extraction is embarrassingly parallel
+    (one pass per doc, no shuffle); the pair stage shuffles only the
+    winnowed ~2/(w+1)-density fingerprint postings with a df cap
+    bounding any bucket (the same stop-key pruning as the trigram /
+    TF-IDF posting joins); pair aggregation touches only co-fingerprint
+    candidates — output-linear, never O(N²) over docs.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("txt")
+    )
+    # sequence(1, stop) counts DOWN when stop < 1 — short docs must
+    # yield empty arrays, not reversed ranges (test_short_docs class)
+    hs = F.expr(
+        f"CASE WHEN length(txt) >= {_WIN_K + _WIN_W - 1} THEN"
+        f" transform(sequence(1, length(txt) - {_WIN_K - 1}),"
+        f" i -> CAST(conv(substr(md5(substring(txt, i, {_WIN_K})), 1, 8),"
+        " 16, 10) AS BIGINT))"
+        " ELSE array() END"
+    )
+    wmins = F.expr(
+        f"CASE WHEN size(hs) >= {_WIN_W} THEN"
+        f" array_distinct(transform(sequence(1, size(hs) - {_WIN_W - 1}),"
+        f" i -> array_min(slice(hs, i, {_WIN_W}))))"
+        " ELSE array() END"
+    )
+    fp = (
+        d.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(wmins).alias("f"))
+    )
+    kept = fp.groupBy("f").agg(F.count("*").alias("df_f")).filter(
+        F.col("df_f") <= _WIN_DFCAP
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "f")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "f")
+    return (
+        a.join(kept.select("f"), "f")
+        .join(b, "f")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+winnowing_shared_fingerprints.__doc__ = (
+    winnowing_shared_fingerprints.__doc__
+    .replace("{K}", str(_WIN_K))
+    .replace("{W}", str(_WIN_W))
+    .replace("{KW}", str(_WIN_K + _WIN_W - 1))
+    .replace("{MIN}", str(_WIN_MIN_SHARED))
+    .replace("{CAP}", str(_WIN_DFCAP))
+)

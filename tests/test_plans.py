@@ -299,6 +299,7 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "heaps_law_curve",  # fixed 20-row checkpoint grid
         "ivf_recall_measure",  # k centroids + fixed queries
         "kmeans_lloyd_2iter",  # k centroids per iteration
+        "mmr_diversified_topk",  # 1 query vec + N-candidate set (config)
         "parents_prefix_inheritance",  # bounded dir-level table
         "semdedup_cluster_prune",  # k centroids
         "similarity_bruteforce_topk",  # fixed query vectors
