@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         coverage2,
         coverage3,
         coverage4,
+        coverage5,
         corpus,
         engineops,
         fileops,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from filemapreduce_spark.operators.textops import words
 from filemapreduce_spark.operators.vectors import dot, norm, to_double
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
@@ -340,4 +341,155 @@ winnowing_shared_fingerprints.__doc__ = (
     .replace("{KW}", str(_WIN_K + _WIN_W - 1))
     .replace("{MIN}", str(_WIN_MIN_SHARED))
     .replace("{CAP}", str(_WIN_DFCAP))
+)
+
+
+# --------------------------------------------------------------------
+# Per-source unigram KL divergence vs the corpus (distribution drift).
+# --------------------------------------------------------------------
+_KL_V = 100  # vocabulary: top-V global tokens; everything else = OOV
+
+_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+)
+
+
+@register(
+    "kl_divergence_by_source",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_WORDS}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS cg,
+             row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+      FROM tok GROUP BY w
+    ), v AS (
+      SELECT w, cg FROM vocab WHERE rk <= {_KL_V}
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             (SELECT CAST(SUM(cg) AS BIGINT) FROM v) AS n_inv
+      FROM tok
+    ), src_tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM tok
+      GROUP BY source
+    ), src_cnt AS (
+      SELECT t.source, t.w, COUNT(*) AS cs
+      FROM tok t JOIN v ON v.w = t.w
+      GROUP BY t.source, t.w
+    ), grid AS (
+      SELECT s.source, v.w, v.cg, s.n_s, COALESCE(c.cs, 0) AS cs
+      FROM src_tot s CROSS JOIN v
+      LEFT JOIN src_cnt c ON c.source = s.source AND c.w = v.w
+    ), terms AS (
+      -- in-vocab terms, add-one smoothing over V+1 outcomes
+      SELECT source,
+             ((cs + 1)::DOUBLE / (n_s + {_KL_V} + 1))
+               * ln(((cs + 1)::DOUBLE / (n_s + {_KL_V} + 1))
+                    / ((cg + 1)::DOUBLE
+                       / ((SELECT n_all FROM tot) + {_KL_V} + 1)))
+               AS term
+      FROM grid
+      UNION ALL
+      -- the single OOV bucket (everything outside the top-V)
+      SELECT s.source,
+             ((s.n_s - x.inv_s + 1)::DOUBLE / (s.n_s + {_KL_V} + 1))
+               * ln(((s.n_s - x.inv_s + 1)::DOUBLE / (s.n_s + {_KL_V} + 1))
+                    / ((t.n_all - t.n_inv + 1)::DOUBLE
+                       / (t.n_all + {_KL_V} + 1)))
+               AS term
+      FROM src_tot s
+      JOIN (SELECT source, CAST(SUM(cs) AS BIGINT) AS inv_s
+            FROM grid GROUP BY source) x ON x.source = s.source
+      CROSS JOIN tot t
+    )
+    SELECT t.source AS source, s.n_s AS n_tokens,
+           CAST(round(1000000.0 * SUM(t.term)) AS BIGINT) AS kl_micro
+    FROM terms t JOIN src_tot s ON s.source = t.source
+    GROUP BY t.source, s.n_s
+    ORDER BY t.source
+    """,
+    tags=("llm", "text", "drift", "stats"),
+)
+def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    whole-corpus distribution — the information-theoretic drift score
+    behind mixture rebalancing and contamination triage ('which source
+    stopped looking like the corpus?'). Distributions are over the
+    top-{V} global tokens plus one OOV bucket, add-one smoothed (so
+    every term is finite); all counts are exact integers and the only
+    float work is the per-term p·ln(p/q), summed and micro-rounded
+    (the registry's 6-dp float-parity contract).
+
+    Scale shape: one explode feeds three map-side-combined aggs
+    (global vocab top-V via TakeOrdered, per-source totals, per-source
+    in-vocab counts); the smoothing grid is #sources × V rows —
+    config-bounded, broadcast-joined. No shuffle carries more than the
+    (source, vocab-word) count table.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(words("text")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .orderBy(F.col("cg").desc(), "w")
+        .limit(_KL_V)
+        .persist()  # top-V rows, config-bounded; read by 3 branches
+    )
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("n_all")).crossJoin(
+        F.broadcast(
+            vocab.agg(F.sum("cg").cast("long").alias("n_inv"))
+        )
+    )
+    src_tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    src_cnt = (
+        tok.join(F.broadcast(vocab.select("w")), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(vocab))
+        .join(src_cnt, ["source", "w"], "left")
+        .withColumn("cs", F.coalesce(F.col("cs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    vp1 = F.lit(_KL_V + 1)
+    p_in = (F.col("cs") + 1).cast("double") / (F.col("n_s") + vp1)
+    q_in = (F.col("cg") + 1).cast("double") / (F.col("n_all") + vp1)
+    in_terms = grid.select(
+        "source", (p_in * F.log(p_in / q_in)).alias("term")
+    )
+    inv_s = grid.groupBy("source").agg(
+        F.sum("cs").cast("long").alias("inv_s")
+    )
+    oov = (
+        src_tot.join(inv_s, "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_oov = (F.col("n_s") - F.col("inv_s") + 1).cast("double") / (
+        F.col("n_s") + vp1
+    )
+    q_oov = (F.col("n_all") - F.col("n_inv") + 1).cast("double") / (
+        F.col("n_all") + vp1
+    )
+    oov_terms = oov.select(
+        "source", (p_oov * F.log(p_oov / q_oov)).alias("term")
+    )
+    return (
+        in_terms.unionAll(oov_terms)
+        .groupBy("source")
+        .agg(F.sum("term").alias("kl"))
+        .join(src_tot, "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.round(1000000.0 * F.col("kl")).cast("long").alias("kl_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+kl_divergence_by_source.__doc__ = kl_divergence_by_source.__doc__.replace(
+    "{V}", str(_KL_V)
 )

@@ -122,6 +122,8 @@ def test_registry_wide_plan_audit(spark, registry):
         "class_balance_downsample",  # 1-row minority-size broadcast
         "contingency_chi2_cells",
         "copurchase_lift_top50",
+        "kl_divergence_by_source",  # top-V vocab + 1-row totals crosses
+        "mmr_diversified_topk",  # 1-row query vec + N-candidate crosses
         "dsir_importance_weights",
         "empirical_bayes_rate_shrinkage",  # 1-row global-prior broadcast
         "fk_containment_discovery",  # 1-row per-edge stat broadcasts
@@ -298,6 +300,7 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "hard_negative_mining",  # fixed query slice
         "heaps_law_curve",  # fixed 20-row checkpoint grid
         "ivf_recall_measure",  # k centroids + fixed queries
+        "kl_divergence_by_source",  # top-V vocab + 1-row totals (config)
         "kmeans_lloyd_2iter",  # k centroids per iteration
         "mmr_diversified_topk",  # 1 query vec + N-candidate set (config)
         "parents_prefix_inheritance",  # bounded dir-level table
