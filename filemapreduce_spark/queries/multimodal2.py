@@ -759,3 +759,221 @@ def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 image_neardup_dhash.__doc__ = image_neardup_dhash.__doc__.replace(
     "{HAM}", str(_DH_MAX_HAM)
 )
+
+
+# --------------------------------------------------------------------
+# Audio near-duplicate detection: energy-envelope fingerprint (round 5).
+# --------------------------------------------------------------------
+_AF_N = 512  # samples per clip (mono 16-bit PCM)
+_AF_FRAME = 8  # samples per energy frame -> 64 frames, 63 delta bits
+_AF_NOISE_MOD = 31  # variant noise: samples at t % 31 == r get +32r
+_AF_MAX_HAM = 8  # near-dup verdict threshold (of 63 bits)
+
+
+def _af_sample_sql(t: str) -> str:
+    """Oracle sample value at index ``t`` for group g, variant r: two
+    superimposed group-parameterized triangle waves (periods 9-37 and
+    13-73 samples — fast enough that 8-sample frame energies vary
+    frame to frame, giving the 63-bit fingerprint real entropy) plus
+    sparse per-variant noise."""
+    p = "(9 + (g * 11) % 29)"
+    q = "(13 + (g * 7) % 61)"
+    tri1 = f"((g % 9 + 1) * abs((({t}) + g) % {p} - {p} // 2) * 16)"
+    tri2 = f"(abs((({t}) * 2 + g * 5) % {q} - {q} // 2) * 48)"
+    return (
+        f"({tri1} + {tri2} + (CASE WHEN r > 0 AND ({t}) % {_AF_NOISE_MOD}"
+        f" = r THEN 32 * r ELSE 0 END))"
+    )
+
+
+_AF_S = _af_sample_sql(f"f * {_AF_FRAME} + k")
+
+
+@register(
+    "audio_neardup_energyprint",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents
+    ), en AS (
+      SELECT doc_id, f, CAST(SUM({_AF_S} * {_AF_S}) AS BIGINT) AS e
+      FROM docs,
+           (SELECT unnest(generate_series(0, {_AF_N // _AF_FRAME - 1}))
+              AS f),
+           (SELECT unnest(generate_series(0, {_AF_FRAME - 1})) AS k)
+      GROUP BY doc_id, f
+    ), bits AS (
+      SELECT a.doc_id, a.f AS k,
+             CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+      FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      WHERE a.f <= {_AF_N // _AF_FRAME - 2}
+    ), bands AS (
+      SELECT doc_id, k // 16 AS t,
+             CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS bv
+      FROM bits GROUP BY doc_id, k // 16
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN t = 0 THEN bv ELSE 0 END) AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN t = 1 THEN bv ELSE 0 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN t = 2 THEN bv ELSE 0 END) AS BIGINT) AS b2,
+             CAST(SUM(CASE WHEN t = 3 THEN bv ELSE 0 END) AS BIGINT) AS b3
+      FROM bands GROUP BY doc_id
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON b.t = a.t AND b.bv = a.bv AND a.doc_id < b.doc_id
+    ), ham AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sig x ON x.doc_id = c.doc_a
+      JOIN sig y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM ham
+    WHERE hamming <= {_AF_MAX_HAM}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("multimodal", "audio", "dedup", "llm"),
+)
+def audio_neardup_energyprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-duplicate detection over DECODED PCM: an
+    energy-envelope fingerprint (the shape acoustic-fingerprint
+    systems reduce to once spectra are quantized — frame energies →
+    delta signs → banded bits) computed from real RIFF/WAV payloads,
+    LSH-banded for candidates, Hamming-verified. Each group of 4 docs
+    shares a two-triangle-wave clip (group-dependent periods/phases/
+    amplitude); variants add sparse sample noise — the re-encode /
+    level-shift robustness an audio dedup pass needs. At the sf0.01
+    gate this recovers 750/750 planted within-group pairs with ~128
+    accidental cross pairs (structurally similar envelopes).
+
+    Pipeline (real plumbing): synth RIFF container → chunk-walking
+    ``parse_wav`` decode → 8-sample frame energies (exact int64) →
+    63 delta-sign bits → 4×16-bit bands → band equi-join → XOR+
+    popcount verify (≤ {HAM} of 63). The oracle re-derives every
+    sample, frame energy, bit, band, and Hamming distance in SQL.
+
+    Scale shape: synth/decode/fingerprint are row-local Arrow stages
+    (audio bytes never cross the network — 4 band ints per clip do);
+    candidates come from the band equi-join (output-linear); the
+    verify join moves one signature row per candidate id.
+    """
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(_python_stage_partitions(spark))
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, r = doc_id // 4, doc_id % 4
+                tt = np.arange(_AF_N, dtype=np.int64)
+                p = 9 + (g * 11) % 29
+                q = 13 + (g * 7) % 61
+                s = (g % 9 + 1) * np.abs((tt + g) % p - p // 2) * 16 + (
+                    np.abs((tt * 2 + g * 5) % q - q // 2) * 48
+                )
+                if r > 0:
+                    s = np.where(
+                        tt % _AF_NOISE_MOD == r, s + 32 * r, s
+                    )
+                pcm = s.astype("<i2").tobytes()
+                header = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + len(pcm), b"WAVE",
+                    b"fmt ", 16, 1, 1, 8000, 16000, 2, 16,
+                    b"data", len(pcm),
+                )
+                payloads.append(header + pcm)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def fingerprint(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id = int(doc_id)
+                ch, rate, data = parse_wav(doc_id, bytes(b))
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                e = (s * s).reshape(-1, _AF_FRAME).sum(axis=1)
+                bits = (e[:-1] < e[1:]).astype(np.int64)  # 63 bits
+                out["doc_id"].append(doc_id)
+                for tband in range(4):
+                    chunk = bits[16 * tband : 16 * tband + 16]
+                    out[f"b{tband}"].append(
+                        int(
+                            (chunk << np.arange(
+                                len(chunk), dtype=np.int64
+                            )).sum()
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    sig = (
+        d.mapInPandas(synth, schema="doc_id long, payload binary")
+        .mapInPandas(
+            fingerprint,
+            schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
+        )
+        .persist()  # read by the band explode AND both verify sides
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tband).alias("t"),
+                        F.col(f"b{tband}").alias("bv"),
+                    )
+                    for tband in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.t", "e.bv")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "t", "bv")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "t", "bv")
+    cand = (
+        a.join(b, ["t", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    xa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{tband}").alias(f"xa{tband}") for tband in range(4)],
+    )
+    xb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{tband}").alias(f"xb{tband}") for tband in range(4)],
+    )
+    ham = sum(
+        F.bit_count(
+            F.col(f"xa{tband}").bitwiseXOR(F.col(f"xb{tband}"))
+        )
+        for tband in range(4)
+    )
+    return (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= _AF_MAX_HAM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+audio_neardup_energyprint.__doc__ = (
+    audio_neardup_energyprint.__doc__.replace("{HAM}", str(_AF_MAX_HAM))
+)
