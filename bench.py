@@ -77,6 +77,16 @@ HEADLINE = [
     # + verify; 5-gram containment self-join)
     "heavy_hitters_exact_mg",
     "containment_contamination_screen",
+    # round-5 additions — none floor-bound: the multimodal fingerprint
+    # twins re-derive every pixel/sample in SQL, winnowing hashes every
+    # k-gram, MMR unrolls the greedy CTEs, KL rebuilds the smoothing
+    # grid, HRW evaluates 9 md5 weights per key on both engines
+    "image_neardup_dhash",
+    "audio_neardup_energyprint",
+    "winnowing_shared_fingerprints",
+    "mmr_diversified_topk",
+    "kl_divergence_by_source",
+    "rendezvous_shard_move_audit",
 ]
 
 
@@ -224,7 +234,16 @@ def main():
         n
         for n in HEADLINE
         if n
-        not in ("heavy_hitters_exact_mg", "containment_contamination_screen")
+        not in (
+            "heavy_hitters_exact_mg",
+            "containment_contamination_screen",
+            "image_neardup_dhash",
+            "audio_neardup_energyprint",
+            "winnowing_shared_fingerprints",
+            "mmr_diversified_topk",
+            "kl_divergence_by_source",
+            "rendezvous_shard_move_audit",
+        )
     ]
     common_total = round(sum(times[n] for n in r3_common), 3)
     common_ddb = round(sum(ddb[n] for n in r3_common if n in ddb), 3)
