@@ -122,6 +122,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "class_balance_downsample",  # 1-row minority-size broadcast
         "contingency_chi2_cells",
         "copurchase_lift_top50",
+        "kcore_peeling_rounds",  # 1-row node/edge count crosses per round
         "kl_divergence_by_source",  # top-V vocab + 1-row totals crosses
         "mmr_diversified_topk",  # 1-row query vec + N-candidate crosses
         "dsir_importance_weights",
@@ -304,6 +305,7 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "kmeans_lloyd_2iter",  # k centroids per iteration
         "mmr_diversified_topk",  # 1 query vec + N-candidate set (config)
         "parents_prefix_inheritance",  # bounded dir-level table
+        "quantile_normalize_scores",  # 1001-row quantile grid (config)
         "semdedup_cluster_prune",  # k centroids
         "similarity_bruteforce_topk",  # fixed query vectors
         "similarity_ivf_probe2",  # k centroids + fixed queries
