@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         audit,
         coverage2,
         coverage3,

@@ -135,6 +135,8 @@ def test_registry_wide_plan_audit(spark, registry):
         "ivf_recall_measure",
         "join_cardinality_estimate_audit",  # three 1-row stat broadcasts
         "kaplan_meier_signup_purchase",  # 1-row subject-total broadcast
+        "nelson_aalen_cumhaz",  # 1-row subject-total broadcast (KM twin)
+        "psi_value_drift",  # #types×10 decile-grid cross, config-bounded
         "kmeans_lloyd_2iter",
         "minhash_lsh_recall",
         "parents_prefix_inheritance",
@@ -183,6 +185,9 @@ def test_registry_wide_plan_audit(spark, registry):
         # observation horizon in days, never data volume.
         "kaplan_meier_signup_purchase",
         "daily_active_new_returning",
+        # nelson_aalen_cumhaz: same day-grain grid as the KM row —
+        # bounded by the observation horizon in days, never data.
+        "nelson_aalen_cumhaz",
         # zipf_exponent_fit: row_number over the LIMIT-100 term list
         # (config-bounded K, never data volume).
         "zipf_exponent_fit",
