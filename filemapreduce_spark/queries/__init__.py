@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm3,
         llm4,
         llm5,
+        llm6,
         mlprep,
         multimodal2,
         pipeline,

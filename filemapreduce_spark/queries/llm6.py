@@ -1,0 +1,684 @@
+"""Round-5 LLM-pipeline batch 2: language-model scoring, corpus
+similarity structure, coreset selection, and URL canonicalization.
+
+Reference parity: none of these exist in the reference (its surface
+stops at scan/filter/map/reduce, `/root/reference/interfaces.go`);
+north-star extension rows for SURVEY.md §2 Part B.
+
+- Stupid-backoff trigram scoring (Brants et al. 2007, "Large Language
+  Models in Machine Translation"): the smoothing-free backoff score
+  Google used at web scale — trained on the content-hash train split,
+  scored on the held-out split so backoff genuinely fires.
+- Pairwise Jensen–Shannon divergence between source unigram
+  distributions: the symmetric, bounded drift metric — "which sources
+  are interchangeable, which are distinct" — feeding mixture design.
+- k-center greedy coreset (Gonzalez 1985 farthest-point traversal):
+  the 2-approximation coverage selection behind diversity-quota
+  sampling and embedding-space "core-set" active learning.
+- Canonical-URL dedup: strip tracking params / fragments / case /
+  trailing slashes and account the collapse — the first dedup pass
+  every web-crawl pipeline runs before any content hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.operators.textops import words
+from filemapreduce_spark.operators.vectors import to_double
+from filemapreduce_spark.queries import register
+from filemapreduce_spark.sources.tables import load_table as t
+
+_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+)
+_SB_ALPHA = 0.4  # Brants et al. backoff penalty
+_TRAIN_GATE = 58982  # first 16 md5 bits < 0.9·65536 → train split
+
+
+# --------------------------------------------------------------------
+# Stupid-backoff trigram LM: train on the hash split, score held-out.
+# --------------------------------------------------------------------
+@register(
+    "stupid_backoff_trigram_score",
+    f"""
+    WITH doc AS (
+      SELECT doc_id, source, {_SQL_WORDS} AS ws,
+             ('0x' || substring(md5(lower(text)), 1, 4))::INT < {_TRAIN_GATE}
+               AS is_train
+      FROM documents
+    ), tri AS (
+      SELECT doc_id, source, is_train,
+             ws[i] AS a, ws[i + 1] AS b, ws[i + 2] AS c
+      FROM doc, unnest(range(1, len(ws) - 1)) AS u(i)
+      WHERE len(ws) >= 3
+    ), bi AS (
+      SELECT doc_id, is_train, ws[i] AS a, ws[i + 1] AS b
+      FROM doc, unnest(range(1, len(ws))) AS u(i)
+      WHERE len(ws) >= 2
+    ), uni AS (
+      SELECT doc_id, is_train, unnest(ws) AS w FROM doc
+    ), n_train AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni WHERE is_train
+    ), c1 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM uni
+      WHERE is_train GROUP BY w
+    ), c2 AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi
+      WHERE is_train GROUP BY a, b
+    ), c3 AS (
+      SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM tri
+      WHERE is_train GROUP BY a, b, c
+    ), tri_s AS (
+      SELECT c3.a, c3.b, c3.c,
+             c3.cnt::DOUBLE / c2.cnt AS s3
+      FROM c3 JOIN c2 ON c2.a = c3.a AND c2.b = c3.b
+    ), bi_s AS (
+      SELECT c2.a AS b, c2.b AS c,
+             {_SB_ALPHA} * (c2.cnt::DOUBLE / c1.cnt) AS s2
+      FROM c2 JOIN c1 ON c1.w = c2.a
+    ), uni_s AS (
+      SELECT c1.w AS c,
+             {_SB_ALPHA} * {_SB_ALPHA}
+               * (c1.cnt::DOUBLE / (SELECT n FROM n_train)) AS s1
+      FROM c1
+    ), scored AS (
+      SELECT t.doc_id, t.source,
+             ln(COALESCE(ts.s3, bs.s2, us.s1,
+                 {_SB_ALPHA} * {_SB_ALPHA} / (SELECT n FROM n_train)))
+               AS lp
+      FROM tri t
+      LEFT JOIN tri_s ts ON ts.a = t.a AND ts.b = t.b AND ts.c = t.c
+      LEFT JOIN bi_s bs ON bs.b = t.b AND bs.c = t.c
+      LEFT JOIN uni_s us ON us.c = t.c
+      WHERE NOT t.is_train
+    )
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(round(1000000.0 * SUM(lp) / COUNT(*)) AS BIGINT)
+             AS avg_logscore_micro
+    FROM scored GROUP BY doc_id, source
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "lm", "quality"),
+)
+def stupid_backoff_trigram_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. 2007): S(c|ab) =
+    count(abc)/count(ab), backing off to α·count(bc)/count(b), then
+    α²·count(c)/N, then α²/N for OOV — the deliberately unnormalized
+    score Google trained on 2T tokens BECAUSE it needs no smoothing
+    statistics, only raw counts (α=0.4). Counts come from the
+    content-hash train split (same 90% gate as `dataset_split_assign`,
+    so assignment is reproducible and leakage-free); scored docs are
+    the held-out 10%, where backoff genuinely fires for unseen grams.
+    Counts are exact integers; each trigram's score is one float
+    division chain with identical operands in both engines; the
+    per-doc mean log-score is micro-rounded (float-parity contract).
+
+    Scale shape: gram-count tables are groupBy aggs over exploded
+    grams (map-side combined, shuffled on the gram key — the same
+    shape at any corpus size); scoring is three hash LEFT JOINs from
+    held-out trigram occurrences to those tables. No broadcast of an
+    unbounded side is forced — AQE picks the strategy from runtime
+    sizes. No driver state, no collect.
+    """
+    d = t(spark, sf_dir, "documents")
+    doc = d.select(
+        "doc_id",
+        "source",
+        words("text").alias("ws"),
+        (
+            F.conv(F.substring(F.md5(F.lower("text")), 1, 4), 16, 10)
+            .cast("int")
+            < _TRAIN_GATE
+        ).alias("is_train"),
+    )
+    ws = F.col("ws")
+    tri_struct = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("a"),
+            F.element_at(ws, i + 1).alias("b"),
+            F.element_at(ws, i + 2).alias("c"),
+        ),
+    )
+    tri = (
+        doc.where(F.size(ws) >= 3)
+        .select(
+            "doc_id", "source", "is_train",
+            F.explode(tri_struct).alias("g"),
+        )
+        .select("doc_id", "source", "is_train", "g.a", "g.b", "g.c")
+    )
+    bi_struct = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("a"),
+            F.element_at(ws, i + 1).alias("b"),
+        ),
+    )
+    bi = (
+        doc.where(F.size(ws) >= 2)
+        .select("is_train", F.explode(bi_struct).alias("g"))
+        .select("is_train", "g.a", "g.b")
+    )
+    uni = doc.select("is_train", F.explode(ws).alias("w"))
+
+    c1 = (
+        uni.where("is_train")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt1"))
+    )
+    c2 = (
+        bi.where("is_train")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt2"))
+    )
+    c3 = (
+        tri.where("is_train")
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt3"))
+    )
+    n_train = uni.where("is_train").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    alpha = F.lit(_SB_ALPHA)
+    tri_s = c3.join(c2, ["a", "b"]).select(
+        "a", "b", "c",
+        (F.col("cnt3").cast("double") / F.col("cnt2")).alias("s3"),
+    )
+    bi_s = c2.join(c1, F.col("w") == F.col("a")).select(
+        F.col("a").alias("bb"),
+        F.col("b").alias("bc"),
+        (alpha * (F.col("cnt2").cast("double") / F.col("cnt1"))).alias(
+            "s2"
+        ),
+    )
+    uni_s = c1.crossJoin(F.broadcast(n_train)).select(
+        F.col("w").alias("uc"),
+        (
+            alpha * alpha * (F.col("cnt1").cast("double") / F.col("n"))
+        ).alias("s1"),
+    )
+    held = tri.where(~F.col("is_train"))
+    scored = (
+        held.join(tri_s, ["a", "b", "c"], "left")
+        .join(
+            bi_s,
+            (F.col("b") == F.col("bb")) & (F.col("c") == F.col("bc")),
+            "left",
+        )
+        .join(uni_s, F.col("c") == F.col("uc"), "left")
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                F.coalesce(
+                    F.col("s3"),
+                    F.col("s2"),
+                    F.col("s1"),
+                    alpha * alpha / F.col("n"),
+                )
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tri"),
+            F.round(1000000.0 * F.sum("lp") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_logscore_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Pairwise Jensen–Shannon divergence between source distributions.
+# --------------------------------------------------------------------
+_JSD_V = 100  # top-V global vocabulary + one OOV bucket
+
+
+def _jsd_term(p: str, q: str) -> str:
+    return (
+        f"0.5 * ({p} * ln(2.0 * {p} / ({p} + {q}))"
+        f" + {q} * ln(2.0 * {q} / ({p} + {q})))"
+    )
+
+
+@register(
+    "jsd_pairwise_sources",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_WORDS}) AS w FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS cg FROM tok GROUP BY w
+        ORDER BY cg DESC, w LIMIT {_JSD_V}
+      )
+    ), src_tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM tok
+      GROUP BY source
+    ), src_cnt AS (
+      SELECT t.source, t.w, CAST(COUNT(*) AS BIGINT) AS cs
+      FROM tok t JOIN vocab v ON v.w = t.w
+      GROUP BY t.source, t.w
+    ), grid AS (
+      SELECT s.source, v.w,
+             (COALESCE(c.cs, 0) + 1)::DOUBLE / (s.n_s + {_JSD_V} + 1)
+               AS p
+      FROM src_tot s CROSS JOIN vocab v
+      LEFT JOIN src_cnt c ON c.source = s.source AND c.w = v.w
+    ), oov AS (
+      SELECT s.source,
+             (s.n_s - COALESCE(x.inv_s, 0) + 1)::DOUBLE
+               / (s.n_s + {_JSD_V} + 1) AS p
+      FROM src_tot s
+      LEFT JOIN (SELECT source, SUM(cs) AS inv_s FROM src_cnt
+                 GROUP BY source) x ON x.source = s.source
+    ), terms AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             {_jsd_term("a.p", "b.p")} AS term
+      FROM grid a JOIN grid b
+        ON a.w = b.w AND a.source < b.source
+      UNION ALL
+      SELECT a.source, b.source, {_jsd_term("a.p", "b.p")}
+      FROM oov a JOIN oov b ON a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(round(1000000.0 * SUM(term)) AS BIGINT) AS jsd_micro
+    FROM terms GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("llm", "text", "drift", "stats"),
+)
+def jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between every two sources'
+    unigram distributions (top-{V} global vocab + one OOV bucket,
+    add-one smoothed) — the symmetric, bounded [0, ln 2] similarity
+    structure of the corpus: which sources are near-interchangeable
+    (candidates for merging/deduping mixture weight) and which carry
+    distinct distributions. JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M the
+    midpoint, computed term-by-term as identical float expressions in
+    both engines over exact-integer counts; pair sums micro-rounded.
+
+    Scale shape: one explode feeds the vocab top-V (TakeOrdered) and
+    the per-source count tables; the smoothed grid is #sources × V
+    rows, and the pairwise join is (#sources·V)² / V keyed on the
+    vocab word — bounded by the SOURCE COUNT squared (catalog-sized),
+    never by corpus volume. Token-level data is reduced before any
+    pairwise work.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(words("text")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .orderBy(F.col("cg").desc(), "w")
+        .limit(_JSD_V)
+        .select("w")
+        .persist()  # top-V rows, config-bounded; read by 2 branches
+    )
+    src_tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    src_cnt = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    )
+    vp1 = F.lit(_JSD_V + 1)
+    grid = (
+        src_tot.crossJoin(F.broadcast(vocab))
+        .join(src_cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                (F.coalesce(F.col("cs"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_s") + vp1)
+            ).alias("p"),
+        )
+    )
+    inv_s = src_cnt.groupBy("source").agg(F.sum("cs").alias("inv_s"))
+    oov = src_tot.join(inv_s, "source", "left").select(
+        "source",
+        (
+            (
+                F.col("n_s") - F.coalesce(F.col("inv_s"), F.lit(0)) + 1
+            ).cast("double")
+            / (F.col("n_s") + vp1)
+        ).alias("p"),
+    )
+
+    def jsd_term(p, q):
+        return 0.5 * (
+            p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q))
+        )
+
+    ga = grid.select(
+        F.col("source").alias("source_a"),
+        F.col("w").alias("wa"),
+        F.col("p").alias("pa"),
+    )
+    gb = grid.select(
+        F.col("source").alias("source_b"),
+        F.col("w").alias("wb"),
+        F.col("p").alias("pb"),
+    )
+    in_terms = ga.join(
+        gb,
+        (F.col("wa") == F.col("wb"))
+        & (F.col("source_a") < F.col("source_b")),
+    ).select(
+        "source_a",
+        "source_b",
+        jsd_term(F.col("pa"), F.col("pb")).alias("term"),
+    )
+    oa = oov.select(
+        F.col("source").alias("source_a"), F.col("p").alias("pa")
+    )
+    ob = oov.select(
+        F.col("source").alias("source_b"), F.col("p").alias("pb")
+    )
+    oov_terms = oa.join(
+        ob, F.col("source_a") < F.col("source_b")
+    ).select(
+        "source_a",
+        "source_b",
+        jsd_term(F.col("pa"), F.col("pb")).alias("term"),
+    )
+    return (
+        in_terms.unionAll(oov_terms)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(1000000.0 * F.sum("term"))
+            .cast("long")
+            .alias("jsd_micro")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez farthest-point traversal).
+# --------------------------------------------------------------------
+_KC_K = 5
+_KC_START = 0  # deterministic seed point
+
+
+def _sqd_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, 65), i ->"
+        f" ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+        f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), 6)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    head = f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p1 AS (
+      SELECT CAST(1 AS BIGINT) AS step,
+             CAST({_KC_START} AS BIGINT) AS vec_id, 0.0 AS radius
+    ), sel1 AS (SELECT vec_id FROM p1)
+    """
+    steps = [head]
+    for i in range(2, _KC_K + 1):
+        steps.append(f"""
+    , m{i} AS (
+      SELECT c.vec_id, MIN({_sqd_sql("c.embedding", "s.embedding")})
+               AS mind
+      FROM e c
+      JOIN (SELECT e2.vec_id, e2.embedding FROM e e2
+            JOIN sel{i - 1} z ON z.vec_id = e2.vec_id) s
+        ON c.vec_id != s.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      GROUP BY c.vec_id
+    ), p{i} AS (
+      SELECT CAST({i} AS BIGINT) AS step, vec_id, mind AS radius
+      FROM m{i} ORDER BY mind DESC, vec_id LIMIT 1
+    ), sel{i} AS (
+      SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM p{i}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, _KC_K + 1)
+    )
+    steps.append(f"SELECT * FROM ({union}) ORDER BY step")
+    return "".join(steps)
+
+
+@register(
+    "kcenter_coreset_selection",
+    _kcenter_oracle(),
+    tags=("similarity", "coreset", "sampling", "llm"),
+)
+def kcenter_coreset_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-center greedy coreset (Gonzalez 1985 farthest-point
+    traversal, the 2-approximation for the k-center cover): start
+    from vec {START}, then repeatedly select the point farthest (max
+    min-squared-L2) from the selected set — the coverage-maximizing
+    selection behind embedding-space core-set active learning (Sener
+    & Savarese 2018) and diversity-quota data selection. Each pick's
+    radius is its min-distance at selection time — a certified
+    nonincreasing cover-radius curve. Distances are 6dp-rounded
+    index-order folds over float64 casts (both engines identical);
+    ties break on the smaller vec_id.
+
+    Scale shape: k−1 declarative rounds, each one corpus scan joined
+    to the ≤k-row selected set (broadcast) with a TakeOrdered top-1 —
+    O(k·N·d) total work, shuffle-free except the 1-row argmax; picks
+    are lazily localCheckpoint-ed (the MMR/k-means lineage pattern) so
+    round i does not re-execute rounds 1..i−1. Driver holds only the
+    k-row selection — config-bounded, never data-bounded.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+
+    def sqd(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    picks = [
+        emb.where(F.col("vec_id") == _KC_START)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.lit(0.0).alias("radius"),
+            "v",
+        )
+        .localCheckpoint(eager=False)
+    ]
+    selected = picks[0].select("vec_id", "v")
+    for i in range(2, _KC_K + 1):
+        s = selected.select(
+            F.col("vec_id").alias("svid"), F.col("v").alias("sv")
+        )
+        mind = (
+            emb.join(
+                F.broadcast(selected.select("vec_id")), "vec_id",
+                "left_anti",
+            )
+            .crossJoin(F.broadcast(s))
+            .groupBy("vec_id", "v")
+            .agg(F.min(sqd(F.col("v"), F.col("sv"))).alias("mind"))
+        )
+        pick = (
+            mind.orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("step"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("mind").alias("radius"),
+                "v",
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick)
+        selected = selected.unionAll(pick.select("vec_id", "v"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select("step", "vec_id", "radius").orderBy("step")
+
+
+# --------------------------------------------------------------------
+# Canonical-URL dedup (tracking-param stripping).
+# --------------------------------------------------------------------
+_SQL_URL = """
+      SELECT event_type,
+             'https://'
+             || CASE WHEN event_id % 7 = 0
+                     THEN 'SHOP' || CAST(user_id % 3 AS VARCHAR)
+                          || '.Example.COM'
+                     ELSE 'shop' || CAST(user_id % 3 AS VARCHAR)
+                          || '.example.com' END
+             || '/p/' || CAST(event_id % 50 AS VARCHAR)
+             || CASE WHEN event_id % 2 = 0 THEN '/' ELSE '' END
+             || CASE
+                  WHEN event_id % 3 = 0 THEN
+                    '?v=' || CAST(CAST(round(value) AS BIGINT) % 10
+                                  AS VARCHAR)
+                    || '&utm_source=news&utm_campaign=x'
+                  WHEN event_id % 3 = 1 THEN
+                    '?v=' || CAST(CAST(round(value) AS BIGINT) % 10
+                                  AS VARCHAR)
+                  ELSE '?utm_source=mail' END
+             || CASE WHEN event_id % 5 = 0 THEN '&fbclid=AbC123'
+                     ELSE '' END
+             || CASE WHEN event_id % 4 = 0 THEN '#top' ELSE '' END
+               AS url
+      FROM events
+"""
+
+
+@register(
+    "canonical_url_dedup",
+    f"""
+    WITH urls AS ({_SQL_URL}
+    ), canon AS (
+      SELECT event_type, url,
+             'https://'
+             || lower(regexp_extract(url, 'https://([^/]+)', 1))
+             || regexp_replace(
+                  regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1),
+                  '/$', '')
+             || CASE WHEN regexp_extract(url, '[?&]v=(\\d+)', 1) != ''
+                     THEN '?v=' || regexp_extract(url, '[?&]v=(\\d+)', 1)
+                     ELSE '' END AS curl
+      FROM urls
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           COUNT(DISTINCT url) AS n_raw_distinct,
+           COUNT(DISTINCT curl) AS n_canon_distinct,
+           CAST((1000 * (COUNT(DISTINCT url) - COUNT(DISTINCT curl)))
+                // COUNT(DISTINCT url) AS BIGINT) AS collapse_milli
+    FROM canon
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("llm", "dedup", "text", "web"),
+)
+def canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL deduplication — the first dedup pass of every
+    web-crawl pipeline (CommonCrawl/C4 lineage): lowercase the host,
+    drop the fragment, strip tracking parameters (utm_*, fbclid),
+    keep meaningful params (v), trim the trailing slash, and account
+    how many raw-distinct URLs collapse per event_type. URLs are
+    synthesized deterministically from events (same derivation in
+    both engines) with planted case/slash/tracking/fragment noise, so
+    the collapse the query measures is real canonicalization work.
+    Spark parses with `parse_url` (HOST/PATH/QUERY param — JVM
+    codegen); the oracle re-derives the components with regexes, so
+    the parse path itself is what's checked.
+
+    Scale shape: entirely row-local string work inside whole-stage
+    codegen plus one grouped distinct-count agg (partial aggregation
+    on event_type) — no joins, no Python, linear in input at any SF.
+    """
+    e = t(spark, sf_dir, "events")
+    host = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(
+            F.lit("SHOP"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit(".Example.COM"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("shop"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    vparam = (F.round("value").cast("long") % 10).cast("string")
+    q = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("?v="), vparam,
+                F.lit("&utm_source=news&utm_campaign=x"),
+            ),
+        )
+        .when(F.col("event_id") % 3 == 1, F.concat(F.lit("?v="), vparam))
+        .otherwise(F.lit("?utm_source=mail"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        (F.col("event_id") % 50).cast("string"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("/")).otherwise(
+            F.lit("")
+        ),
+        q,
+        F.when(F.col("event_id") % 5 == 0, F.lit("&fbclid=AbC123"))
+        .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 4 == 0, F.lit("#top")).otherwise(
+            F.lit("")
+        ),
+    )
+    urls = e.select("event_type", url.alias("url"))
+    v = F.parse_url("url", F.lit("QUERY"), F.lit("v"))
+    curl = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.regexp_replace(
+            F.parse_url("url", F.lit("PATH")), r"/$", ""
+        ),
+        F.when(
+            v.isNotNull() & (v != ""), F.concat(F.lit("?v="), v)
+        ).otherwise(F.lit("")),
+    )
+    canon = urls.select("event_type", "url", curl.alias("curl"))
+    nraw = F.count_distinct("url")
+    ncan = F.count_distinct("curl")
+    return (
+        canon.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            nraw.alias("n_raw_distinct"),
+            ncan.alias("n_canon_distinct"),
+            F.expr(
+                "CAST((1000 * (count(DISTINCT url)"
+                " - count(DISTINCT curl)))"
+                " div count(DISTINCT url) AS BIGINT)"
+            ).alias("collapse_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,200 @@
+"""Planted-ground-truth tests for the llm6 operators.
+
+Beyond the DuckDB-oracle gate, assert theoretical contracts on
+synthetic inputs:
+
+- stupid backoff: hand-computed scores at every backoff depth
+  (trigram hit, bigram backoff, unigram backoff, OOV floor). The
+  train/held-out split is content-hash based, so fixture texts are
+  steered into the right split by whitespace padding — it changes
+  md5(lower(text)) but not the token stream.
+- JSD: identical sources score exactly 0; disjoint-vocabulary
+  sources score far higher (and below the ln 2 bound).
+- k-center: a planted 1-D configuration has a provable farthest-point
+  traversal order and exact radii, and the radius curve is
+  nonincreasing after step 2.
+- canonical URL: planted id arithmetic yields a known raw→canonical
+  collapse.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from filemapreduce_spark.queries import load_all
+
+_TRAIN_GATE = 58982
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _bucket(text: str) -> int:
+    return int(hashlib.md5(text.lower().encode()).hexdigest()[:4], 16)
+
+
+def _steer(text: str, train: bool) -> str:
+    """Append whitespace until the content hash lands in the desired
+    split — tokenization (split on \\s+, empties dropped) is
+    unchanged."""
+    s = text
+    for _ in range(200):
+        b = _bucket(s)
+        if (b < _TRAIN_GATE) == train:
+            return s
+        s += " "
+    raise AssertionError("could not steer text into split")
+
+
+def _write_documents(spark, rows):
+    d = tempfile.mkdtemp(prefix="fmr_llm6_fixture_")
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+def _write_embeddings(spark, rows):
+    d = tempfile.mkdtemp(prefix="fmr_llm6_emb_")
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    return d
+
+
+def test_stupid_backoff_every_depth(spark, registry):
+    """Train 'a b c a b d'; held-out docs exercise each backoff rung:
+    trigram hit (ln 1/2), bigram backoff (ln 0.4·1/2), unigram
+    backoff (ln 0.16·1/6), OOV floor (ln 0.16/6)."""
+    train = _steer("a b c a b d", True)
+    h1 = _steer("a b c", False)  # tri (a,b,c): c3=1, c2(ab)=2
+    h2 = _steer("x b c", False)  # bi (b,c): c2=1, c1(b)=2
+    h3 = _steer("x y c", False)  # uni c: cnt=1, N=6
+    h4 = _steer("x y z", False)  # OOV floor
+    d = _write_documents(
+        spark,
+        [
+            (0, train, "en", "s0", len(train)),
+            (1, h1, "en", "s0", len(h1)),
+            (2, h2, "en", "s0", len(h2)),
+            (3, h3, "en", "s0", len(h3)),
+            (4, h4, "en", "s0", len(h4)),
+        ],
+    )
+    try:
+        out = {
+            r.doc_id: r
+            for r in registry["stupid_backoff_trigram_score"]
+            .fn(spark, d)
+            .collect()
+        }
+        assert set(out) == {1, 2, 3, 4}
+        exp = {
+            1: math.log(1 / 2),
+            2: math.log(0.4 * (1 / 2)),
+            3: math.log(0.16 * (1 / 6)),
+            4: math.log(0.16 / 6),
+        }
+        for doc_id, lp in exp.items():
+            assert out[doc_id].n_tri == 1
+            assert out[doc_id].avg_logscore_micro == round(1e6 * lp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_jsd_identical_zero_disjoint_large(spark, registry):
+    """Sources with identical token streams → JSD exactly 0; a
+    disjoint-vocabulary source scores orders higher yet < ln 2."""
+    ta = "alpha beta gamma delta " * 10
+    tb = "omega psi chi phi " * 10
+    d = _write_documents(
+        spark,
+        [
+            (0, ta, "en", "s0", len(ta)),
+            (1, ta, "en", "s1", len(ta)),
+            (2, tb, "en", "s2", len(tb)),
+        ],
+    )
+    try:
+        out = {
+            (r.source_a, r.source_b): r.jsd_micro
+            for r in registry["jsd_pairwise_sources"].fn(spark, d).collect()
+        }
+        assert out[("s0", "s1")] == 0
+        assert out[("s0", "s2")] > 100_000  # far from 0
+        assert out[("s0", "s2")] < round(1e6 * math.log(2))
+        assert out[("s0", "s2")] == out[("s1", "s2")]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kcenter_planted_traversal(spark, registry):
+    """Points on one axis at 0,100,50,75,25,12 (ids 0-5), seed id 0:
+    Gonzalez traversal picks 1 (d²=10000), 2 (2500), then the 625
+    tie breaks to the smaller id (3 before 4); radii nonincreasing."""
+    def vec(x):
+        return [float(x)] + [0.0] * 63
+
+    rows = [
+        (0, vec(0), 0),
+        (1, vec(100), 0),
+        (2, vec(50), 0),
+        (3, vec(75), 0),
+        (4, vec(25), 0),
+        (5, vec(12), 0),
+    ]
+    d = _write_embeddings(spark, rows)
+    try:
+        out = registry["kcenter_coreset_selection"].fn(spark, d).collect()
+        assert [(r.step, r.vec_id) for r in out] == [
+            (1, 0), (2, 1), (3, 2), (4, 3), (5, 4),
+        ]
+        assert [r.radius for r in out] == [0.0, 10000.0, 2500.0,
+                                           625.0, 625.0]
+        radii = [r.radius for r in out[1:]]
+        assert radii == sorted(radii, reverse=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_canonical_url_planted_collapse(spark, registry):
+    """event_ids 4, 54, 104 with user_id=1, value=3.0: same path
+    (4 mod 50), three distinct raw URLs (tracking/fragment noise),
+    two canonical forms (?v=3 twice, bare once) → collapse 333‰."""
+    d = tempfile.mkdtemp(prefix="fmr_llm6_ev_")
+    try:
+        rows = [
+            (i, dt.datetime(2024, 1, 5), 1, "click", 3.0, "{}")
+            for i in (4, 54, 104)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = registry["canonical_url_dedup"].fn(spark, d).collect()[0]
+        assert r.n_urls == 3
+        assert r.n_raw_distinct == 3
+        assert r.n_canon_distinct == 2
+        assert r.collapse_milli == 333
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -124,6 +124,8 @@ def test_registry_wide_plan_audit(spark, registry):
         "copurchase_lift_top50",
         "kcore_peeling_rounds",  # 1-row node/edge count crosses per round
         "kl_divergence_by_source",  # top-V vocab + 1-row totals crosses
+        "jsd_pairwise_sources",  # top-V vocab cross + #sources² OOV theta
+        "stupid_backoff_trigram_score",  # 1-row train-total broadcast
         "mmr_diversified_topk",  # 1-row query vec + N-candidate crosses
         "dsir_importance_weights",
         "empirical_bayes_rate_shrinkage",  # 1-row global-prior broadcast
@@ -307,6 +309,9 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "heaps_law_curve",  # fixed 20-row checkpoint grid
         "ivf_recall_measure",  # k centroids + fixed queries
         "kl_divergence_by_source",  # top-V vocab + 1-row totals (config)
+        "jsd_pairwise_sources",  # top-V vocab (config), no corpus hint
+        "stupid_backoff_trigram_score",  # 1-row train-token total
+        "kcenter_coreset_selection",  # <=k-row selected set per round
         "kmeans_lloyd_2iter",  # k centroids per iteration
         "mmr_diversified_topk",  # 1 query vec + N-candidate set (config)
         "parents_prefix_inheritance",  # bounded dir-level table
