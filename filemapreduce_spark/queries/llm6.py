@@ -682,3 +682,197 @@ def canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# Matryoshka truncation-recall audit (MRL dimension ablation).
+# --------------------------------------------------------------------
+_MRL_NQ = 8  # fixed query set: vec_id < _MRL_NQ
+_MRL_DIM = 16  # truncated prefix dimensionality
+_MRL_K = 5
+
+
+def _mrl_cos_sql(a: str, b: str, dim: int) -> str:
+    rng = f"range(1, {dim + 1})"
+    return (
+        f"round(list_sum(list_transform({rng}, i ->"
+        f" {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform({rng}, i ->"
+        f" {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform({rng}, i ->"
+        f" {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"
+    )
+
+
+@register(
+    "matryoshka_truncation_recall",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {_MRL_NQ}
+    ), c AS (
+      SELECT vec_id AS nid, embedding AS ce FROM embeddings
+    ), full_rk AS (
+      SELECT query_id, nid,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {_mrl_cos_sql("qe", "ce", 64)} DESC, nid) AS rk
+      FROM q JOIN c ON nid != query_id
+    ), trunc_rk AS (
+      SELECT query_id, nid,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {_mrl_cos_sql("qe", "ce", _MRL_DIM)} DESC, nid) AS rk
+      FROM q JOIN c ON nid != query_id
+    )
+    SELECT f.query_id AS query_id,
+           CAST(COUNT(t.nid) AS BIGINT) AS n_hits,
+           CAST((1000 * COUNT(t.nid)) // {_MRL_K} AS BIGINT)
+             AS recall_milli
+    FROM full_rk f
+    LEFT JOIN trunc_rk t
+      ON t.query_id = f.query_id AND t.nid = f.nid
+         AND t.rk <= {_MRL_K}
+    WHERE f.rk <= {_MRL_K}
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+    tags=("similarity", "embedding", "llm", "audit"),
+)
+def matryoshka_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka dimension-truncation audit (Kusupati et al. 2022
+    MRL): recall@{K} of top-{K} cosine retrieval using only the first
+    {DIM} embedding dimensions against the full-64-dim exact top-{K},
+    per query ({NQ} fixed queries) — the measurement behind the
+    modern "store the prefix, rerank with the tail" embedding-cost
+    ablation. Cosines are 6dp-rounded index-order folds (both engines
+    identical); ranks tie-break on neighbor id.
+
+    Scale shape: the fixed {NQ}-query set broadcasts against one
+    corpus scan per variant (the registry's brute-force path — at
+    scale the IVF/SRP candidate generators replace it, same recall
+    contract); per-query top-{K} via rank window partitioned by
+    query_id; the intersection is a keyed self-join of two {NQ}·{K}-
+    row sets — config-bounded.
+    """
+    from filemapreduce_spark.operators.vectors import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MRL_NQ)
+    full = cosine_topk(emb, queries, k=_MRL_K).select(
+        "query_id", "neighbor_id"
+    )
+    tr = lambda df: df.select(  # noqa: E731
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    )
+    trunc = cosine_topk(tr(emb), tr(queries), k=_MRL_K).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    return (
+        full.join(
+            trunc,
+            (F.col("query_id") == F.col("tq"))
+            & (F.col("neighbor_id") == F.col("tn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("tn").cast("long").alias("n_hits"),
+            F.expr(f"CAST((1000 * count(tn)) div {_MRL_K} AS BIGINT)")
+            .alias("recall_milli"),
+        )
+        .orderBy("query_id")
+    )
+
+
+matryoshka_truncation_recall.__doc__ = (
+    matryoshka_truncation_recall.__doc__
+    .replace("{K}", str(_MRL_K))
+    .replace("{DIM}", str(_MRL_DIM))
+    .replace("{NQ}", str(_MRL_NQ))
+)
+
+
+# --------------------------------------------------------------------
+# Curriculum interleave: difficulty-ordered, source-round-robin.
+# --------------------------------------------------------------------
+_CUR_TOP = 100
+
+
+@register(
+    "curriculum_interleave_order",
+    f"""
+    WITH si AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) AS sidx,
+             (SELECT COUNT(DISTINCT source) FROM documents) AS n_src
+      FROM (SELECT DISTINCT source FROM documents)
+    ), rk AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r
+      FROM documents
+    )
+    SELECT CAST((rk.r - 1) * si.n_src + si.sidx AS BIGINT) AS position,
+           rk.doc_id, rk.source, rk.n_chars
+    FROM rk JOIN si ON si.source = rk.source
+    WHERE (rk.r - 1) * si.n_src + si.sidx <= {_CUR_TOP}
+    ORDER BY position
+    """,
+    tags=("llm", "pipeline", "ordering"),
+)
+def curriculum_interleave_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum data ordering with source interleave: rank each
+    source's documents easiest-first (n_chars as the difficulty
+    proxy, doc_id tie-break), then round-robin across sources —
+    position = (rank−1)·#sources + source_index — so training sees
+    difficulty ramp WITHOUT source clumping (the ordering step of
+    curriculum-learning pipelines; Bengio et al. 2009). First
+    {TOP} positions returned; position arithmetic is exact integers.
+
+    Scale shape: one window per source partition (volume splits
+    across sources) + a #sources-row index table broadcast back;
+    no global sort of the corpus — the curriculum position is
+    computed arithmetically, and only the top-{TOP} slice (bounded)
+    is returned. The full ordered write would partition by
+    position ranges with the same arithmetic.
+    """
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    srcs = d.select("source").distinct()
+    n_src = srcs.agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    si = (
+        srcs.withColumn(
+            "sidx",
+            F.row_number().over(Window.orderBy("source")).cast("long"),
+        )
+        .crossJoin(F.broadcast(n_src))
+    )
+    rk = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    pos = (F.col("r") - 1) * F.col("n_src") + F.col("sidx")
+    return (
+        rk.join(F.broadcast(si), "source")
+        .select(
+            pos.alias("position"), "doc_id", "source", "n_chars"
+        )
+        .where(F.col("position") <= _CUR_TOP)
+        .orderBy("position")
+    )
+
+
+curriculum_interleave_order.__doc__ = (
+    curriculum_interleave_order.__doc__.replace("{TOP}", str(_CUR_TOP))
+)

@@ -375,3 +375,60 @@ def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "sink_hilbert_roundtrip",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum,
+           CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM part
+    WHERE p_size BETWEEN 25 AND 40
+      AND p_retailprice BETWEEN 940 AND 980
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("sink", "hilbert", "roundtrip"),
+)
+def sink_hilbert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write part HILBERT-clustered on (p_size, p_retailprice), read
+    it back with predicates on BOTH dimensions, and aggregate; the
+    oracle aggregates the original table. A hash match proves the
+    curve layout round-trips losslessly, and the read is exactly the
+    2-D range query the layout serves. Hilbert beats Morton/z-order
+    on locality — successive curve positions are always Manhattan-
+    adjacent (verified by tests/test_sinks.py bijection+adjacency
+    planted checks), so per-file min/max boxes avoid the quadrant-
+    jump outliers that widen z-order files — the layout behind
+    Databricks liquid clustering and Iceberg's hilbert sort order.
+
+    Scale: one min/max agg over the input, a 2^16-row driver LUT
+    (config-bounded, data-independent) broadcast-joined on the
+    quantized cell, then the same range shuffle + local sort as
+    z-order — no Python in the row path at any SF.
+    """
+    from filemapreduce_spark.sinks import write_hilbert
+
+    base = t(spark, sf_dir, "part").select(
+        "p_brand", "p_size", "p_retailprice"
+    )
+    dest = _scratch("hilbert")
+    write_hilbert(base, dest, ("p_size", "p_retailprice"), n_files=8)
+    back = spark.read.parquet(dest).where(
+        F.col("p_size").between(25, 40)
+        & F.col("p_retailprice").between(940, 980)
+    )
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").cast("long").alias("size_sum"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .orderBy("p_brand")
+    )

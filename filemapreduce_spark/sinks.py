@@ -218,3 +218,113 @@ def write_zordered(
         .format(format)
         .save(path)
     )
+
+
+
+
+def hilbert_xy2d(x, y, bits: int):
+    """Hilbert-curve index of 2-D cell(s) (x, y) on a 2^bits×2^bits
+    grid — the standard xy2d inverse (Hamilton 2006 / Wikipedia
+    formulation), VECTORIZED over numpy arrays. Used to build the
+    curve lookup table driver-side (2^(2·bits) entries — config-
+    bounded, data-independent); the per-row encode is then a
+    broadcast hash join, keeping the row path JVM-side. (A fully
+    unrolled column-expression encode is exponential in ``bits`` —
+    the data-dependent rotate makes each round's x/y reference the
+    previous round's twice — so the LUT join is the scale-correct
+    form.)
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: where ry==0 { if rx==1 reflect; swap(x,y) }
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, s - 1 - x, x)
+        y2 = np.where(flip, s - 1 - y, y)
+        nx = np.where(ry == 0, y2, x2)
+        ny = np.where(ry == 0, x2, y2)
+        x, y = nx, ny
+        s >>= 1
+    return d
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cluster_by: tuple[str, str],
+    n_files: int | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    bits: int = 8,
+) -> None:
+    """Write ``df`` clustered on the HILBERT curve of two numeric
+    columns — the same multi-dimensional file-skipping contract as
+    ``write_zordered`` but with strictly better locality: successive
+    curve positions are always Manhattan-adjacent cells (no Morton
+    quadrant jumps), so per-file min/max boxes are tighter on average
+    and range predicates skip more files (the layout behind
+    Databricks liquid clustering and Iceberg's hilbert sort order).
+
+    Cost shape: one min/max aggregate over the input; a driver-built
+    2^(2·bits)-row curve LUT (bits=8 → 65,536 rows ≈ 1 MB —
+    config-bounded, data-independent) broadcast-joined on the
+    quantized (x, y) cell; then the same range shuffle + local sort
+    as z-order. No Python in the row path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    c1, c2 = cluster_by
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(F.col(c1).cast("double")),
+        F.max(F.col(c1).cast("double")),
+        F.min(F.col(c2).cast("double")),
+        F.max(F.col(c2).cast("double")),
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        span = (hi - lo) or 1.0
+        return F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - lo) * (top + 1) / span).cast(
+                "long"
+            ),
+        )
+
+    n = 1 << bits
+    xs, ys = np.meshgrid(
+        np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64),
+        indexing="ij",
+    )
+    lut = pd.DataFrame(
+        {
+            "__cell": (xs * n + ys).ravel(),
+            "__h": hilbert_xy2d(xs.ravel(), ys.ravel(), bits),
+        }
+    )
+    lut_df = df.sparkSession.createDataFrame(lut)
+    cell = scaled(c1, lo1, hi1) * n + scaled(c2, lo2, hi2)
+    hdf = df.withColumn("__cell", cell).join(
+        F.broadcast(lut_df), "__cell"
+    )
+    part = (
+        hdf.repartitionByRange(n_files, "__h")
+        if n_files
+        else hdf.repartitionByRange("__h")
+    )
+    (
+        part.sortWithinPartitions("__h")
+        .drop("__h", "__cell")
+        .write.mode(mode)
+        .format(format)
+        .save(path)
+    )

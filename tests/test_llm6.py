@@ -198,3 +198,67 @@ def test_canonical_url_planted_collapse(spark, registry):
         assert r.collapse_milli == 333
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_matryoshka_tail_information_loss(spark, registry):
+    """Planted decisive case: query 0 carries half its information in
+    dim 17 (outside the 16-dim prefix). Ten candidates share query
+    0's EXACT prefix (all truncated cosines tie at 1, broken by id →
+    trunc top-5 = ids 8-12) but only ids 13-17 align on the tail
+    (full cosine 1 vs 0 → full top-5 = ids 13-17). Disjoint sets →
+    recall@5 must be exactly 0 for query 0."""
+    def vec(entries):
+        v = [0.0] * 64
+        for i, x in entries:
+            v[i - 1] = float(x)
+        return v
+
+    rows = []
+    # queries 0-7: q0 = e1 + e17; q1..q7 = e2..e8 (orthogonal, no tail)
+    rows.append((0, vec([(1, 1), (17, 1)]), 0))
+    for i in range(1, 8):
+        rows.append((i, vec([(i + 1, 1)]), 0))
+    # candidates 8-17: prefix = e1 (exactly q0's truncated direction);
+    # tail dim17 = -1 for 8-12 (anti-aligned), +1 for 13-17 (aligned)
+    for i in range(8, 13):
+        rows.append((i, vec([(1, 1), (17, -1)]), 0))
+    for i in range(13, 18):
+        rows.append((i, vec([(1, 1), (17, 1)]), 0))
+    d = _write_embeddings(spark, rows)
+    try:
+        out = {
+            r.query_id: r
+            for r in registry["matryoshka_truncation_recall"]
+            .fn(spark, d)
+            .collect()
+        }
+        assert set(out) == set(range(8))
+        assert out[0].n_hits == 0
+        assert out[0].recall_milli == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curriculum_interleave_planted_order(spark, registry):
+    """Sources A (3 docs) and B (2 docs): easiest-first within source,
+    strict A/B alternation across positions 1..5."""
+    rows = [
+        (10, "x" * 30, "en", "A", 30),
+        (11, "x" * 10, "en", "A", 10),
+        (12, "x" * 20, "en", "A", 20),
+        (20, "y" * 25, "en", "B", 25),
+        (21, "y" * 5, "en", "B", 5),
+    ]
+    d = _write_documents(spark, rows)
+    try:
+        out = registry["curriculum_interleave_order"].fn(spark, d).collect()
+        got = [(r.position, r.doc_id, r.source) for r in out]
+        assert got == [
+            (1, 11, "A"),  # A rank1 (10 chars)
+            (2, 21, "B"),  # B rank1 (5 chars)
+            (3, 12, "A"),  # A rank2 (20)
+            (4, 20, "B"),  # B rank2 (25)
+            (5, 10, "A"),  # A rank3 (30)
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

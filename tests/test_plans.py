@@ -138,6 +138,8 @@ def test_registry_wide_plan_audit(spark, registry):
         "join_cardinality_estimate_audit",  # three 1-row stat broadcasts
         "kaplan_meier_signup_purchase",  # 1-row subject-total broadcast
         "nelson_aalen_cumhaz",  # 1-row subject-total broadcast (KM twin)
+        "curriculum_interleave_order",  # 1-row #sources-count broadcast
+        "matryoshka_truncation_recall",  # fixed 8-query-vector broadcast
         "psi_value_drift",  # #types×10 decile-grid cross, config-bounded
         "kmeans_lloyd_2iter",
         "minhash_lsh_recall",
@@ -202,6 +204,10 @@ def test_registry_wide_plan_audit(spark, registry):
         # heavy_hitters_exact_mg: rank window over the LIMIT-10 row
         # set (config-bounded, never data volume).
         "heavy_hitters_exact_mg",
+        # curriculum_interleave_order: row_number over the DISTINCT-
+        # source frame (#sources rows — catalog-bounded, never data
+        # volume); the per-document windows are source-partitioned.
+        "curriculum_interleave_order",
     }
 
     offenders = {}
@@ -312,6 +318,8 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "jsd_pairwise_sources",  # top-V vocab (config), no corpus hint
         "stupid_backoff_trigram_score",  # 1-row train-token total
         "kcenter_coreset_selection",  # <=k-row selected set per round
+        "curriculum_interleave_order",  # #sources-row index table
+        "matryoshka_truncation_recall",  # fixed 8-query set (2 variants)
         "kmeans_lloyd_2iter",  # k centroids per iteration
         "mmr_diversified_topk",  # 1 query vec + N-candidate set (config)
         "parents_prefix_inheritance",  # bounded dir-level table

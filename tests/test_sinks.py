@@ -314,3 +314,52 @@ def test_dynamic_partition_pruning_star_join(spark, lineitem, tmp_path):
     assert fact_scan, plan
     expected = cust.filter(F.col("c_nationkey") == 7).count()
     assert q.collect()[0]["n"] == expected
+
+
+def test_hilbert_curve_bijection_and_adjacency():
+    """The defining Hilbert properties (vs Morton): the index is a
+    bijection on the grid AND successive curve positions are always
+    Manhattan-adjacent cells — no quadrant jumps. Checked exhaustively
+    at several grid sizes on the driver-side LUT generator."""
+    import numpy as np
+
+    from filemapreduce_spark.sinks import hilbert_xy2d
+
+    for bits in (2, 3, 5, 8):
+        n = 1 << bits
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d = hilbert_xy2d(xs.ravel(), ys.ravel(), bits)
+        assert sorted(d.tolist()) == list(range(n * n))
+        order = np.argsort(d)
+        step = np.abs(np.diff(xs.ravel()[order])) + np.abs(
+            np.diff(ys.ravel()[order])
+        )
+        assert (step == 1).all()
+
+
+def test_hilbert_write_tight_ranges_both_dims(spark, lineitem, tmp_path):
+    """write_hilbert must keep per-file min/max ranges tight on BOTH
+    cluster columns (the z-order contract) and round-trip losslessly."""
+    import glob as pyglob
+
+    from filemapreduce_spark.sinks import write_hilbert
+
+    hout = str(tmp_path / "hilbert")
+    write_hilbert(lineitem, hout, ("l_orderkey", "l_partkey"), n_files=8)
+
+    def mean_range_fraction(path, col):
+        files = sorted(pyglob.glob(path + "/part-*.parquet"))
+        assert len(files) == 8, files
+        glo, ghi = lineitem.agg(F.min(col), F.max(col)).collect()[0]
+        span = float(ghi - glo)
+        fracs = []
+        for f in files:
+            lo, hi = (
+                spark.read.parquet(f).agg(F.min(col), F.max(col)).collect()[0]
+            )
+            fracs.append((hi - lo) / span)
+        return sum(fracs) / len(fracs)
+
+    assert mean_range_fraction(hout, "l_orderkey") < 0.6
+    assert mean_range_fraction(hout, "l_partkey") < 0.6
+    assert spark.read.parquet(hout).count() == lineitem.count()
