@@ -87,6 +87,15 @@ HEADLINE = [
     "mmr_diversified_topk",
     "kl_divergence_by_source",
     "rendezvous_shard_move_audit",
+    # round-5 second stretch — each does real work on both engines
+    # (mini-bench ratios at sf0.1: kcenter 0.7, canonical 2.3,
+    # matryoshka 5.3, changepoint 6.6; the remaining 5b ops are
+    # oracle-gated but kept off the timing suite: their DuckDB twins
+    # are sub-50ms while Spark pays the per-action floor)
+    "kcenter_coreset_selection",
+    "canonical_url_dedup",
+    "matryoshka_truncation_recall",
+    "changepoint_sse_split",
 ]
 
 

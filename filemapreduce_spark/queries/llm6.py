@@ -135,7 +135,9 @@ def stupid_backoff_trigram_score(
             .cast("int")
             < _TRAIN_GATE
         ).alias("is_train"),
-    )
+    ).persist()  # tokenized once; read by the tri/bi/uni explodes —
+    # same corpus-token persist pattern as the MinHash builders
+    # (spills to disk at volume; avoids 4× re-tokenization)
     ws = F.col("ws")
     tri_struct = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 2),
