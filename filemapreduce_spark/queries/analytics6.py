@@ -423,3 +423,469 @@ def nelson_aalen_cumhaz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+# --------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage (blocked, weighted).
+# --------------------------------------------------------------------
+# ln(m/u) agreement / ln((1-m)/(1-u)) disagreement weights, fixed
+# config constants (name: m=.95 u=.01; balance: m=.9 u=.02;
+# segment: m=.9 u=.15), threshold 3.0.
+_FS_W = {
+    "name": (4.553876891600541, -2.986476964580297),
+    "bal": (3.8066624897703196, -2.2823823856765264),
+    "seg": (1.791759469228055, -2.1400661634962708),
+}
+_FS_THRESHOLD = 3.0
+
+
+@register(
+    "fellegi_sunter_entity_match",
+    f"""
+    WITH base AS (
+      SELECT c_custkey AS b_key, c_name AS b_name,
+             c_nationkey AS b_nat,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS b_bal,
+             c_mktsegment AS b_seg
+      FROM customer
+    ), dirty AS (
+      SELECT c_custkey AS d_key,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN substr(c_name, 1, length(c_name) - 1)
+                  ELSE c_name END AS d_name,
+             c_nationkey AS d_nat,
+             CAST(round(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 5 = 0 THEN 111 ELSE 0 END AS d_bal,
+             CASE WHEN c_custkey % 7 = 0 THEN 'PERTURBED'
+                  ELSE c_mktsegment END AS d_seg
+      FROM customer
+    ), pairs AS (
+      SELECT b.*, d.*,
+             (CASE WHEN b_name = d_name
+                   THEN {_FS_W["name"][0]} ELSE {_FS_W["name"][1]} END
+              + CASE WHEN b_bal = d_bal
+                     THEN {_FS_W["bal"][0]} ELSE {_FS_W["bal"][1]} END
+              + CASE WHEN b_seg = d_seg
+                     THEN {_FS_W["seg"][0]} ELSE {_FS_W["seg"][1]} END)
+               AS score
+      FROM base b JOIN dirty d
+        ON b.b_nat = d.d_nat
+       AND substr(b.b_name, 10, 5) = substr(d.d_name, 10, 5)
+    ), flagged AS (
+      SELECT b_seg AS segment,
+             CASE WHEN score > {_FS_THRESHOLD} THEN 1 ELSE 0 END AS m,
+             CASE WHEN b_key = d_key THEN 1 ELSE 0 END AS truth
+      FROM pairs
+    ), agg AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(m) AS BIGINT) AS n_declared,
+             CAST(SUM(m * truth) AS BIGINT) AS tp,
+             CAST(SUM(m * (1 - truth)) AS BIGINT) AS fp,
+             CAST(SUM(truth) AS BIGINT) AS n_true
+      FROM flagged GROUP BY segment
+    )
+    SELECT segment, n_pairs, n_declared, tp, fp,
+           CAST((1000 * tp) // n_true AS BIGINT) AS recall_milli,
+           CAST((1000 * tp) // n_declared AS BIGINT) AS precision_milli
+    FROM agg ORDER BY segment
+    """,
+    tags=("mlprep", "dedup", "entity-resolution"),
+)
+def fellegi_sunter_entity_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    1969): match a deterministically-perturbed "dirty" copy of the
+    customer table (last-char name truncation on key%4, +1.11 balance
+    shift on key%5, segment corruption on key%7) back to the clean
+    table. Candidate pairs come from BLOCKING on (nationkey, 5-digit
+    name prefix) — the standard quadratic-cost containment — and each
+    pair is scored with per-field log-likelihood agreement weights
+    ln(m/u) / ln((1−m)/(1−u)); pairs above the threshold are declared
+    matches, and the output accounts precision/recall per segment
+    against the planted ground truth (same custkey). All counts are
+    exact; scores are fixed-literal sums compared identically in both
+    engines.
+
+    Scale shape: the block join is a hash equi-join on the blocking
+    key — pair count is Σ per-block |b|·|d|, bounded by the blocking
+    design, never all-pairs (no cartesian); scoring is row-local
+    codegen; one grouped agg finishes. The same shape at any SF —
+    the block key's digit prefix widens as keys grow, keeping blocks
+    bounded.
+    """
+    c = t(spark, sf_dir, "customer")
+    balc = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("b_nat"),
+        balc.alias("b_bal"),
+        F.col("c_mktsegment").alias("b_seg"),
+    )
+    dirty = c.select(
+        F.col("c_custkey").alias("d_key"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.expr("substr(c_name, 1, length(c_name) - 1)"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nat"),
+        (
+            balc
+            + F.when(F.col("c_custkey") % 5 == 0, 111).otherwise(0)
+        ).alias("d_bal"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+    )
+    def w(field, agree):
+        a, d = _FS_W[field]
+        return F.when(agree, F.lit(a)).otherwise(F.lit(d))
+
+    pairs = base.join(
+        dirty,
+        (F.col("b_nat") == F.col("d_nat"))
+        & (
+            F.expr("substr(b_name, 10, 5)")
+            == F.expr("substr(d_name, 10, 5)")
+        ),
+    ).withColumn(
+        "score",
+        w("name", F.col("b_name") == F.col("d_name"))
+        + w("bal", F.col("b_bal") == F.col("d_bal"))
+        + w("seg", F.col("b_seg") == F.col("d_seg")),
+    )
+    m = F.when(F.col("score") > _FS_THRESHOLD, 1).otherwise(0)
+    truth = F.when(F.col("b_key") == F.col("d_key"), 1).otherwise(0)
+    agg = (
+        pairs.select(
+            F.col("b_seg").alias("segment"),
+            m.alias("m"),
+            truth.alias("truth"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("m").cast("long").alias("n_declared"),
+            F.sum(F.col("m") * F.col("truth")).cast("long").alias("tp"),
+            F.sum(F.col("m") * (1 - F.col("truth")))
+            .cast("long")
+            .alias("fp"),
+            F.sum("truth").cast("long").alias("n_true"),
+        )
+    )
+    return agg.select(
+        "segment",
+        "n_pairs",
+        "n_declared",
+        "tp",
+        "fp",
+        F.expr("CAST((1000 * tp) div n_true AS BIGINT)").alias(
+            "recall_milli"
+        ),
+        F.expr("CAST((1000 * tp) div n_declared AS BIGINT)").alias(
+            "precision_milli"
+        ),
+    ).orderBy("segment")
+
+
+# --------------------------------------------------------------------
+# Bootstrap CI via hash-deterministic Poisson resampling.
+# --------------------------------------------------------------------
+_BOOT_B = 100  # replicates
+# P(Poisson(1) <= k) cutoffs for k = 0..5 (then clamp at 6)
+_POIS = (0.367879441, 0.735758882, 0.919698603,
+         0.981011843, 0.996340153, 0.999405815)
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@register(
+    "bootstrap_ci_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ), reps AS (
+      SELECT d.day, d.rev, b.b,
+             ('0x' || substring(md5(CAST(b.b AS VARCHAR) || ':'
+                || strftime(d.day, '%Y-%m-%d')), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM daily d
+      CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS b) b
+    ), means AS (
+      SELECT b,
+             CAST(SUM(CAST({_boot_w_sql("u")} AS DECIMAL(38,0)) * rev)
+                  AS DOUBLE)
+             / CAST(SUM({_boot_w_sql("u")}) AS DOUBLE) AS mean_b
+      FROM reps GROUP BY b
+    ), point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mean_all
+      FROM daily
+    )
+    SELECT p.n_days,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           round(p.mean_all, 3) AS mean_cents,
+           round((SELECT percentile_disc(0.05) WITHIN GROUP
+                    (ORDER BY mean_b) FROM means), 3) AS ci_lo_cents,
+           round((SELECT percentile_disc(0.95) WITHIN GROUP
+                    (ORDER BY mean_b) FROM means), 3) AS ci_hi_cents
+    FROM point p
+    """,
+    tags=("stats", "bootstrap", "resampling"),
+)
+def bootstrap_ci_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bootstrap confidence interval for mean daily revenue via
+    hash-deterministic Poisson(1) resampling (Poissonization of the
+    multinomial bootstrap — Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams"; the big-data bootstrap
+    form, since per-replicate weights need no coordination): each of
+    {B} replicates draws each day's weight from the inverse Poisson
+    CDF applied to a uniform derived from md5(replicate:day) —
+    reproducible across engines and runs, no RNG state. The CI is the
+    5th/95th percentile_disc of the replicate means (actual
+    elements). All sums are exact integers (weights cast to
+    DECIMAL(38,0) before multiplying — the registry's accumulator-
+    width discipline); replicate means divide two exactly-
+    representable integers, identically in both engines.
+
+    Scale shape: raw orders reduce to the day grain FIRST (map-side
+    combined); the ×{B} replicate explosion happens on the
+    calendar-bounded daily table, never on raw rows; replicate means
+    are one grouped agg over #days×{B} rows and the percentile runs
+    over {B} values. At 100 TB the day-grain table is still tiny —
+    the bootstrap costs {B}× a small aggregate, not {B}× the scan.
+    """
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    reps = daily.crossJoin(
+        spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.date_format("day", "yyyy-MM-dd"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0),
+    )
+    wexpr = F.lit(6)
+    for k in range(len(_POIS) - 1, -1, -1):
+        wexpr = F.when(F.col("u") < _POIS[k], k).otherwise(wexpr)
+    means = (
+        reps.withColumn("w", wexpr)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(
+                    F.col("w").cast("decimal(38,0)") * F.col("rev")
+                ).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("mean_b")
+        )
+    )
+    means.createOrReplaceTempView("_boot_means")
+    ci = spark.sql(
+        """
+        SELECT round(percentile_disc(0.05) WITHIN GROUP
+                 (ORDER BY mean_b), 3) AS ci_lo_cents,
+               round(percentile_disc(0.95) WITHIN GROUP
+                 (ORDER BY mean_b), 3) AS ci_hi_cents
+        FROM _boot_means
+        """
+    )
+    point = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum("rev").cast("double") / F.count(F.lit(1)), 3
+        ).alias("mean_cents"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_days",
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        "mean_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )
+
+
+bootstrap_ci_daily_revenue.__doc__ = (
+    bootstrap_ci_daily_revenue.__doc__.replace("{B}", str(_BOOT_B))
+)
+
+
+# --------------------------------------------------------------------
+# Cramér–von Mises two-sample distance (integrated CDF gap).
+# --------------------------------------------------------------------
+_CVM_BASE = "view"
+
+
+@register(
+    "cramer_von_mises_vs_view",
+    f"""
+    WITH ev AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+      FROM events
+    ), sides AS (
+      SELECT event_type AS pair, c, 1 AS ca, 0 AS cb
+      FROM ev WHERE event_type != '{_CVM_BASE}'
+      UNION ALL
+      SELECT p.pair, c, 0, 1
+      FROM ev CROSS JOIN (
+        SELECT DISTINCT event_type AS pair FROM ev
+        WHERE event_type != '{_CVM_BASE}') p
+      WHERE event_type = '{_CVM_BASE}'
+    ), grid AS (
+      SELECT pair, c,
+             CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+      FROM sides GROUP BY pair, c
+    ), cum AS (
+      SELECT pair, c, ca, cb,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+             CAST(SUM(ca) OVER p AS BIGINT) AS n_a,
+             CAST(SUM(cb) OVER p AS BIGINT) AS n_b
+      FROM grid
+      WINDOW w AS (PARTITION BY pair ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY pair)
+    ), terms AS (
+      SELECT pair, n_a, n_b,
+             SUM(CAST(cum_a * n_b - cum_b * n_a AS DECIMAL(38,0))
+                 * CAST(cum_a * n_b - cum_b * n_a AS DECIMAL(38,0))
+                 * (ca + cb)) AS s_num
+      FROM cum GROUP BY pair, n_a, n_b
+    )
+    SELECT pair, n_a, n_b,
+           CAST(round(1000000.0 *
+             (CAST(n_a AS DOUBLE) * n_b
+               / ((n_a + n_b) * (n_a + n_b)))
+             * (CAST(s_num AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * n_a * n_b * n_b))
+           ) AS BIGINT) AS t_micro
+    FROM terms
+    ORDER BY pair
+    """,
+    tags=("stats", "hypothesis-test", "drift"),
+)
+def cramer_von_mises_vs_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Cramér–von Mises distance of each event type's value
+    distribution against the '{BASE}' baseline: T = n·m/(n+m)² ·
+    Σ_z (F_n(z) − G_m(z))² over every combined observation z — the
+    INTEGRATED-gap complement of the registry's KS row (KS reads only
+    the max gap; CvM accumulates the whole curve, so it detects many
+    small persistent shifts KS misses). Computed on the distinct-
+    value grid with counts: each value contributes (ca+cb) copies of
+    ((cum_a·n_b − cum_b·n_a)/(n_a·n_b))². The inner sum is EXACT —
+    the gap numerator is cast to DECIMAL(38,0) before squaring
+    (cum·n ≈ 10¹⁰ squares to 10²⁰, past int64 — the overflow class
+    the accumulator-width guard exists for); one float normalization
+    at the end, micro-rounded.
+
+    Scale shape: identical to the KS row — one scan → (pair, value)
+    grid agg → pair-partitioned cumulative windows (grid size is the
+    value domain × #types, not the row count) → one grouped agg. Two
+    shuffles, both on bounded keys.
+    """
+    e = t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    a = ev.where(F.col("event_type") != _CVM_BASE).select(
+        F.col("event_type").alias("pair"),
+        "c",
+        F.lit(1).alias("ca"),
+        F.lit(0).alias("cb"),
+    )
+    pairs = (
+        ev.where(F.col("event_type") != _CVM_BASE)
+        .select(F.col("event_type").alias("pair"))
+        .distinct()
+    )
+    b = (
+        ev.where(F.col("event_type") == _CVM_BASE)
+        .crossJoin(F.broadcast(pairs))
+        .select("pair", "c", F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    )
+    grid = (
+        a.unionAll(b)
+        .groupBy("pair", "c")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+    )
+    wo = (
+        Window.partitionBy("pair")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("pair")
+    cum = grid.select(
+        "pair",
+        "c",
+        "ca",
+        "cb",
+        F.sum("ca").over(wo).cast("long").alias("cum_a"),
+        F.sum("cb").over(wo).cast("long").alias("cum_b"),
+        F.sum("ca").over(wp).cast("long").alias("n_a"),
+        F.sum("cb").over(wp).cast("long").alias("n_b"),
+    )
+    gap = (
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    ).cast("decimal(38,0)")
+    terms = cum.groupBy("pair", "n_a", "n_b").agg(
+        F.sum(gap * gap * (F.col("ca") + F.col("cb"))).alias("s_num")
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    t_stat = (
+        na
+        * F.col("n_b")
+        / ((F.col("n_a") + F.col("n_b")) * (F.col("n_a") + F.col("n_b")))
+    ) * (
+        F.col("s_num").cast("double")
+        / (na * F.col("n_a") * F.col("n_b") * F.col("n_b"))
+    )
+    return terms.select(
+        "pair",
+        "n_a",
+        "n_b",
+        F.round(1000000.0 * t_stat).cast("long").alias("t_micro"),
+    ).orderBy("pair")
+
+
+cramer_von_mises_vs_view.__doc__ = (
+    cramer_von_mises_vs_view.__doc__.replace("{BASE}", _CVM_BASE)
+)

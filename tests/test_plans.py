@@ -141,6 +141,9 @@ def test_registry_wide_plan_audit(spark, registry):
         "curriculum_interleave_order",  # 1-row #sources-count broadcast
         "matryoshka_truncation_recall",  # fixed 8-query-vector broadcast
         "psi_value_drift",  # #types×10 decile-grid cross, config-bounded
+        "bootstrap_ci_daily_revenue",  # B-replicate cross on the DAY
+        # grain (calendar-bounded) + 1-row CI broadcast
+        "cramer_von_mises_vs_view",  # #types-row pair-list broadcast
         "kmeans_lloyd_2iter",
         "minhash_lsh_recall",
         "parents_prefix_inheritance",
