@@ -878,3 +878,98 @@ def curriculum_interleave_order(
 curriculum_interleave_order.__doc__ = (
     curriculum_interleave_order.__doc__.replace("{TOP}", str(_CUR_TOP))
 )
+
+
+# --------------------------------------------------------------------
+# Feature-hashing (hashing-trick) linear classifier scoring.
+# --------------------------------------------------------------------
+_FH_BUCKETS = 1024  # 2^10 hashed feature space
+_FH_KNUTH = 2654435761  # Knuth multiplicative constant for weights
+
+
+@register(
+    "feature_hashing_classifier_score",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '\\s+'), w -> w != '')) AS w
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             ('0x' || substring(md5('fh:' || w), 1, 8))::BIGINT
+               % {_FH_BUCKETS} AS h,
+             CASE WHEN substring(md5('sg:' || w), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE -1 END AS sg
+      FROM tok
+    ), terms AS (
+      SELECT doc_id, source,
+             sg * (((h * {_FH_KNUTH}) % 1000 - 500) / 1000.0) AS term
+      FROM feat
+    )
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(round(1000000.0 * SUM(term) / COUNT(*)) AS BIGINT)
+             AS margin_micro,
+           CAST(CASE WHEN round(1000000.0 * SUM(term) / COUNT(*)) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS pred
+    FROM terms GROUP BY doc_id, source
+    ORDER BY doc_id
+    """,
+    tags=("llm", "mlprep", "classifier", "hashing"),
+)
+def feature_hashing_classifier_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") linear scoring (Weinberger
+    et al. 2009): each token is hashed into a {B}-bucket feature
+    space with a second hash supplying the ±1 sign (the unbiasedness
+    device from the paper), and the document margin is the
+    length-normalized signed sum of the bucket weights. Weights are
+    a fixed deterministic function of the bucket index (Knuth
+    multiplicative mix → [−0.5, 0.5)), so BOTH engines evaluate the
+    identical model with NO weight table at all — the operational
+    point of the hashing trick: memory is O(2^b), independent of
+    vocabulary, and scoring needs no vocabulary join whatsoever.
+    Margins are micro-rounded; the prediction derives from the
+    rounded margin (stable across engines).
+
+    Scale shape: pure row-local expressions after one explode — no
+    join, no broadcast, no vocabulary state; one groupBy(doc_id)
+    with map-side partial aggregation. The same plan at any corpus
+    size; this is why hashing-trick scoring is THE baseline for
+    trillion-token classifier sweeps (fastText-style quality
+    filters).
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(words("text")).alias("w")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % _FH_BUCKETS
+    sg = F.when(
+        F.substring(F.md5(F.concat(F.lit("sg:"), F.col("w"))), 1, 1).isin(
+            *"01234567"
+        ),
+        1,
+    ).otherwise(-1)
+    term = sg * (
+        ((h * _FH_KNUTH) % 1000 - 500) / F.lit(1000.0)
+    )
+    margin = F.round(
+        1000000.0 * F.sum("term") / F.count(F.lit(1))
+    )
+    return (
+        tok.select("doc_id", "source", term.alias("term"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            margin.cast("long").alias("margin_micro"),
+            F.when(margin > 0, 1).otherwise(0).cast("long").alias("pred"),
+        )
+        .orderBy("doc_id")
+    )

@@ -432,3 +432,80 @@ def sink_hilbert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "sink_manifest_exactly_once",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("sink", "engine", "roundtrip", "exactly-once"),
+)
+def sink_manifest_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once ingestion via a manifest-commit protocol (the
+    Iceberg/Delta commit shape): each batch writes its data files to
+    a UNIQUE subdirectory, then atomically records the subdirectory
+    in a manifest; readers list the MANIFEST, not the directory.
+    The test plants a failure: batch 1 is written TWICE (a retry
+    after a simulated driver death that wrote files but not the
+    manifest entry) and batch 2 once — three file-level writes, two
+    manifest entries. Reading through the manifest must see each
+    batch EXACTLY once, so the aggregate equals the oracle's plain
+    aggregate over the source table. Reading the directory naively
+    would double-count batch 1 — the exact failure mode the protocol
+    exists to kill at 100 TB (speculative retries, zombie executors).
+
+    Scale: the manifest is one tiny file per commit (list of paths);
+    the read is spark.read.parquet(*committed_paths) — partition
+    pruning and file skipping work unchanged under it.
+    """
+    import json
+    import os
+    import uuid
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    b1 = base.where(F.col("o_orderkey") % 2 == 0)
+    b2 = base.where(F.col("o_orderkey") % 2 != 0)
+    root = _scratch("manifest")
+    manifest = os.path.join(root, "_manifest.json")
+
+    def write_batch(df, commit: bool) -> str:
+        sub = os.path.join(root, f"batch-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(sub)
+        if commit:
+            entries = []
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    entries = json.load(f)
+            entries.append(sub)
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(entries, f)
+            os.replace(tmp, manifest)  # atomic commit point
+        return sub
+
+    write_batch(b1, commit=False)  # orphaned retry: files, no commit
+    write_batch(b1, commit=True)  # successful batch-1 attempt
+    write_batch(b2, commit=True)  # batch 2
+    with open(manifest) as f:
+        committed = json.load(f)
+    assert len(committed) == 2  # the orphan is invisible to readers
+    back = spark.read.parquet(*committed)
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).cast("long").alias("sum_cents"),
+        )
+        .orderBy("priority")
+    )

@@ -262,3 +262,65 @@ def test_curriculum_interleave_planted_order(spark, registry):
         ]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_feature_hashing_hand_computed_margin(spark, registry):
+    """One doc, two known tokens: margin must equal the hand-computed
+    signed bucket-weight mean (hash → bucket, second hash → sign,
+    Knuth-mix weight), reproduced in pure Python."""
+    text = "spark shuffle"
+    d = _write_documents(spark, [(0, text, "en", "s0", len(text))])
+    try:
+        exp_terms = []
+        for w in text.split():
+            h = int(
+                hashlib.md5(f"fh:{w}".encode()).hexdigest()[:8], 16
+            ) % 1024
+            sg = (
+                1
+                if hashlib.md5(f"sg:{w}".encode()).hexdigest()[0]
+                in "01234567"
+                else -1
+            )
+            exp_terms.append(sg * (((h * 2654435761) % 1000 - 500) / 1000.0))
+        exp_margin = round(1e6 * sum(exp_terms) / len(exp_terms))
+        r = (
+            registry["feature_hashing_classifier_score"]
+            .fn(spark, d)
+            .collect()[0]
+        )
+        assert r.n_tokens == 2
+        assert r.margin_micro == exp_margin
+        assert r.pred == (1 if exp_margin > 0 else 0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_exactly_once_vs_naive_directory_read(spark, registry):
+    """The manifest read must count each batch exactly once and match
+    a direct aggregate of the source table; a naive recursive
+    directory read of the same scratch root would see the orphaned
+    batch-1 retry too (strictly more rows) — the failure mode the
+    protocol kills."""
+    sf = "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F
+
+    out = {
+        r.priority: (r.n_orders, r.sum_cents)
+        for r in registry["sink_manifest_exactly_once"]
+        .fn(spark, sf)
+        .collect()
+    }
+    direct = {
+        r.priority: (r.n_orders, r.sum_cents)
+        for r in spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert out == direct
