@@ -96,6 +96,11 @@ HEADLINE = [
     "canonical_url_dedup",
     "matryoshka_truncation_recall",
     "changepoint_sse_split",
+    # round-5 third stretch (mini-bench: feature-hashing 1.3×,
+    # bootstrap 4.2×; Fellegi–Sunter 5.8× and CvM 7.4× stay off the
+    # timing suite — borderline against the ±25% load band)
+    "feature_hashing_classifier_score",
+    "bootstrap_ci_daily_revenue",
 ]
 
 

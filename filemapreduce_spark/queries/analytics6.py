@@ -889,3 +889,191 @@ def cramer_von_mises_vs_view(
 cramer_von_mises_vs_view.__doc__ = (
     cramer_von_mises_vs_view.__doc__.replace("{BASE}", _CVM_BASE)
 )
+
+
+# --------------------------------------------------------------------
+# One-way ANOVA F statistic (exact sufficient statistics).
+# --------------------------------------------------------------------
+@register(
+    "anova_f_value_by_type",
+    """
+    WITH x AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+      FROM events
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(c) AS BIGINT) AS s_g,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) AS ss_g
+      FROM x GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             SUM(ss_g) AS ss,
+             SUM(CAST(s_g AS DECIMAL(38,10)) * s_g / n_g) AS sb_part
+      FROM g
+    )
+    SELECT k, n,
+           CAST(round(1000000.0 *
+             ((CAST(sb_part AS DOUBLE)
+               - CAST(s AS DOUBLE) * s / n) / (k - 1))
+             / ((CAST(ss AS DOUBLE) - CAST(sb_part AS DOUBLE))
+                / (n - k))
+           ) AS BIGINT) AS f_micro
+    FROM tot
+    """,
+    tags=("stats", "hypothesis-test"),
+)
+def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event types (Fisher): F =
+    (SSB/(k−1)) / (SSW/(N−k)) from exact per-group sufficient
+    statistics — SSB = Σ S_g²/n_g − S²/N, SSW = Σc² − Σ S_g²/n_g.
+    Completes the registry's hypothesis-test family (Welch pairwise,
+    MWU rank, KS/CvM distributional, χ² categorical) with the k-group
+    mean-difference omnibus. All accumulators are exact: counts and
+    sums are BIGINT, the c² and S_g² second moments are widened to
+    DECIMAL before multiplying (the accumulator-width discipline);
+    the single float F is micro-rounded.
+
+    Scale shape: one scan → one map-side-combined groupBy(event_type)
+    → one k-row final fold. Nothing grows with data volume past the
+    first agg.
+    """
+    e = t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("c").cast("long").alias("s_g"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias(
+            "ss_g"
+        ),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(
+            F.col("s_g").cast("decimal(38,10)")
+            * F.col("s_g")
+            / F.col("n_g")
+        ).alias("sb_part"),
+    )
+    sbd = F.col("sb_part").cast("double")
+    sd = F.col("s").cast("double")
+    ssb = sbd - sd * F.col("s") / F.col("n")
+    ssw = F.col("ss").cast("double") - sbd
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return tot.select(
+        "k",
+        "n",
+        F.round(1000000.0 * f_stat).cast("long").alias("f_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per signup cohort by age).
+# --------------------------------------------------------------------
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS s_day FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), cohorts AS (
+      SELECT user_id, s_day,
+             CAST(date_trunc('week', s_day) AS DATE) AS cohort
+      FROM s
+    ), csize AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM cohorts GROUP BY cohort
+    ), rev AS (
+      SELECT c.cohort,
+             date_diff('day', c.s_day, CAST(e.ts AS DATE)) AS age_day,
+             CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM events e JOIN cohorts c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= c.s_day
+      GROUP BY c.cohort, age_day
+    )
+    SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort,
+           CAST(r.age_day AS BIGINT) AS age_day,
+           cs.n_users,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort
+                ORDER BY r.age_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_rev_cents,
+           CAST((SUM(r.rev_cents) OVER (PARTITION BY r.cohort
+                 ORDER BY r.age_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                // cs.n_users AS BIGINT) AS ltv_per_user_cents
+    FROM rev r JOIN csize cs ON cs.cohort = r.cohort
+    ORDER BY cohort, age_day
+    """,
+    tags=("analytics", "cohort", "timeseries"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: users grouped by signup WEEK, purchase
+    revenue accumulated by days-since-signup — the cumulative
+    lifetime-value ribbon (one curve per cohort) that retention
+    economics reads slope and plateau from. Exact integer cents;
+    per-user LTV uses integer division (identical both engines).
+
+    Scale shape: per-user signup reduction, one keyed join to
+    purchases, then a (cohort, age_day)-grain aggregate — the
+    windows run over that grain, bounded by #cohorts × horizon days,
+    never event volume. One shuffle on user_id, one on cohort.
+    """
+    e = t(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("s_day"))
+        .withColumn(
+            "cohort", F.date_trunc("week", "s_day").cast("date")
+        )
+    )
+    csize = s.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts").cast("date") >= F.col("s_day"))
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("ts").cast("date"), F.col("s_day"))
+            .cast("long")
+            .alias("age_day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev_cents").over(w)
+    return (
+        rev.join(F.broadcast(csize), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "age_day",
+            "n_users",
+            cum.cast("long").alias("cum_rev_cents"),
+            F.expr(
+                "CAST(SUM(rev_cents) OVER (PARTITION BY cohort"
+                " ORDER BY age_day ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND CURRENT ROW) div n_users AS BIGINT)"
+            ).alias("ltv_per_user_cents"),
+        )
+        .orderBy("cohort", "age_day")
+    )

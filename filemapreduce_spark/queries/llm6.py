@@ -973,3 +973,144 @@ def feature_hashing_classifier_score(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# Skip-gram PMI pairs (SGNS training-prep collocation mining).
+# --------------------------------------------------------------------
+_SG_WINDOW = 2  # skip-gram window (offsets 1..2)
+_SG_MIN = 5  # minimum pair count
+_SG_TOP = 50
+
+
+@register(
+    "skipgram_pmi_pairs",
+    f"""
+    WITH doc AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ), uni AS (
+      SELECT unnest(ws) AS w FROM doc
+    ), n_tok AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni
+    ), c1 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM uni GROUP BY w
+    ), pairs AS (
+      SELECT ws[i] AS a, ws[i + k] AS b
+      FROM doc,
+           unnest(range(1, len(ws) + 1)) AS u(i),
+           unnest(range(1, {_SG_WINDOW + 1})) AS v(k)
+      WHERE i + k <= len(ws)
+    ), n_pairs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pairs
+    ), pc AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM pairs GROUP BY a, b
+      HAVING COUNT(*) >= {_SG_MIN}
+    ), scored AS (
+      SELECT pc.a, pc.b, pc.c_ab,
+             CAST(round(1000000.0 * ln(
+               (CAST(pc.c_ab AS DOUBLE) / (SELECT np FROM n_pairs))
+               / ((CAST(ca.cnt AS DOUBLE) / (SELECT n FROM n_tok))
+                  * (CAST(cb.cnt AS DOUBLE) / (SELECT n FROM n_tok)))
+             )) AS BIGINT) AS pmi_micro
+      FROM pc
+      JOIN c1 ca ON ca.w = pc.a
+      JOIN c1 cb ON cb.w = pc.b
+    )
+    SELECT a, b, c_ab, pmi_micro FROM scored
+    ORDER BY pmi_micro DESC, a, b LIMIT {_SG_TOP}
+    """,
+    tags=("llm", "text", "collocation", "embedding-prep"),
+)
+def skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram collocation mining with pointwise mutual information
+    (the SGNS/word2vec training-prep statistic; Church & Hanks 1990):
+    ordered token pairs within a ±{W}-token window are counted, and
+    PMI = ln(P(a,b)/(P(a)·P(b))) ranks the pairs whose co-occurrence
+    beats the unigram-independence baseline — the table behind
+    phrase detection ("new york"-style merges) and SGNS shifted-PMI
+    analysis (Levy & Goldberg 2014). Pairs under {M} occurrences are
+    dropped (PMI's low-count pathology); top-{K} returned. All
+    counts exact integers; one ln per surviving pair, micro-rounded.
+
+    Scale shape: position×offset explode is row-local ({W} pairs per
+    token); pair counts are one map-side-combined groupBy on the
+    pair key with a HAVING that prunes the long tail map-side; the
+    PMI join touches only surviving pairs × the unigram table.
+    TakeOrdered top-{K} finishes — no global sort.
+    """
+    d = t(spark, sf_dir, "documents")
+    doc = d.select("doc_id", words("text").alias("ws"))
+    ws = F.col("ws")
+    uni = doc.select(F.explode(ws).alias("w"))
+    n_tok = uni.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c1 = uni.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    pair_struct = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws)),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(_SG_WINDOW)),
+                    lambda k: F.when(
+                        i + k <= F.size(ws),
+                        F.struct(
+                            F.element_at(ws, i).alias("a"),
+                            F.element_at(ws, i + k).alias("b"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    )
+    pairs = doc.select(F.explode(pair_struct).alias("p")).select(
+        "p.a", "p.b"
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("np"))
+    pc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= _SG_MIN)
+    )
+    scored = (
+        pc.join(
+            c1.select(F.col("w").alias("a"), F.col("cnt").alias("ca")),
+            "a",
+        )
+        .join(
+            c1.select(F.col("w").alias("b"), F.col("cnt").alias("cb")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                1000000.0
+                * F.log(
+                    (F.col("c_ab").cast("double") / F.col("np"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n"))
+                        * (F.col("cb").cast("double") / F.col("n"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), "a", "b"
+    ).limit(_SG_TOP)
+
+
+skipgram_pmi_pairs.__doc__ = (
+    skipgram_pmi_pairs.__doc__
+    .replace("{W}", str(_SG_WINDOW))
+    .replace("{M}", str(_SG_MIN))
+    .replace("{K}", str(_SG_TOP))
+)

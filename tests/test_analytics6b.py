@@ -120,3 +120,62 @@ def test_cvm_identical_zero_separated_large(spark, registry):
         assert out["error"] > 10_000_000
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_anova_hand_computed_f(spark, registry):
+    """Two groups {0,2} and {4,6}: SSB=16, SSW=4, k=2, N=4 →
+    F = (16/1)/(4/2) = 8 exactly (scale-invariant in cents)."""
+    d = tempfile.mkdtemp(prefix="fmr_a6b_anova_")
+    try:
+        rows = [
+            (0, dt.datetime(2024, 1, 2), 1, "click", 0.0, "{}"),
+            (1, dt.datetime(2024, 1, 2), 1, "click", 2.0, "{}"),
+            (2, dt.datetime(2024, 1, 2), 1, "view", 4.0, "{}"),
+            (3, dt.datetime(2024, 1, 2), 1, "view", 6.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = registry["anova_f_value_by_type"].fn(spark, d).collect()[0]
+        assert r.k == 2 and r.n == 4
+        assert r.f_micro == 8_000_000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cohort_ltv_planted_curve(spark, registry):
+    """Two users signed up Jan 1 2024 (a Monday → its own week
+    cohort); purchases at ages 0 and 2 produce the exact cumulative
+    and per-user LTV steps."""
+    d = tempfile.mkdtemp(prefix="fmr_a6b_ltv_")
+    try:
+        rows = [
+            (0, dt.datetime(2024, 1, 1, 8), 1, "signup", 0.0, "{}"),
+            (1, dt.datetime(2024, 1, 1, 9), 2, "signup", 0.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 10), 1, "purchase", 10.0, "{}"),
+            (3, dt.datetime(2024, 1, 3, 10), 1, "purchase", 5.0, "{}"),
+            (4, dt.datetime(2024, 1, 3, 11), 2, "purchase", 20.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = registry["cohort_ltv_curve"].fn(spark, d).collect()
+        got = [
+            (r.cohort, r.age_day, r.n_users, r.cum_rev_cents,
+             r.ltv_per_user_cents)
+            for r in out
+        ]
+        assert got == [
+            ("2024-01-01", 0, 2, 1000, 500),
+            ("2024-01-01", 2, 2, 3500, 1750),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

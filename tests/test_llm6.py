@@ -324,3 +324,30 @@ def test_manifest_exactly_once_vs_naive_directory_read(spark, registry):
         .collect()
     }
     assert out == direct
+
+
+def test_skipgram_pmi_hand_computed(spark, registry):
+    """'x y' repeated 10×: pair counts xy=10, yx=9, xx=9, yy=9 over
+    37 windowed pairs and 20 tokens (c_x=c_y=10); each PMI is
+    hand-computable and the ordering is by PMI then lexicographic."""
+    text = ("x y " * 10).strip()
+    d = _write_documents(spark, [(0, text, "en", "s0", len(text))])
+    try:
+        out = [
+            (r.a, r.b, r.c_ab, r.pmi_micro)
+            for r in registry["skipgram_pmi_pairs"].fn(spark, d).collect()
+        ]
+        def pmi(c_ab):
+            return round(1e6 * math.log((c_ab / 37) / ((10 / 20) ** 2)))
+        exp = sorted(
+            [
+                ("x", "y", 10, pmi(10)),
+                ("y", "x", 9, pmi(9)),
+                ("x", "x", 9, pmi(9)),
+                ("y", "y", 9, pmi(9)),
+            ],
+            key=lambda r: (-r[3], r[0], r[1]),
+        )
+        assert out == exp
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

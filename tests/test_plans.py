@@ -144,6 +144,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "bootstrap_ci_daily_revenue",  # B-replicate cross on the DAY
         # grain (calendar-bounded) + 1-row CI broadcast
         "cramer_von_mises_vs_view",  # #types-row pair-list broadcast
+        "skipgram_pmi_pairs",  # two 1-row totals (N_tok, N_pairs)
         "kmeans_lloyd_2iter",
         "minhash_lsh_recall",
         "parents_prefix_inheritance",
@@ -321,6 +322,7 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "jsd_pairwise_sources",  # top-V vocab (config), no corpus hint
         "stupid_backoff_trigram_score",  # 1-row train-token total
         "kcenter_coreset_selection",  # <=k-row selected set per round
+        "skipgram_pmi_pairs",  # 1-row N_tok/N_pairs totals only
         "curriculum_interleave_order",  # #sources-row index table
         "matryoshka_truncation_recall",  # fixed 8-query set (2 variants)
         "kmeans_lloyd_2iter",  # k centroids per iteration
