@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         audit,
         coverage2,
         coverage3,

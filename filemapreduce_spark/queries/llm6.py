@@ -1114,3 +1114,145 @@ skipgram_pmi_pairs.__doc__ = (
     .replace("{M}", str(_SG_MIN))
     .replace("{K}", str(_SG_TOP))
 )
+
+
+# --------------------------------------------------------------------
+# nDCG retrieval-quality audit (graded-relevance ranking metric).
+# --------------------------------------------------------------------
+_NDCG_QUERIES = {
+    1: ("spark", "join", "merge"),
+    2: ("scan", "filter", "column"),
+    3: ("stream", "window", "batch"),
+}
+_NDCG_K = 10
+
+
+def _ndcg_oracle() -> str:
+    qrows = " UNION ALL ".join(
+        f"SELECT {qid} AS qid, '{term}' AS term"
+        for qid, terms in _NDCG_QUERIES.items()
+        for term in terms
+    )
+    return f"""
+    WITH q AS ({qrows}),
+    tok AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents
+    ), hits AS (
+      SELECT q.qid, tok.doc_id, q.term,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok JOIN q ON q.term = tok.w
+      GROUP BY q.qid, tok.doc_id, q.term
+    ), scored AS (
+      SELECT qid, doc_id,
+             CAST(SUM(tf) AS BIGINT) AS tf_sum,
+             CAST(COUNT(*) AS BIGINT) AS rel
+      FROM hits GROUP BY qid, doc_id
+    ), ranked AS (
+      SELECT qid, doc_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY tf_sum DESC, doc_id) AS pos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY rel DESC, doc_id) AS ideal_pos
+      FROM scored
+    ), dcg AS (
+      SELECT qid,
+             SUM(CASE WHEN pos <= {_NDCG_K}
+                 THEN (pow(2.0, rel) - 1) / (ln(pos + 1) / ln(2.0))
+                 ELSE 0 END) AS dcg,
+             SUM(CASE WHEN ideal_pos <= {_NDCG_K}
+                 THEN (pow(2.0, rel) - 1)
+                      / (ln(ideal_pos + 1) / ln(2.0))
+                 ELSE 0 END) AS idcg
+      FROM ranked GROUP BY qid
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(round(1000000.0 * dcg) AS BIGINT) AS dcg_micro,
+           CAST(round(1000000.0 * idcg) AS BIGINT) AS idcg_micro,
+           CAST(round(1000.0 * dcg / idcg) AS BIGINT) AS ndcg_milli
+    FROM dcg ORDER BY qid
+    """
+
+
+@register(
+    "ndcg_retrieval_audit",
+    _ndcg_oracle(),
+    tags=("llm", "retrieval", "eval", "search"),
+)
+def ndcg_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{K} retrieval-quality audit (Järvelin & Kekäläinen 2002):
+    rank documents for each fixed query by term-frequency score,
+    grade relevance as the count of distinct query terms present
+    (0-3), and compare the ranking's DCG = Σ (2^rel − 1)/log₂(pos+1)
+    against the ideal (relevance-sorted) ordering's IDCG — the
+    graded-ranking metric every search/RAG evaluation reports, here
+    measuring how well a tf ranking recovers multi-term coverage.
+    Counts are exact integers; DCG terms are identical float
+    expressions per position, micro-rounded after the ≤{K}-term sum;
+    ties break on doc_id in both orderings.
+
+    Scale shape: the fixed query-term list joins the exploded token
+    stream (broadcast of a config-bounded term set); per-(query,
+    doc) scores are one map-side-combined agg; both rank windows
+    partition by query id over only the MATCHING docs (candidate
+    set, not the corpus). Metric aggregation is #queries rows.
+    """
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    qrows = [
+        (qid, term)
+        for qid, terms in _NDCG_QUERIES.items()
+        for term in terms
+    ]
+    q = spark.createDataFrame(qrows, "qid long, term string")
+    tok = d.select("doc_id", F.explode(words("text")).alias("w"))
+    hits = (
+        tok.join(F.broadcast(q), F.col("term") == F.col("w"))
+        .groupBy("qid", "doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    scored = hits.groupBy("qid", "doc_id").agg(
+        F.sum("tf").cast("long").alias("tf_sum"),
+        F.count(F.lit(1)).cast("long").alias("rel"),
+    )
+    wq = Window.partitionBy("qid")
+    ranked = scored.select(
+        "qid",
+        "doc_id",
+        "rel",
+        F.row_number()
+        .over(wq.orderBy(F.col("tf_sum").desc(), "doc_id"))
+        .alias("pos"),
+        F.row_number()
+        .over(wq.orderBy(F.col("rel").desc(), "doc_id"))
+        .alias("ideal_pos"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    log2 = lambda c: F.log(c + 1) / F.log(F.lit(2.0))  # noqa: E731
+    dcg = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("pos") <= _NDCG_K, gain / log2(F.col("pos")))
+            .otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_pos") <= _NDCG_K,
+                gain / log2(F.col("ideal_pos")),
+            ).otherwise(0.0)
+        ).alias("idcg"),
+    )
+    return dcg.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.round(1000000.0 * F.col("dcg")).cast("long").alias("dcg_micro"),
+        F.round(1000000.0 * F.col("idcg"))
+        .cast("long")
+        .alias("idcg_micro"),
+        F.round(1000.0 * F.col("dcg") / F.col("idcg"))
+        .cast("long")
+        .alias("ndcg_milli"),
+    ).orderBy("qid")
+
+
+ndcg_retrieval_audit.__doc__ = ndcg_retrieval_audit.__doc__.replace(
+    "{K}", str(_NDCG_K)
+)

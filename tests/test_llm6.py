@@ -351,3 +351,59 @@ def test_skipgram_pmi_hand_computed(spark, registry):
         assert out == exp
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_power_iteration_planted_dominant_axis(spark, registry):
+    """All vectors along e3 (c=1 and c=2): the gram matrix is rank-1
+    on dim index 2, so rank-1 loading is dim 2 at exactly 1000 milli,
+    every other loading is 0, and the Rayleigh quotient is
+    5e12 (the scaled second moment) → rayleigh_e6 = 5,000,000."""
+    def vec(c):
+        v = [0.0] * 64
+        v[2] = float(c)
+        return v
+
+    d = _write_embeddings(spark, [(0, vec(1.0), 0), (1, vec(2.0), 0)])
+    try:
+        out = registry["embedding_power_iteration"].fn(spark, d).collect()
+        assert out[0].rank == 1
+        assert out[0].dim == 2
+        assert out[0].loading_milli == 1000
+        assert out[0].rayleigh_e6 == 5_000_000
+        for r in out[1:]:
+            assert r.loading_milli == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ndcg_tf_ranking_vs_relevance(spark, registry):
+    """Query 1 terms are spark/join/merge. Planted docs: doc 3 has
+    'spark' ×10 (tf 10, rel 1) and outranks doc 1 (all three terms,
+    rel 3) and doc 2 (two terms, rel 2) on tf — nDCG penalizes the
+    inversion exactly as the hand-computed mirror predicts."""
+    docs = [
+        (1, "spark join merge", "en", "s0", 17),
+        (2, "spark join", "en", "s0", 10),
+        (3, " ".join(["spark"] * 10), "en", "s0", 59),
+    ]
+    d = _write_documents(spark, docs)
+    try:
+        out = {
+            r.qid: r
+            for r in registry["ndcg_retrieval_audit"].fn(spark, d).collect()
+        }
+        # tf ranking: doc3 (10), doc1 (3), doc2 (2); rel 1, 3, 2
+        # ideal:      doc1 (3), doc2 (2), doc3 (1)
+        def g(rel):
+            return (2 ** rel - 1)
+        dcg = (g(1) / math.log2(2) + g(3) / math.log2(3)
+               + g(2) / math.log2(4))
+        idcg = (g(3) / math.log2(2) + g(2) / math.log2(3)
+                + g(1) / math.log2(4))
+        r1 = out[1]
+        assert r1.dcg_micro == round(1e6 * dcg)
+        assert r1.idcg_micro == round(1e6 * idcg)
+        assert r1.ndcg_milli == round(1000 * dcg / idcg)
+        assert r1.ndcg_milli < 1000  # the inversion costs quality
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -141,6 +141,8 @@ def test_registry_wide_plan_audit(spark, registry):
         "curriculum_interleave_order",  # 1-row #sources-count broadcast
         "matryoshka_truncation_recall",  # fixed 8-query-vector broadcast
         "psi_value_drift",  # #types×10 decile-grid cross, config-bounded
+        "woe_iv_price_deciles",  # 9-edge row + 1-row totals broadcast
+        "embedding_power_iteration",  # 1-row vmax/Rayleigh broadcasts
         "bootstrap_ci_daily_revenue",  # B-replicate cross on the DAY
         # grain (calendar-bounded) + 1-row CI broadcast
         "cramer_von_mises_vs_view",  # #types-row pair-list broadcast
@@ -208,6 +210,9 @@ def test_registry_wide_plan_audit(spark, registry):
         # heavy_hitters_exact_mg: rank window over the LIMIT-10 row
         # set (config-bounded, never data volume).
         "heavy_hitters_exact_mg",
+        # neyman_allocation_by_type: all windows run over the
+        # #strata-row summary (catalog-bounded, never data volume).
+        "neyman_allocation_by_type",
         # curriculum_interleave_order: row_number over the DISTINCT-
         # source frame (#sources rows — catalog-bounded, never data
         # volume); the per-document windows are source-partitioned.
@@ -323,6 +328,8 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "stupid_backoff_trigram_score",  # 1-row train-token total
         "kcenter_coreset_selection",  # <=k-row selected set per round
         "skipgram_pmi_pairs",  # 1-row N_tok/N_pairs totals only
+        "embedding_power_iteration",  # d-row/1-row matvec broadcasts
+        "ndcg_retrieval_audit",  # fixed query-term list broadcast
         "curriculum_interleave_order",  # #sources-row index table
         "matryoshka_truncation_recall",  # fixed 8-query set (2 variants)
         "kmeans_lloyd_2iter",  # k centroids per iteration
