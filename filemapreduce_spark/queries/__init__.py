@@ -13,6 +13,7 @@ binary decode stubs) set ``oracle=None`` → rows-only check.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -79,5 +80,13 @@ def load_all() -> dict[str, QuerySpec]:
         survival,
         udx,
     )
+
+    # Some modules substitute config constants into fn.__doc__ AFTER
+    # registration (e.g. "{K}" → "5"); re-sync so spec.doc always
+    # matches the live docstring the substitutions produced.
+    for name, spec in list(REGISTRY.items()):
+        live = spec.fn.__doc__ or ""
+        if live != spec.doc:
+            REGISTRY[name] = dataclasses.replace(spec, doc=live)
 
     return REGISTRY
