@@ -975,6 +975,13 @@ def feature_hashing_classifier_score(
     )
 
 
+feature_hashing_classifier_score.__doc__ = (
+    feature_hashing_classifier_score.__doc__.replace(
+        "{B}", str(_FH_BUCKETS)
+    )
+)
+
+
 # --------------------------------------------------------------------
 # Skip-gram PMI pairs (SGNS training-prep collocation mining).
 # --------------------------------------------------------------------
