@@ -53,11 +53,13 @@ def load_all() -> dict[str, QuerySpec]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         audit,
         coverage2,
         coverage3,
         coverage4,
         coverage5,
+        coverage6,
         corpus,
         engineops,
         fileops,

@@ -166,6 +166,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "unigram_surprisal_filter",
         "welch_ttest_vs_view",  # 1-row baseline-stats broadcast
         "window_rank_supplier_balance",
+        "cuped_adjusted_lift",  # 1-row pooled theta/mean_x broadcast
     }
     # Windows whose INPUT is a date-grain aggregate (one row per
     # calendar day): cardinality is bounded by the time horizon
@@ -217,6 +218,12 @@ def test_registry_wide_plan_audit(spark, registry):
         # source frame (#sources rows — catalog-bounded, never data
         # volume); the per-document windows are source-partitioned.
         "curriculum_interleave_order",
+        # abc_revenue_classes: cumulative window over the per-part
+        # revenue summary (#parts rows — catalog-bounded; docstring
+        # names the banded-rank fallback for huge catalogs).
+        "abc_revenue_classes",
+        # did_two_period_lift: window over the 2-row per-arm summary.
+        "did_two_period_lift",
     }
 
     offenders = {}
