@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         audit,
         coverage2,
         coverage3,
@@ -70,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm4,
         llm5,
         llm6,
+        llm7,
         mlprep,
         multimodal2,
         pipeline,

@@ -243,3 +243,220 @@ def calibration_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------
+# Two-group log-rank test (Mantel 1966).
+# --------------------------------------------------------------------
+@register(
+    "logrank_test_arms",
+    f"""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    ), subjects AS (
+      SELECT s.user_id, s.user_id % 2 AS grp,
+             CASE WHEN p.p_ts IS NOT NULL
+                  THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                 CAST(p.p_ts AS DATE))
+                  ELSE date_diff('day', CAST(s.s_ts AS DATE),
+                                 DATE '{_HORIZON}')
+             END AS t_days,
+             CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS event
+      FROM s LEFT JOIN p ON p.user_id = s.user_id
+    ), grid AS (
+      SELECT t_days,
+             CAST(SUM(CASE WHEN grp = 1 THEN event ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 0 THEN event ELSE 0 END)
+                  AS BIGINT) AS d0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS l1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS l0
+      FROM subjects GROUP BY t_days
+    ), risk AS (
+      SELECT t_days, d1, d0,
+             (SELECT COUNT(*) FROM subjects WHERE grp = 1)
+               - COALESCE(SUM(l1) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1,
+             (SELECT COUNT(*) FROM subjects WHERE grp = 0)
+               - COALESCE(SUM(l0) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n0
+      FROM grid
+    ), terms AS (
+      SELECT d1, d0,
+             CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0) AS e1,
+             CASE WHEN n1 + n0 > 1 THEN
+               CAST(d1 + d0 AS DOUBLE)
+               * (CAST(n1 AS DOUBLE) / (n1 + n0))
+               * (CAST(n0 AS DOUBLE) / (n1 + n0))
+               * (n1 + n0 - (d1 + d0)) / (n1 + n0 - 1)
+             ELSE 0.0 END AS v
+      FROM risk WHERE d1 + d0 > 0
+    ), stat AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(d0) AS BIGINT) AS o0,
+             SUM(e1) AS e1, SUM(v) AS vv
+      FROM terms
+    ), bygrp AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_subjects
+      FROM subjects GROUP BY grp
+    )
+    SELECT b.grp, b.n_subjects,
+           CASE WHEN b.grp = 1 THEN s.o1 ELSE s.o0 END AS observed,
+           CAST(round(1000.0 * CASE WHEN b.grp = 1 THEN s.e1
+                ELSE s.o1 + s.o0 - s.e1 END) AS BIGINT)
+             AS expected_milli,
+           CASE WHEN s.vv > 0 THEN
+             CAST(round(1000.0 * (s.o1 - s.e1) * (s.o1 - s.e1) / s.vv)
+                  AS BIGINT) ELSE 0 END AS chi2_milli
+    FROM bygrp b, stat s ORDER BY b.grp
+    """,
+    tags=("survival", "stats", "test"),
+)
+def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966; Peto & Peto 1972) on
+    signup → first-purchase time with right censoring at the data
+    horizon, arms = user_id % 2: at each event day the observed
+    group-1 events d1t are compared against the hypergeometric
+    expectation dt·n1t/nt, with variance dt·(n1t/nt)·(n0t/nt)·
+    (nt−dt)/(nt−1); chi² = (Σ(d1t−E1t))²/ΣVt on 1 df — the standard
+    "are these two survival curves the same?" test that censoring
+    makes a naive mean comparison get wrong. Day-grain counts and
+    at-risk numbers are exact integers; the E/V accumulation is the
+    one double chain, identical op-for-op on both engines.
+
+    Scale shape: subjects reduce to per-user rows (two map-side
+    aggs + one keyed join), then to the day-grain grid; the at-risk
+    windows run over that grid — bounded by the horizon in days,
+    never by user count (the KM/Nelson-Aalen discipline).
+    """
+    e = t(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    horizon = F.lit(_HORIZON).cast("date")
+    subjects = s.join(p, "user_id", "left").select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.datediff(
+                F.col("p_ts").cast("date"), F.col("s_ts").cast("date")
+            ),
+        )
+        .otherwise(F.datediff(horizon, F.col("s_ts").cast("date")))
+        .cast("long")
+        .alias("t_days"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    grid = subjects.groupBy("t_days").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("event")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("event")).otherwise(0))
+        .cast("long")
+        .alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("l1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("l0"),
+    )
+    bygrp = subjects.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects")
+    )
+    totals = bygrp.groupBy().pivot("grp", [0, 1]).sum("n_subjects")
+    totals = totals.select(
+        F.col("0").alias("tot0"), F.col("1").alias("tot1")
+    )
+    wprev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grid.crossJoin(F.broadcast(totals)).select(
+        "t_days",
+        "d1",
+        "d0",
+        (
+            F.col("tot1")
+            - F.coalesce(F.sum("l1").over(wprev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.col("tot0")
+            - F.coalesce(F.sum("l0").over(wprev), F.lit(0))
+        ).alias("n0"),
+    )
+    nt = F.col("n1") + F.col("n0")
+    dt = F.col("d1") + F.col("d0")
+    terms = risk.filter(dt > 0).select(
+        "d1",
+        "d0",
+        (dt.cast("double") * F.col("n1") / nt).alias("e1"),
+        F.when(
+            nt > 1,
+            dt.cast("double")
+            * (F.col("n1").cast("double") / nt)
+            * (F.col("n0").cast("double") / nt)
+            * (nt - dt)
+            / (nt - 1),
+        )
+        .otherwise(0.0)
+        .alias("v"),
+    )
+    stat = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d0").cast("long").alias("o0"),
+        F.sum("e1").alias("e1"),
+        F.sum("v").alias("vv"),
+    )
+    return (
+        bygrp.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("grp").cast("long").alias("grp"),
+            "n_subjects",
+            F.when(F.col("grp") == 1, F.col("o1"))
+            .otherwise(F.col("o0"))
+            .cast("long")
+            .alias("observed"),
+            F.round(
+                1000.0
+                * F.when(F.col("grp") == 1, F.col("e1")).otherwise(
+                    F.col("o1") + F.col("o0") - F.col("e1")
+                )
+            )
+            .cast("long")
+            .alias("expected_milli"),
+            # vv = 0 when every at-risk subject converts in one day
+            # stratum (zero hypergeometric variance) — chi2 is then
+            # undefined; report 0 identically on both engines
+            F.when(
+                F.col("vv") > 0,
+                F.round(
+                    1000.0
+                    * (F.col("o1") - F.col("e1"))
+                    * (F.col("o1") - F.col("e1"))
+                    / F.col("vv")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("chi2_milli"),
+        )
+        .orderBy("grp")
+    )

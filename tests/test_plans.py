@@ -167,6 +167,10 @@ def test_registry_wide_plan_audit(spark, registry):
         "welch_ttest_vs_view",  # 1-row baseline-stats broadcast
         "window_rank_supplier_balance",
         "cuped_adjusted_lift",  # 1-row pooled theta/mean_x broadcast
+        "kruskal_wallis_daily",  # three 1-row stat broadcasts (N, tie
+        # correction, rank-square sum) onto the #types summary
+        "logrank_test_arms",  # 1-row group-total + O/E/V broadcasts
+        "fightin_words_terms",  # 1-row corpus-total broadcast
     }
     # Windows whose INPUT is a date-grain aggregate (one row per
     # calendar day): cardinality is bounded by the time horizon
@@ -224,6 +228,12 @@ def test_registry_wide_plan_audit(spark, registry):
         "abc_revenue_classes",
         # did_two_period_lift: window over the 2-row per-arm summary.
         "did_two_period_lift",
+        # kruskal_wallis_daily: global rank over the (type × day)
+        # summary — calendar-bounded (~#types·#days rows), never data.
+        "kruskal_wallis_daily",
+        # logrank_test_arms: at-risk windows over the day-grain grid —
+        # bounded by the horizon in days (the KM/Nelson-Aalen shape).
+        "logrank_test_arms",
     }
 
     offenders = {}
@@ -349,6 +359,7 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "similarity_ivf_topk",  # k centroids + fixed queries
         "temperature_mixture_weights",  # per-language summary
         "tfidf_cosine_pairs",  # df-capped term stats (stopword cap)
+        "fightin_words_terms",  # 1-row pooled-total broadcast only
         "tfidf_top_term_per_doc",  # per-term df (vocab, df-capped)
         "trigram_index_search",  # fixed search-term trigram set
         "unigram_surprisal_filter",  # capped unigram model
