@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         audit,
         coverage2,
         coverage3,
@@ -72,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm5,
         llm6,
         llm7,
+        llm8,
         mlprep,
         multimodal2,
         pipeline,

@@ -171,6 +171,9 @@ def test_registry_wide_plan_audit(spark, registry):
         # correction, rank-square sum) onto the #types summary
         "logrank_test_arms",  # 1-row group-total + O/E/V broadcasts
         "fightin_words_terms",  # 1-row corpus-total broadcast
+        "keyness_loglik_terms",  # 1-row corpus-total broadcast
+        "jackknife_nation_mean_se",  # 1-row total + 1-row moment
+        # broadcasts onto the #nations summary
     }
     # Windows whose INPUT is a date-grain aggregate (one row per
     # calendar day): cardinality is bounded by the time horizon
@@ -360,6 +363,7 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "temperature_mixture_weights",  # per-language summary
         "tfidf_cosine_pairs",  # df-capped term stats (stopword cap)
         "fightin_words_terms",  # 1-row pooled-total broadcast only
+        "keyness_loglik_terms",  # 1-row corpus-total broadcast only
         "tfidf_top_term_per_doc",  # per-term df (vocab, df-capped)
         "trigram_index_search",  # fixed search-term trigram set
         "unigram_surprisal_filter",  # capped unigram model
