@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics8,
         analytics9,
         analytics10,
+        analytics11,
         audit,
         coverage2,
         coverage3,
@@ -74,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm6,
         llm7,
         llm8,
+        llm9,
         mlprep,
         multimodal2,
         pipeline,
