@@ -76,6 +76,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm7,
         llm8,
         llm9,
+        llm10,
         mlprep,
         multimodal2,
         pipeline,

@@ -175,6 +175,8 @@ def test_registry_wide_plan_audit(spark, registry):
         "jackknife_nation_mean_se",  # 1-row total + 1-row moment
         # broadcasts onto the #nations summary
         "kneser_ney_bigram_probs",  # 1-row bigram-type total broadcast
+        "bigram_mutual_information",  # 1-row total/moment broadcasts
+        "cohens_kappa_langid",  # 1-row chance-mass broadcast
     }
     # Windows whose INPUT is a date-grain aggregate (one row per
     # calendar day): cardinality is bounded by the time horizon
@@ -366,6 +368,8 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "fightin_words_terms",  # 1-row pooled-total broadcast only
         "keyness_loglik_terms",  # 1-row corpus-total broadcast only
         "kneser_ney_bigram_probs",  # 1-row type-total broadcast only
+        "bigram_mutual_information",  # 1-row total broadcasts only
+        "cohens_kappa_langid",  # 1-row chance-mass broadcast only
         "tfidf_top_term_per_doc",  # per-term df (vocab, df-capped)
         "trigram_index_search",  # fixed search-term trigram set
         "unigram_surprisal_filter",  # capped unigram model
