@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         coverage4,
         coverage5,
         coverage6,
+        coverage7,
         corpus,
         engineops,
         fileops,

@@ -177,6 +177,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "kneser_ney_bigram_probs",  # 1-row bigram-type total broadcast
         "bigram_mutual_information",  # 1-row total/moment broadcasts
         "cohens_kappa_langid",  # 1-row chance-mass broadcast
+        "boilerplate_prefix_mass",  # 1-row prefix-total broadcast
     }
     # Windows whose INPUT is a date-grain aggregate (one row per
     # calendar day): cardinality is bounded by the time horizon
@@ -240,6 +241,10 @@ def test_registry_wide_plan_audit(spark, registry):
         # logrank_test_arms: at-risk windows over the day-grain grid —
         # bounded by the horizon in days (the KM/Nelson-Aalen shape).
         "logrank_test_arms",
+        # rbo_rank_agreement: rank/cumulative windows over the two
+        # TakeOrdered top-15 lists and the constant 15-row depth grid
+        # — never over data.
+        "rbo_rank_agreement",
     }
 
     offenders = {}
@@ -370,6 +375,7 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "kneser_ney_bigram_probs",  # 1-row type-total broadcast only
         "bigram_mutual_information",  # 1-row total broadcasts only
         "cohens_kappa_langid",  # 1-row chance-mass broadcast only
+        "boilerplate_prefix_mass",  # 1-row prefix-total broadcast only
         "tfidf_top_term_per_doc",  # per-term df (vocab, df-capped)
         "trigram_index_search",  # fixed search-term trigram set
         "unigram_surprisal_filter",  # capped unigram model
