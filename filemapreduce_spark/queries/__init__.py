@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics9,
         analytics10,
         analytics11,
+        analytics12,
         audit,
         coverage2,
         coverage3,
@@ -78,6 +79,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm8,
         llm9,
         llm10,
+        llm11,
         mlprep,
         multimodal2,
         pipeline,

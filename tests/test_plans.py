@@ -376,6 +376,7 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "bigram_mutual_information",  # 1-row total broadcasts only
         "cohens_kappa_langid",  # 1-row chance-mass broadcast only
         "boilerplate_prefix_mass",  # 1-row prefix-total broadcast only
+        "map_retrieval_audit",  # fixed 9-term query set (config-bounded)
         "tfidf_top_term_per_doc",  # per-term df (vocab, df-capped)
         "trigram_index_search",  # fixed search-term trigram set
         "unigram_surprisal_filter",  # capped unigram model
