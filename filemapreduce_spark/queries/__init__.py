@@ -80,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm9,
         llm10,
         llm11,
+        llm12,
         mlprep,
         multimodal2,
         pipeline,

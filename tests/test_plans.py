@@ -178,6 +178,9 @@ def test_registry_wide_plan_audit(spark, registry):
         "bigram_mutual_information",  # 1-row total/moment broadcasts
         "cohens_kappa_langid",  # 1-row chance-mass broadcast
         "boilerplate_prefix_mass",  # 1-row prefix-total broadcast
+        "rmst_signup_purchase",  # 1-row subject-total + tail-area
+        # broadcasts onto the day-grain KM grid
+        "term_burstiness_top20",  # 1-row doc-count broadcast
     }
     # Windows whose INPUT is a date-grain aggregate (one row per
     # calendar day): cardinality is bounded by the time horizon
@@ -245,6 +248,9 @@ def test_registry_wide_plan_audit(spark, registry):
         # TakeOrdered top-15 lists and the constant 15-row depth grid
         # — never over data.
         "rbo_rank_agreement",
+        # rmst_signup_purchase: KM at-risk / survival / LEAD windows
+        # over the day-grain grid — horizon-bounded (the KM shape).
+        "rmst_signup_purchase",
     }
 
     offenders = {}
@@ -377,6 +383,7 @@ def test_no_unreviewed_broadcast_hints_over_corpus(spark, registry):
         "cohens_kappa_langid",  # 1-row chance-mass broadcast only
         "boilerplate_prefix_mass",  # 1-row prefix-total broadcast only
         "map_retrieval_audit",  # fixed 9-term query set (config-bounded)
+        "term_burstiness_top20",  # 1-row doc-count broadcast only
         "tfidf_top_term_per_doc",  # per-term df (vocab, df-capped)
         "trigram_index_search",  # fixed search-term trigram set
         "unigram_surprisal_filter",  # capped unigram model
