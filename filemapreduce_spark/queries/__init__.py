@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         coverage5,
         coverage6,
         coverage7,
+        coverage8,
         corpus,
         engineops,
         fileops,

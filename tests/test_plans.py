@@ -181,6 +181,7 @@ def test_registry_wide_plan_audit(spark, registry):
         "rmst_signup_purchase",  # 1-row subject-total + tail-area
         # broadcasts onto the day-grain KM grid
         "term_burstiness_top20",  # 1-row doc-count broadcast
+        "brier_ece_score",  # 1-row max-score broadcast
     }
     # Windows whose INPUT is a date-grain aggregate (one row per
     # calendar day): cardinality is bounded by the time horizon
