@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics10,
         analytics11,
         analytics12,
+        analytics13,
         audit,
         coverage2,
         coverage3,

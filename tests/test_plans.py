@@ -252,6 +252,10 @@ def test_registry_wide_plan_audit(spark, registry):
         # rmst_signup_purchase: KM at-risk / survival / LEAD windows
         # over the day-grain grid — horizon-bounded (the KM shape).
         "rmst_signup_purchase",
+        # cliffs_delta_arms: cumulative midrank window over the
+        # VALUE-DOMAIN-bounded cents histogram (the Mann-Whitney tie
+        # discipline), never over rows.
+        "cliffs_delta_arms",
     }
 
     offenders = {}
