@@ -86,6 +86,7 @@ def load_all() -> dict[str, QuerySpec]:
         mlprep,
         multimodal2,
         pipeline,
+        spatial,
         pipeline2,
         relational,
         roundtrip,

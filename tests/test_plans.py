@@ -182,6 +182,8 @@ def test_registry_wide_plan_audit(spark, registry):
         # broadcasts onto the day-grain KM grid
         "term_burstiness_top20",  # 1-row doc-count broadcast
         "brier_ece_score",  # 1-row max-score broadcast
+        "point_in_polygon_assignment",  # fixed 11-edge polygon table
+        # broadcast (constant x11 fan-out) + 1-row total
     }
     # Windows whose INPUT is a date-grain aggregate (one row per
     # calendar day): cardinality is bounded by the time horizon
