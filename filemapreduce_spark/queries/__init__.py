@@ -83,6 +83,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm10,
         llm11,
         llm12,
+        llm13,
         mlprep,
         multimodal2,
         pipeline,
