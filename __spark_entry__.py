@@ -46,62 +46,74 @@ def _driver_verified() -> set[str]:
 
 
 # Names the driver window should reach before the alphabetical rest
-# (already-driver-verified names are dropped automatically). Round-5
-# priorities per the round-4 review: the highest-traffic rows a real
-# user hits first — all 22 TPC-H flagship shapes, the window family,
-# the top-k family, the sink roundtrips, and the incremental-arrival
-# streaming row; none has a driver ledger row yet (the alphabetical
-# tail m-z kept them out of rounds 1-4's windows).
+# (already-driver-verified names are dropped automatically). Round-6
+# priorities per the round-5 verdict (next-round item 2): the 50
+# highest-traffic never-verified ops — the core LLM dedup/ANN/quality
+# family the verdict names explicitly, then the scalar/window/setop/
+# stats basics and the two unverified sinks. Rounds 1-5 covered 208
+# of 374; everything listed here has no CORRECTNESS row yet.
 _PRIORITY = (
-    # TPC-H flagships q1-q22 (numeric order)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_value_concentration",
-    "q12_shipping_delay",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # window family
-    "window_lag_event_gaps",
-    "window_nav_supplier_balance",
-    "window_percentile_position",
-    "window_range_30day_revenue",
-    "window_rank_supplier_balance",
-    "window_running_supplier",
-    "window_topk_per_brand",
-    # top-k family
-    "topk_orders_by_price",
-    "topk_with_ties_orders",
-    "lateral_topk_per_nation",
-    "similarity_bruteforce_topk",
-    "similarity_ivf_topk",
-    "bm25_search_topk",
-    # sink roundtrips
-    "sink_bucketed_join_roundtrip",
-    "sink_clustered_timerange_roundtrip",
-    "sink_codec_selection_roundtrip",
-    "sink_compact_roundtrip",
-    "sink_csv_schema_roundtrip",
-    "sink_partition_evolution_roundtrip",
-    "sink_partitioned_prune_roundtrip",
-    "sink_zorder_roundtrip",
-    # streaming incremental arrival (rows-only gate; judge-called-out)
-    "streaming_incremental_file_arrival",
+    # verdict-named dedup / similarity / quality family
+    "neardup_minhash_lsh",
+    "simhash_neardup_pairs",
+    "semdedup_cluster_prune",
+    "quality_filter_pipeline",
+    "text_stats_by_source",
+    "sequence_pack_streams",
+    "tfidf_cosine_pairs",
+    "image_neardup_dhash",
+    "winnowing_shared_fingerprints",
+    "mmr_diversified_topk",
+    # rest of the dedup / similarity family
+    "neardup_embedding_cosine",
+    "neardup_jaccard_exact",
+    "neardup_incremental_vs_corpus",
+    "segment_dedup_corpus",
+    "simhash_signatures",
+    "similarity_ivf_probe2",
+    # text-pipeline staples
+    "sessionize_events",
+    "quality_scores",
+    "token_count_bpe_ish",
+    "word_frequencies_top100",
+    "stratified_sample_per_lang",
+    "sample_fixed_k_per_lang",
+    "weighted_sample_by_length",
+    "text_clean_redact",
+    "repetition_quality_scores",
+    "unigram_surprisal_filter",
+    "tokenizer_fertility_by_lang",
+    "vocab_coverage_oov",
+    "multimodal_frame_sample",
+    # scalar-function family
+    "scalar_string_part",
+    "scalar_math_case_lineitem",
+    "scalar_datetime_orders",
+    "regexp_family_documents",
+    # set operations
+    "setop_union_rich_nations",
+    "setop_except_rich_nations",
+    "setop_intersect_rich_nations",
+    "setop_all_priorities",
+    # stats / reshape basics
+    "stats_moments_lineitem",
+    "stats_corr_regression",
+    "string_agg_nation_suppliers",
+    "unpivot_order_money",
+    "pivot_status_by_priority",
+    "rollup_lineitem_status",
+    "percentile_disc_order_prices",
+    # joins / CDC / validation staples
+    "range_join_signup_follows",
+    "scd2_user_type_intervals",
+    "scd2_incremental_merge",
+    "snapshot_diff_order_activity",
+    "table_checksum_by_flag",
+    # unverified sinks + SQL text entry
+    "sink_hilbert_roundtrip",
+    "sink_manifest_exactly_once",
+    "sql_text_monthly_revenue",
+    "variant_props_events",
 )
 
 
