@@ -499,7 +499,15 @@ def sink_manifest_exactly_once(
     write_batch(b2, commit=True)  # batch 2
     with open(manifest) as f:
         committed = json.load(f)
-    assert len(committed) == 2  # the orphan is invisible to readers
+    # Core exactly-once invariant: the orphaned (uncommitted) batch
+    # must be invisible to readers. An assert would vanish under
+    # ``python -O`` and let a broken commit protocol read three
+    # batches — fail loudly instead.
+    if len(committed) != 2:
+        raise RuntimeError(
+            "manifest commit protocol broken: expected exactly 2 "
+            f"committed batch paths, found {len(committed)}: {committed}"
+        )
     back = spark.read.parquet(*committed)
     return (
         back.groupBy(F.col("o_orderpriority").alias("priority"))

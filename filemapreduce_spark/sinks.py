@@ -181,6 +181,14 @@ def write_zordered(
     the interleave is pure integer codegen (no UDF). Ties in the
     z-value are broken arbitrarily within a file — irrelevant for
     skipping, which only reads footer min/max.
+
+    Degenerate inputs: rows with a NULL in either cluster column get
+    the dedicated curve position -1 (before every real cell), so they
+    cluster into their own leading file region instead of silently
+    landing in the hottest corner cell and widening its min/max
+    stats. An empty input (or an all-NULL cluster column) yields NULL
+    min/max; the bounds default to [0, 1) and the write still
+    produces a valid (possibly empty) dataset.
     """
     from pyspark.sql import functions as F
 
@@ -191,6 +199,10 @@ def write_zordered(
         F.min(F.col(c2).cast("double")),
         F.max(F.col(c2).cast("double")),
     ).collect()[0]
+    if lo1 is None:
+        lo1, hi1 = 0.0, 1.0  # empty input / all-NULL column
+    if lo2 is None:
+        lo2, hi2 = 0.0, 1.0
     top = (1 << bits) - 1
 
     def scaled(c, lo, hi):
@@ -202,8 +214,12 @@ def write_zordered(
             ),
         )
 
-    z = F.shiftleft(_spread_bits_16(scaled(c1, lo1, hi1)), 1).bitwiseOR(
-        _spread_bits_16(scaled(c2, lo2, hi2))
+    z = F.when(
+        F.col(c1).isNull() | F.col(c2).isNull(), F.lit(-1).cast("long")
+    ).otherwise(
+        F.shiftleft(_spread_bits_16(scaled(c1, lo1, hi1)), 1).bitwiseOR(
+            _spread_bits_16(scaled(c2, lo2, hi2))
+        )
     )
     zdf = df.withColumn("__z", z)
     part = (
@@ -277,6 +293,12 @@ def write_hilbert(
     config-bounded, data-independent) broadcast-joined on the
     quantized (x, y) cell; then the same range shuffle + local sort
     as z-order. No Python in the row path.
+
+    Degenerate inputs (same contract as ``write_zordered``): rows
+    with a NULL in either cluster column get curve position -1 — a
+    dedicated leading cell, not a silent clamp into the top corner —
+    and NULL min/max bounds (empty input / all-NULL column) default
+    to [0, 1) so the write still succeeds.
     """
     import numpy as np
     import pandas as pd
@@ -289,6 +311,10 @@ def write_hilbert(
         F.min(F.col(c2).cast("double")),
         F.max(F.col(c2).cast("double")),
     ).collect()[0]
+    if lo1 is None:
+        lo1, hi1 = 0.0, 1.0  # empty input / all-NULL column
+    if lo2 is None:
+        lo2, hi2 = 0.0, 1.0
     top = (1 << bits) - 1
 
     def scaled(c, lo, hi):
@@ -312,9 +338,16 @@ def write_hilbert(
         }
     )
     lut_df = df.sparkSession.createDataFrame(lut)
-    cell = scaled(c1, lo1, hi1) * n + scaled(c2, lo2, hi2)
-    hdf = df.withColumn("__cell", cell).join(
-        F.broadcast(lut_df), "__cell"
+    cell = F.when(
+        F.col(c1).isNull() | F.col(c2).isNull(), F.lit(-1).cast("long")
+    ).otherwise(scaled(c1, lo1, hi1) * n + scaled(c2, lo2, hi2))
+    # LEFT join: the NULL-key cell (-1) has no LUT row — those rows
+    # must survive the join and take curve position -1 via coalesce,
+    # not be dropped by an inner join.
+    hdf = (
+        df.withColumn("__cell", cell)
+        .join(F.broadcast(lut_df), "__cell", "left")
+        .withColumn("__h", F.coalesce("__h", F.lit(-1).cast("long")))
     )
     part = (
         hdf.repartitionByRange(n_files, "__h")

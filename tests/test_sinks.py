@@ -363,3 +363,48 @@ def test_hilbert_write_tight_ranges_both_dims(spark, lineitem, tmp_path):
     assert mean_range_fraction(hout, "l_orderkey") < 0.6
     assert mean_range_fraction(hout, "l_partkey") < 0.6
     assert spark.read.parquet(hout).count() == lineitem.count()
+
+
+def test_clustered_writers_null_and_empty_inputs(spark, tmp_path):
+    """Degenerate-input contract for both curve writers: NULL cluster
+    keys land in a dedicated leading cell (never clamped into the top
+    corner, never dropped by the LUT join), and an empty input writes
+    a valid empty dataset instead of raising on None min/max."""
+    from filemapreduce_spark.sinks import write_hilbert, write_zordered
+
+    rows = [(i, float(i % 7), "k%d" % i) for i in range(40)]
+    rows += [(None, 3.0, "n1"), (5, None, "n2"), (None, None, "n3")]
+    df = spark.createDataFrame(rows, "x int, y double, tag string")
+
+    for writer, sub in ((write_zordered, "z"), (write_hilbert, "h")):
+        out = str(tmp_path / f"nulls_{sub}")
+        writer(df, out, ("x", "y"), n_files=4)
+        back = spark.read.parquet(out)
+        # no rows dropped (the hilbert LUT join must be LEFT)
+        assert back.count() == 43
+        assert (
+            back.filter(F.col("x").isNull() | F.col("y").isNull()).count()
+            == 3
+        )
+        # the null-key rows share ONE file (the dedicated -1 cell
+        # region), so their presence never widens every file's stats
+        import glob as pyglob
+
+        files = sorted(pyglob.glob(out + "/part-*.parquet"))
+        holding = [
+            f
+            for f in files
+            if spark.read.parquet(f)
+            .filter(F.col("x").isNull() | F.col("y").isNull())
+            .count()
+            > 0
+        ]
+        assert len(holding) == 1
+
+    empty = df.filter("1=0")
+    for writer, sub in ((write_zordered, "ez"), (write_hilbert, "eh")):
+        out = str(tmp_path / f"empty_{sub}")
+        writer(empty, out, ("x", "y"), n_files=2)
+        back = spark.read.parquet(out)
+        assert back.count() == 0
+        assert set(back.columns) == {"x", "y", "tag"}
