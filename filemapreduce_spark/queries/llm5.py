@@ -233,8 +233,15 @@ _WIN_W = 4  # winnowing window (hashes per window)
 _WIN_DFCAP = 50  # stop-fingerprint prune: drop fps in > this many docs
 _WIN_MIN_SHARED = 10  # report pairs sharing at least this many fps
 
+# Karp–Rabin polynomial gram hash (Schleimer et al. 2003 §2): base
+# 257, modulus 2^31-1, over the doc's codepoint array. The powers
+# 257^4..257^0 are pre-folded literals (K=5), so each position costs
+# five multiply-adds on BIGINTs — no per-position digest. Identical
+# arithmetic on both engines (codepoints via Spark ascii / DuckDB
+# unicode; all terms positive, so % == pmod).
 _WIN_HASH_SQL = (
-    "('0x' || substr(md5(substring(txt, i, 5)), 1, 8))::BIGINT"
+    "(cs[i]*4362470401 + cs[i+1]*16974593 + cs[i+2]*66049"
+    " + cs[i+3]*257 + cs[i+4]) % 2147483647"
 )
 
 
@@ -243,14 +250,23 @@ _WIN_HASH_SQL = (
     f"""
     WITH d AS (
       SELECT doc_id, lower(text) AS txt FROM documents
+    ), c AS (
+      -- str_split, not txt[j] indexing: positional UTF-8 indexing is
+      -- O(len) per access (quadratic per doc); splitting is one pass
+      SELECT doc_id, txt,
+             list_transform(str_split(txt, ''),
+                            ch -> CAST(unicode(ch) AS BIGINT)) AS cs
+      FROM d
     ), h AS (
       SELECT doc_id,
              CASE WHEN length(txt) >= {_WIN_K + _WIN_W - 1}
                   THEN list_transform(range(1, length(txt) - {_WIN_K - 2}),
                                       i -> {_WIN_HASH_SQL})
                   ELSE [] END AS hs
-      FROM d
-    ), fp AS (
+      FROM c
+    ), fp AS MATERIALIZED (
+      -- referenced 3x below (a / kept / b); without the hint DuckDB
+      -- inlines and re-runs the whole fingerprint pass per reference
       SELECT doc_id,
              unnest(list_distinct(list_transform(
                range(1, len(hs) - {_WIN_W - 2}),
@@ -284,10 +300,16 @@ def winnowing_shared_fingerprints(
     detection that survives insertions/reordering, unlike fixed-stride
     chunk hashes.
 
-    Hash parity: fingerprint values are the first 8 md5 hex digits of
-    each gram as int64 — identical literals in both engines (the
-    registry's established md5-hex bridge). Window minima and the
-    distinct-per-doc set are pure array ops, row-local.
+    Hash parity: fingerprints are Karp–Rabin polynomial hashes (base
+    257 mod 2^31-1, the paper's §2 rolling-hash family) over the
+    doc's codepoint array — five BIGINT multiply-adds per position
+    with pre-folded power literals, mirrored exactly in the DuckDB
+    oracle. This replaced a first-cut md5-per-position scheme that
+    paid a full digest per character (~10× corpus-pass CPU tax at
+    scale); O(K)=5 integer ops per position is within 2-3 ops of the
+    stateful O(1) rolling update, which SQL cannot express without a
+    quadratic array fold. Window minima and the distinct-per-doc set
+    are pure array ops, row-local.
 
     Scale shape: fingerprint extraction is embarrassingly parallel
     (one pass per doc, no shuffle); the pair stage shuffles only the
@@ -297,15 +319,21 @@ def winnowing_shared_fingerprints(
     candidates — output-linear, never O(N²) over docs.
     """
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.lower("text").alias("txt")
+        "doc_id",
+        F.lower("text").alias("txt"),
+    ).withColumn(
+        # one codepoint array per doc, shared by every gram hash
+        "cs",
+        F.expr("transform(split(txt, ''), ch -> CAST(ascii(ch) AS BIGINT))"),
     )
     # sequence(1, stop) counts DOWN when stop < 1 — short docs must
     # yield empty arrays, not reversed ranges (test_short_docs class)
     hs = F.expr(
         f"CASE WHEN length(txt) >= {_WIN_K + _WIN_W - 1} THEN"
         f" transform(sequence(1, length(txt) - {_WIN_K - 1}),"
-        f" i -> CAST(conv(substr(md5(substring(txt, i, {_WIN_K})), 1, 8),"
-        " 16, 10) AS BIGINT))"
+        " i -> (element_at(cs, i)*4362470401"
+        " + element_at(cs, i+1)*16974593 + element_at(cs, i+2)*66049"
+        " + element_at(cs, i+3)*257 + element_at(cs, i+4)) % 2147483647)"
         " ELSE array() END"
     )
     wmins = F.expr(
