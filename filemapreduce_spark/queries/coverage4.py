@@ -1146,9 +1146,12 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
         .alias("mask"),
     ).distinct()
+    # word summaries feed sizes + both pair sides — persist so the
+    # events scan + distinct + bit_or agg run once (round-5 plan
+    # audit: 6 scans / 11 exchanges without it)
     words = bits.groupBy("event_type", "word_idx").agg(
         F.bit_or("mask").cast("long").alias("word")
-    )
+    ).persist()
     sizes = words.groupBy("event_type").agg(
         F.sum(F.bit_count("word")).cast("long").alias("n_users")
     )
@@ -1172,7 +1175,7 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_both")
         )
     )
-    du = e.select("event_type", "user_id").distinct()
+    du = e.select("event_type", "user_id").distinct().persist()
     exact = (
         du.select(F.col("event_type").alias("type_a"), "user_id")
         .join(

@@ -138,11 +138,13 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["es"] == best, "es")
         .otherwise("fr")
     )
+    # ≤36-cell confusion matrix feeding FIVE branches (classes ×2,
+    # rows, cols, tot) — persist so the corpus is scanned once
     cm = (
         d.select(F.col("lang").alias("actual"), pred.alias("predicted"))
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    ).persist()
     classes = (
         cm.select(F.col("actual").alias("k"))
         .union(cm.select(F.col("predicted").alias("k")))
@@ -274,9 +276,12 @@ def bigram_mutual_information(
         F.element_at("ws", F.col("i")).alias("v"),
         F.element_at("ws", F.col("i") + 1).alias("w"),
     )
+    # the bigram-type table feeds FOUR branches (vm, wm, tot, joined);
+    # persist it so the corpus scan + explode + groupBy run once, not
+    # once per branch (round-5 plan audit: 7 scans / 22 exchanges)
     c = bg.groupBy("v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c_vw")
-    )
+    ).persist()
     vm = c.groupBy("v").agg(F.sum("c_vw").cast("long").alias("c_v"))
     wm = c.groupBy("w").agg(F.sum("c_vw").cast("long").alias("c_w"))
     tot = c.agg(

@@ -213,27 +213,44 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE ranking so the rank comparison is on identical values,
     ties by doc_id.
 
-    Scale: posting-list shaped — the tf table only holds
-    (doc, query-term) pairs (the WHERE pushes the 3-term filter into
-    the token stream); df is 3 rows; the corpus stats are one 1-row
-    broadcast. The final top-k is WindowGroupLimit/TakeOrdered-
-    pruned — no global sort of scores.
+    Scale: ONE corpus scan — per-doc length and the 3 query-term
+    frequencies are row-local array ops (no token explode, no
+    doc-grained shuffle to rebuild dlen), persisted as a 4-int-per-doc
+    summary that every downstream branch (stats, df, scoring) reads;
+    df is 3 rows; the corpus stats are one 1-row broadcast. The final
+    top-k is WindowGroupLimit/TakeOrdered-pruned — no global sort of
+    scores. (Round-5 plan audit counted 4 corpus scans / 11 exchanges
+    for the explode-twice shape this replaced.)
     """
     from filemapreduce_spark.operators.textops import words
 
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(words(F.col("text"))).alias("tok")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    stats = dl.agg(
+    per_doc = docs.select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("dlen"),
+        *[
+            F.size(
+                F.filter(
+                    words(F.col("text")), lambda w: w == F.lit(term)
+                )
+            )
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    ).persist()
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.col("dlen").cast("double")).alias("avgdl"),
     )
-    tf = (
-        toks.where(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
+    stack_expr = "stack({}, {}) AS (tok, tf)".format(
+        len(_BM25_TERMS),
+        ", ".join(
+            f"'{term}', tf_{i}" for i, term in enumerate(_BM25_TERMS)
+        ),
+    )
+    tf = per_doc.select("doc_id", "dlen", F.expr(stack_expr)).where(
+        F.col("tf") > 0
     )
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -246,7 +263,6 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(idf * tfnorm).alias("score"))
