@@ -126,6 +126,14 @@ class FileEngine:
 
     Construct from a root directory (disk/HDFS/S3 — anything the Hadoop
     FS layer reaches) or an explicit files DF (e.g. the in-memory VFS).
+
+    Single-file size contract: loaders see each file as ONE
+    ``content`` row, so a file is bounded by the ~2 GiB cell ceiling
+    (``sources.files.WHOLE_FILE_LIMIT_BYTES``) and a multi-GB file is
+    a one-task straggler well before that. Pre-flight oversized trees
+    with ``read_files(..., max_file_bytes=...)`` (fails fast, names
+    the paths) and route big inputs through ``read_files_chunked``
+    (bounded slices + reassembly keys) with a chunk-aware mapper.
     """
 
     spark: SparkSession

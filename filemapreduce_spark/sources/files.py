@@ -16,6 +16,16 @@ tree (/root/reference/interfaces.go:89-94) with a disk implementation
 
 Canonical schema: path STRING (relative, '/'-separated), content BINARY,
 length LONG, mod_time TIMESTAMP.
+
+Single-file size contract: the canonical DF materializes each file as
+ONE ``content`` row, so a file is capped at the JVM byte-array /
+single-cell limit (~2 GiB) and a multi-GB file makes its task a
+straggler long before that. The reference's ``io.Reader`` streaming
+loader (filesystem.go:12) has no whole-file equivalent here by
+design. For oversized inputs use ``read_files_chunked`` (bounded
+``chunk_bytes`` slices, one row per chunk, reassembly keys included);
+``read_files(max_file_bytes=...)`` fails fast with the offending
+paths before any content is read.
 """
 
 from __future__ import annotations
@@ -39,16 +49,31 @@ FILES_SCHEMA = T.StructType(
 )
 
 
+# Hard ceiling of the whole-file row representation: one content cell
+# is a JVM byte array (2^31-1 bytes). Files at/above this fail inside
+# the scan with an opaque JVM error — read_files(max_file_bytes=...)
+# turns that into a named, actionable failure up front.
+WHOLE_FILE_LIMIT_BYTES = (1 << 31) - 1
+
+
 def read_files(
     spark: SparkSession,
     root: str,
     path_filter: Filter | str | None = None,
+    max_file_bytes: int | None = None,
 ) -> DataFrame:
     """Recursive binary scan rooted at ``root`` → canonical files DF.
 
     ``path_filter``'s final segment becomes a ``pathGlobFilter`` so
     non-matching files are pruned at listing time (never opened); the
     full anchored regex is applied on the relative path for exactness.
+
+    ``max_file_bytes`` (opt-in; costs one metadata-only listing job):
+    fail fast with the offending paths if any matched file exceeds
+    the limit, instead of an opaque mid-scan JVM failure at the
+    ~2 GiB row ceiling (``WHOLE_FILE_LIMIT_BYTES``) or a multi-GB
+    single-task straggler. Oversized inputs belong on
+    ``read_files_chunked``.
     """
     flt = as_filter(path_filter)
     reader = (
@@ -71,7 +96,133 @@ def read_files(
     )
     if flt is not None:
         df = df.filter(F.col("path").rlike(flt.to_regex()))
+    if max_file_bytes is not None:
+        # column pruning drops `content`, so this reads footers/
+        # listing metadata only — no file bytes
+        over = (
+            df.select("path", "length")
+            .filter(F.col("length") > max_file_bytes)
+            .limit(5)
+            .collect()
+        )
+        if over:
+            listing = ", ".join(
+                f"{r['path']} ({r['length']:,} B)" for r in over
+            )
+            raise RuntimeError(
+                f"read_files: file(s) exceed max_file_bytes="
+                f"{max_file_bytes:,} and would breach the whole-file "
+                f"row contract (~2 GiB cell ceiling / single-task "
+                f"straggler): {listing}. Use read_files_chunked for "
+                "oversized inputs."
+            )
     return df
+
+
+CHUNKED_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("chunk_idx", T.LongType(), False),
+        T.StructField("n_chunks", T.LongType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("file_length", T.LongType(), True),
+        T.StructField("mod_time", T.TimestampType(), True),
+    ]
+)
+
+
+def read_files_chunked(
+    spark: SparkSession,
+    root: str,
+    path_filter: Filter | str | None = None,
+    chunk_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Chunked binary scan: one row per ``chunk_bytes`` slice of each
+    file — the scale path for inputs beyond the whole-file row
+    ceiling (``WHOLE_FILE_LIMIT_BYTES``) that ``read_files`` cannot
+    represent (the reference streams these through its ``io.Reader``
+    loader, filesystem.go:12).
+
+    Shape: the chunk PLAN is built distributed from a metadata-only
+    listing (content column pruned — no bytes read) exploded to
+    (path, chunk_idx, offset) rows, so a 40 GiB file becomes 320
+    independent 128 MiB tasks instead of one straggler; each
+    mapInPandas task then opens its file and reads ONLY its
+    [offset, offset+chunk_bytes) slice. Reassembly keys
+    (chunk_idx, n_chunks, offset) ride along so loaders can
+    sort-merge or boundary-patch downstream. The byte-read path uses
+    local-file seek I/O; on an object store the same plan shape maps
+    to ranged GETs.
+    """
+    import pandas as pd
+
+    flt = as_filter(path_filter)
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+    )
+    if flt is not None:
+        glob = getattr(flt, "filename_glob", lambda: None)()
+        if glob is not None and glob != "*":
+            reader = reader.option("pathGlobFilter", glob)
+
+    abs_root = os.path.abspath(root).rstrip("/")
+    meta = reader.load(abs_root).select(
+        F.col("path").alias("uri"),
+        F.col("length"),
+        F.col("modificationTime").alias("mod_time"),
+    )
+    rel = F.regexp_replace(
+        F.col("uri"), "^.*?" + re.escape(abs_root) + "/", ""
+    )
+    meta = meta.select(rel.alias("path"), "uri", "length", "mod_time")
+    if flt is not None:
+        meta = meta.filter(F.col("path").rlike(flt.to_regex()))
+
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("length") / F.lit(chunk_bytes)).cast("long"),
+    )
+    plan = (
+        meta.withColumn("n_chunks", n_chunks)
+        .select(
+            "path",
+            "uri",
+            "length",
+            "mod_time",
+            "n_chunks",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .withColumn("offset", F.col("chunk_idx") * F.lit(chunk_bytes))
+        # spread chunks across tasks — without this every chunk of a
+        # file sits in the listing's partition and serializes again
+        .repartition("path", "chunk_idx")
+    )
+
+    def _read_slices(batches):
+        for pdf in batches:
+            contents = []
+            for uri, off in zip(pdf["uri"], pdf["offset"]):
+                local = uri[len("file:"):] if uri.startswith("file:") else uri
+                with open(local, "rb") as f:
+                    f.seek(int(off))
+                    contents.append(f.read(chunk_bytes))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "chunk_idx": pdf["chunk_idx"],
+                    "n_chunks": pdf["n_chunks"],
+                    "offset": pdf["offset"],
+                    "content": contents,
+                    "file_length": pdf["length"],
+                    "mod_time": pdf["mod_time"],
+                }
+            )
+
+    return plan.mapInPandas(_read_slices, CHUNKED_FILES_SCHEMA)
 
 
 def files_from_memory(

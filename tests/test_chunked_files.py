@@ -1,0 +1,89 @@
+"""Single-file size ceiling contract (sources/files.py): the
+whole-file path fails fast with named paths when a file exceeds the
+declared limit, and read_files_chunked reads a >100 MB file as
+bounded slices that reassemble to the exact original bytes."""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from filemapreduce_spark.sources.files import (
+    read_files,
+    read_files_chunked,
+)
+
+
+@pytest.fixture(scope="module")
+def big_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bigfiles")
+    # 120 MiB of position-dependent (non-constant) bytes so chunk
+    # reordering or overlap corrupts the digest
+    big = root / "data" / "big.bin"
+    big.parent.mkdir()
+    block = bytes(range(256)) * 4096  # 1 MiB
+    with open(big, "wb") as f:
+        for i in range(120):
+            f.write(i.to_bytes(4, "big") + block[4:])
+    (root / "data" / "small.bin").write_bytes(b"tiny payload")
+    return str(root)
+
+
+def test_read_files_failfast_names_oversized_file(spark, big_tree):
+    with pytest.raises(RuntimeError) as ei:
+        read_files(spark, big_tree, max_file_bytes=64 << 20)
+    msg = str(ei.value)
+    assert "big.bin" in msg and "read_files_chunked" in msg
+
+
+def test_read_files_passes_under_limit(spark, big_tree):
+    df = read_files(spark, big_tree, max_file_bytes=256 << 20)
+    assert df.filter(F.col("path") == "data/small.bin").count() == 1
+
+
+def test_chunked_read_reassembles_exactly(spark, big_tree):
+    chunk = 32 << 20
+    df = read_files_chunked(spark, big_tree, chunk_bytes=chunk)
+    rows = (
+        df.filter(F.col("path") == "data/big.bin")
+        .select("chunk_idx", "n_chunks", "offset", "content", "file_length")
+        .collect()
+    )
+    size = os.path.getsize(os.path.join(big_tree, "data", "big.bin"))
+    assert size > 100 << 20
+    n_expected = -(-size // chunk)
+    assert len(rows) == n_expected
+    assert all(r["n_chunks"] == n_expected for r in rows)
+    assert sorted(r["chunk_idx"] for r in rows) == list(range(n_expected))
+    # every chunk bounded; offsets consistent; total length exact
+    by_idx = sorted(rows, key=lambda r: r["chunk_idx"])
+    assert all(len(r["content"]) <= chunk for r in rows)
+    assert all(r["offset"] == r["chunk_idx"] * chunk for r in rows)
+    assert sum(len(r["content"]) for r in rows) == size
+    assert all(r["file_length"] == size for r in rows)
+    # byte-exact reassembly
+    h = hashlib.sha256()
+    for r in by_idx:
+        h.update(bytes(r["content"]))
+    with open(os.path.join(big_tree, "data", "big.bin"), "rb") as f:
+        want = hashlib.file_digest(f, "sha256").hexdigest()
+    assert h.hexdigest() == want
+
+
+def test_chunked_small_file_is_single_chunk(spark, big_tree):
+    df = read_files_chunked(spark, big_tree, chunk_bytes=32 << 20)
+    r = df.filter(F.col("path") == "data/small.bin").collect()
+    assert len(r) == 1
+    assert r[0]["n_chunks"] == 1 and r[0]["chunk_idx"] == 0
+    assert bytes(r[0]["content"]) == b"tiny payload"
+
+
+def test_chunked_respects_path_filter(spark, big_tree):
+    df = read_files_chunked(
+        spark, big_tree, path_filter="**/*.bin", chunk_bytes=64 << 20
+    )
+    assert set(r["path"] for r in df.select("path").distinct().collect()) == {
+        "data/big.bin",
+        "data/small.bin",
+    }
