@@ -267,9 +267,90 @@ def main():
             .save()
         )
 
+    # --- round-6 additions: the two newest candidate-join shapes ---
+    # winnowing fingerprint/posting build (queries/llm5.py): KR gram
+    # hash + window minima per doc (row-local) + one groupBy(f) —
+    # linear-corpus-pass claim
+    def win_fp(dc):
+        d = dc.select("doc_id", F.lower("text").alias("txt")).withColumn(
+            "cs",
+            F.expr(
+                "transform(split(txt, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+            ),
+        )
+        hs = F.expr(
+            "CASE WHEN length(txt) >= 8 THEN"
+            " transform(sequence(1, length(txt) - 4),"
+            " i -> (element_at(cs, i)*4362470401"
+            " + element_at(cs, i+1)*16974593 + element_at(cs, i+2)*66049"
+            " + element_at(cs, i+3)*257 + element_at(cs, i+4))"
+            " % 2147483647) ELSE array() END"
+        )
+        wmins = F.expr(
+            "CASE WHEN size(hs) >= 4 THEN"
+            " array_distinct(transform(sequence(1, size(hs) - 3),"
+            " i -> array_min(slice(hs, i, 4)))) ELSE array() END"
+        )
+        fp = d.select("doc_id", hs.alias("hs")).select(
+            "doc_id", F.explode(wmins).alias("f")
+        )
+        return lambda: (
+            fp.groupBy("f")
+            .agg(F.count("*").alias("df"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    # sorted-neighborhood ER candidates (queries/llm13.py): window
+    # sort PARTITIONED by (lang, prefix) block + constant 3-lead
+    # fan-out + fixed-width Levenshtein — block-local n log n claim
+    def snm(dc):
+        d = dc.select(
+            "doc_id",
+            "lang",
+            F.substring("text", 1, 32).alias("head"),
+            F.substring(F.lower("text"), 1, 2).alias("pre"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang", "pre").orderBy("head", "doc_id")
+        ranked = d.select(
+            "doc_id",
+            "lang",
+            "head",
+            *[
+                c
+                for k in range(1, 4)
+                for c in (
+                    F.lead("doc_id", k).over(w).alias(f"id{k}"),
+                    F.lead("head", k).over(w).alias(f"h{k}"),
+                )
+            ],
+        )
+        parts = [
+            ranked.filter(F.col(f"id{k}").isNotNull()).select(
+                F.levenshtein("head", f"h{k}").alias("ed")
+            )
+            for k in range(1, 4)
+        ]
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.unionAll(p)
+        return lambda: (
+            pairs.filter(F.col("ed") <= 8)
+            .agg(F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
     results = {}
     for name, f1, f10 in (
         ("groupby_agg", q1(li1), q1(li10)),
+        ("winnowing_postings", win_fp(dc1), win_fp(dc10)),
+        ("winnowing_postings_100x", win_fp(dc1), win_fp(dc100)),
+        ("sorted_neighborhood", snm(dc1), snm(dc10)),
         ("fact_fact_join", join_agg(li1, od1), join_agg(li10, od10)),
         # 100x rows for the two shapes that actually SHUFFLE heavy
         # state (join rows / per-doc signatures): proves the
