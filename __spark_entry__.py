@@ -53,6 +53,8 @@ def _driver_verified() -> set[str]:
 # stats basics and the two unverified sinks. Rounds 1-5 covered 208
 # of 374; everything listed here has no CORRECTNESS row yet.
 _PRIORITY = (
+    # round-6 new operator gate (Job.sort_partitions ranged reduce)
+    "engine_ranged_sort_digest",
     # verdict-named dedup / similarity / quality family
     "neardup_minhash_lsh",
     "simhash_neardup_pairs",

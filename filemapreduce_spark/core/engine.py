@@ -91,11 +91,26 @@ class Job:
       it unless ``dir_loader`` overrides.
     - sort_key: column name(s)/Column(s); establishes a deterministic
       global order before an order-sensitive reducer (Sorter,
-      interfaces.go:31-48). CAVEAT: setting it funnels the whole
+      interfaces.go:31-48). CAVEAT: by default this funnels the whole
       mapped output through ONE partition (the reference's
       single-reducer semantics) — on a large mapped stream this
       serializes the reduce. Leave unset for order-insensitive
-      reducers, which run fully distributed.
+      reducers, which run fully distributed; set ``sort_partitions``
+      to keep order-sensitive reduces parallel (below).
+    - sort_partitions: scalable alternative to the single-reducer
+      funnel. With N > 1 the sorted stream is range-partitioned on
+      the LEADING sort key and locally sorted on the full key
+      (``repartitionByRange(N, key[0])`` + ``sortWithinPartitions``):
+      the layout is still globally ordered (partition i's leading
+      keys all precede partition i+1's, rows fully sorted within
+      each) and every distinct leading-key run lands whole in one
+      partition, but the reduce runs N-wide. Valid whenever the
+      reducer is KEY-RUN-DECOMPOSABLE — its output over the full
+      sorted stream equals the union of its outputs over contiguous
+      leading-key ranges (true for grouped sequential folds whose
+      state resets per leading key; NOT true for a single global fold
+      carrying state across keys — those still need the default N=1
+      funnel).
     - reducer: DataFrame → DataFrame aggregation. None = map-only job
       (mapreduce.go:344-354).
     - finalizer: DataFrame → Any action (sink). None = return the
@@ -115,6 +130,7 @@ class Job:
     loader: LoaderSpec = "bytes"
     dir_loader: LoaderSpec = None
     sort_key: Any = None
+    sort_partitions: int = 1
     reducer: Callable[[DataFrame], DataFrame] | None = None
     finalizer: Callable[[DataFrame], Any] | None = None
     strict_parse: bool = False
@@ -189,10 +205,29 @@ class FileEngine:
                 # must leave sort_key unset — aggregation then runs
                 # partial+final fully distributed, and tests assert no
                 # single-partition funnel appears in their plans.
+                # sort_partitions > 1 swaps the funnel for a
+                # range-partitioned sort: globally ordered layout, key
+                # runs kept whole per partition, reduce runs N-wide —
+                # valid for key-run-decomposable reducers (see Job).
                 keys = job.sort_key
                 if not isinstance(keys, (list, tuple)):
                     keys = [keys]
-                mapped = mapped.repartition(1).sortWithinPartitions(*keys)
+                n = job.sort_partitions
+                if n is None or n < 1:
+                    raise ValueError(
+                        f"sort_partitions must be >= 1, got {n!r}"
+                    )
+                if n > 1:
+                    # partition on the LEADING key only: ranges on a
+                    # composite key would split a leading-key run at a
+                    # tuple boundary, breaking run-decomposability.
+                    mapped = mapped.repartitionByRange(
+                        n, keys[0]
+                    ).sortWithinPartitions(*keys)
+                else:
+                    mapped = mapped.repartition(1).sortWithinPartitions(
+                        *keys
+                    )
             return job.reducer(mapped)
         return mapped
 

@@ -220,6 +220,86 @@ def engine_sorted_reduce_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# sort_partitions: the scalable (range-partitioned) ordered reduce.
+# --------------------------------------------------------------------
+@register(
+    "engine_ranged_sort_digest",
+    f"""
+    WITH f AS (
+      SELECT source || '/' || lang AS grp,
+             source || '/' || lang || '/' || CAST(doc_id AS VARCHAR)
+               || '.txt' AS path,
+             CAST(doc_id AS VARCHAR) AS id_str
+      FROM {_SQL_DOC_SUB}
+    )
+    SELECT grp,
+           string_agg(id_str, '|' ORDER BY path) AS ordered_ids,
+           COUNT(*) AS n_files
+    FROM f
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("engine", "sort", "reduce", "scale"),
+)
+def engine_ranged_sort_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sort_partitions`` semantics made oracle-checkable: the same
+    ordered-digest reduce as ``engine_sorted_reduce_digest`` but per
+    leading key and WITHOUT the single-reducer funnel —
+    ``sort_partitions=4`` range-partitions the mapped stream on the
+    leading sort key (every (source,lang) run lands whole in one
+    partition, sorted by path within), and a key-run fold walks each
+    partition sequentially (engine.py Job.sort_partitions). Any
+    defect in run wholeness or within-run order changes a digest
+    string; the oracle is per-group ``string_agg(... ORDER BY path)``.
+    This is the scalable twin of the reference's one-reducer model:
+    the reduce runs N-wide instead of serializing."""
+    eng = FileEngine.from_memory(spark, _vfs_docs(spark, sf_dir))
+
+    def fold_runs(df: DataFrame) -> DataFrame:
+        def fold(batches):
+            import pandas as pd
+
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            if pdf.empty:
+                return
+            digest = pdf.groupby("grp", sort=False).agg(
+                ordered_ids=("id_str", lambda s: "|".join(s)),
+                n_files=("id_str", "size"),
+            )
+            out = digest.reset_index()
+            out["n_files"] = out["n_files"].astype("int64")
+            yield out
+
+        return df.mapInPandas(
+            fold, "grp string, ordered_ids string, n_files long"
+        )
+
+    df = eng.plan(
+        Job(
+            name="ranged_digest",
+            path_filter="**/*.txt",
+            loader="text",
+            mapper=lambda d: d.select(
+                F.regexp_extract("path", r"^(.+)/\d+\.txt$", 1).alias(
+                    "grp"
+                ),
+                "path",
+                F.regexp_extract("path", r"(\d+)\.txt$", 1).alias(
+                    "id_str"
+                ),
+            ),
+            sort_key=["grp", "path"],
+            sort_partitions=4,
+            reducer=fold_runs,
+        )
+    )
+    return df.orderBy("grp")
+
+
+# --------------------------------------------------------------------
 # Single-value finalize (the reference's Finalizer sink).
 # --------------------------------------------------------------------
 @register(

@@ -582,3 +582,84 @@ def test_sorted_reducer_uses_single_partition_funnel(spark):
     )
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in plan or "Repartition 1" in plan
+
+
+def _keyrun_job(n_parts):
+    """Order-sensitive, key-run-decomposable job: per-key ascending
+    value digest via a per-partition pandas fold (state resets at
+    each key boundary, so it decomposes over contiguous key ranges)."""
+
+    def reduce_runs(df):
+        def fold(it):
+            import pandas as pd
+
+            batches = list(it)
+            if not batches:
+                return
+            pdf = pd.concat(batches, ignore_index=True)
+            if pdf.empty:
+                return
+            digest = pdf.groupby("k", sort=False)["v"].apply(
+                lambda s: ",".join(str(x) for x in s)
+            )
+            yield pd.DataFrame(
+                {"k": digest.index.astype("int64"), "vals": digest.values}
+            )
+
+        return df.mapInPandas(fold, "k long, vals string")
+
+    return Job(
+        name="runs",
+        path_filter="**/*.txt",
+        loader="text",
+        mapper=lambda df: df.select(
+            F.explode(F.split(F.col("data"), "\n")).alias("line")
+        )
+        .filter(F.col("line") != "")
+        .select(
+            (F.col("line").cast("long") % 3).alias("k"),
+            F.col("line").cast("long").alias("v"),
+        ),
+        sort_key=["k", "v"],
+        sort_partitions=n_parts,
+        reducer=reduce_runs,
+    )
+
+
+def test_sort_partitions_matches_single_reducer(spark):
+    """sort_partitions=N must reproduce the N=1 funnel's output for a
+    key-run-decomposable reducer: range partitioning keeps every
+    distinct sort-key run whole in one partition, sorted within."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    single = eng.plan(_keyrun_job(1)).collect()
+    ranged = eng.plan(_keyrun_job(3)).collect()
+    assert sorted((r.k, r.vals) for r in ranged) == sorted(
+        (r.k, r.vals) for r in single
+    )
+    # the per-key digests see values in ascending order in BOTH modes
+    assert dict((r.k, r.vals) for r in single) == {
+        0: "123", 1: "1,4,4,4", 2: "5,8,23,23"
+    }
+
+
+def test_sort_partitions_plan_is_range_partitioned(spark):
+    """sort_partitions>1 must swap the single-reducer funnel for a
+    range partitioning: the plan shows rangepartitioning on the sort
+    key and no 1-partition round-robin exchange."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    plan = (
+        eng.plan(_keyrun_job(3))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "RoundRobinPartitioning(1)" not in plan
+    assert "Repartition 1" not in plan
+
+
+def test_sort_partitions_validation(spark):
+    """sort_partitions < 1 is a loud error, not a silent fallback."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    with pytest.raises(ValueError, match="sort_partitions"):
+        eng.plan(_keyrun_job(0))
