@@ -252,11 +252,19 @@ def main():
         )
         return cand
 
-    srp_out = {
-        "cand_1x": srp_cand(em1).count(),
-        "cand_100x": srp_cand(em100r).count(),
-    }
-    srp_out["cand_ratio"] = round(srp_out["cand_100x"] / max(srp_out["cand_1x"], 1), 1)
+    _srp_wanted = not sys.argv[1:] or "srp_candidate_join_100x" in sys.argv[1:]
+    srp_out = (
+        {
+            "cand_1x": srp_cand(em1).count(),
+            "cand_100x": srp_cand(em100r).count(),
+        }
+        if _srp_wanted
+        else {}
+    )
+    if _srp_wanted:
+        srp_out["cand_ratio"] = round(
+            srp_out["cand_100x"] / max(srp_out["cand_1x"], 1), 1
+        )
 
     def srp_cand_agg(em):
         return lambda: (
@@ -345,9 +353,76 @@ def main():
             .save()
         )
 
+    # ranged ordered reduce (core/engine.py Job.sort_partitions): the
+    # EXACT primitive the engine swaps in for the sort_key funnel —
+    # repartitionByRange(N, leading_key) + full-key local sort + a
+    # per-partition key-run pandas fold. Probed at N=32 for
+    # sub-linearity, plus funnel (N=1) vs ranged at 10x for the
+    # parallelism claim itself.
+    _ranged_cache: dict[int, DataFrame] = {}
+
+    def ranged_reduce(dc, n, tag=0):
+        # Materialize the mapped stream before timing: the probe
+        # isolates the REDUCE stage (shuffle + sort + fold), which is
+        # what sort_partitions changes — and it mirrors the engine,
+        # whose shared files DF is persisted. Unmaterialized input
+        # would also penalize ranged twice: repartitionByRange makes
+        # an extra boundary-sampling pass over its input.
+        if tag not in _ranged_cache:
+            _ranged_cache[tag] = (
+                dc.select(
+                    (F.col("doc_id") % 997).alias("grp"),
+                    F.col("doc_id").alias("id"),
+                    F.length("text").alias("v"),
+                )
+                # normalize layout: the replicate() union arrives as
+                # copies x 32 near-empty partitions; a real mapped
+                # stream is ~core-count partitions, and the 3200-task
+                # launch floor would swamp what the probe measures
+                .repartition(32)
+                .persist()
+            )
+            _ranged_cache[tag].count()
+        d = _ranged_cache[tag]
+        if n > 1:
+            s = d.repartitionByRange(n, "grp").sortWithinPartitions(
+                "grp", "id"
+            )
+        else:
+            s = d.repartition(1).sortWithinPartitions("grp", "id")
+
+        def fold(it):
+            import pandas as pd
+
+            parts = list(it)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            if pdf.empty:
+                return
+            out = (
+                pdf.groupby("grp", sort=False)
+                .agg(n=("v", "size"), tot=("v", "sum"))
+                .reset_index()
+            )
+            yield out
+
+        folded = s.mapInPandas(fold, "grp long, n long, tot long")
+        return lambda: (
+            folded.write.mode("overwrite").format("noop").save()
+        )
+
+    only = set(sys.argv[1:])  # optional probe-name filter
+
     results = {}
     for name, f1, f10 in (
         ("groupby_agg", q1(li1), q1(li10)),
+        ("ranged_reduce", ranged_reduce(dc1, 32, 1), ranged_reduce(dc10, 32, 10)),
+        (
+            "ranged_reduce_100x",
+            ranged_reduce(dc1, 32, 1),
+            ranged_reduce(dc100, 32, 100),
+        ),
         ("winnowing_postings", win_fp(dc1), win_fp(dc10)),
         ("winnowing_postings_100x", win_fp(dc1), win_fp(dc100)),
         ("sorted_neighborhood", snm(dc1), snm(dc10)),
@@ -365,16 +440,40 @@ def main():
         ("srp_candidate_join_100x", srp_cand_agg(em1), srp_cand_agg(em100r)),
         ("geo_grid_join", geo_grid(cu1), geo_grid(cu10)),
     ):
+        if only and name not in only:
+            continue
         t1, t10 = timed(f1), timed(f10)
         results[name] = {
             "t_1x": t1,
             "t_10x": t10,
             "ratio": round(t10 / t1, 2) if t1 > 0 else None,
         }
-    results["srp_candidate_join_100x"].update(srp_out)
-    results["srp_candidate_join_100x"]["output_normalized_ratio"] = round(
-        results["srp_candidate_join_100x"]["ratio"] / srp_out["cand_ratio"], 4
-    )
+    if "ranged_reduce" in results:
+        # funnel (N=1) on the SAME 10x stream: the serialization cost
+        # sort_partitions removes. NOTE the crossover: at 10x (600k
+        # skinny rows) the funnel WINS — a single-task sort is trivial
+        # while repartitionByRange pays a boundary-sampling pass — so
+        # the ranged path is a scale feature, not a toy-bench one.
+        t_funnel = timed(ranged_reduce(dc10, 1, 10))
+        results["ranged_reduce"]["t_funnel_10x"] = t_funnel
+        results["ranged_reduce"]["funnel_over_ranged"] = round(
+            t_funnel / results["ranged_reduce"]["t_10x"], 2
+        )
+    if "ranged_reduce_100x" in results:
+        t_funnel = timed(ranged_reduce(dc100, 1, 100))
+        results["ranged_reduce_100x"]["t_funnel_100x"] = t_funnel
+        results["ranged_reduce_100x"]["funnel_over_ranged"] = round(
+            t_funnel / results["ranged_reduce_100x"]["t_10x"], 2
+        )
+    if "srp_candidate_join_100x" in results:
+        results["srp_candidate_join_100x"].update(srp_out)
+        results["srp_candidate_join_100x"]["output_normalized_ratio"] = (
+            round(
+                results["srp_candidate_join_100x"]["ratio"]
+                / srp_out["cand_ratio"],
+                4,
+            )
+        )
 
     print(json.dumps({"probe": "10x_scaling", "copies": COPIES, "results": results}))
 
