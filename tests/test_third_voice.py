@@ -1,0 +1,229 @@
+"""Third-voice correctness tests: pandas/numpy twins of registry queries.
+
+Every registry query already has two implementations — the Spark
+DataFrame plan and the hand-written DuckDB oracle the sweeps compare
+against. The tests here add a THIRD, engine-independent voice: each
+recomputes a query's expected output directly from the sf0.001 parquet
+using pandas/numpy, then compares against the Spark result
+value-for-value. Coverage is aimed at queries whose only gate so far
+is the builder's own sweep apparatus (never yet sampled by the
+driver's CORRECTNESS window), so a systematic Spark↔DuckDB-twin
+misunderstanding can't hide in the pair.
+
+Float columns compare at rtol 1e-9 (the twins may legally accumulate
+in a different order); everything else must match exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMALL
+
+_REG = None
+
+
+def _run(spark, name: str) -> pd.DataFrame:
+    global _REG
+    if _REG is None:
+        from filemapreduce_spark.queries import load_all
+
+        _REG = load_all()
+    return _REG[name].fn(spark, SF_SMALL).toPandas()
+
+
+def _tbl(name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMALL}/{name}.parquet")
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame, sort_by: list[str]):
+    assert sorted(got.columns) == sorted(want.columns), (
+        sorted(got.columns),
+        sorted(want.columns),
+    )
+    got = got.sort_values(sort_by).reset_index(drop=True)
+    want = want.sort_values(sort_by).reset_index(drop=True)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in want.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            np.testing.assert_allclose(
+                g.astype(float).to_numpy(),
+                w.astype(float).to_numpy(),
+                rtol=1e-9,
+                atol=1e-12,
+                err_msg=c,
+            )
+        else:
+            assert g.astype(str).tolist() == w.astype(str).tolist(), c
+
+
+def _pdisc(sorted_vals: np.ndarray, q: float):
+    """percentile_disc: smallest value whose cumulative share >= q."""
+    n = len(sorted_vals)
+    idx = max(int(math.ceil(n * q)) - 1, 0)
+    return sorted_vals[idx]
+
+
+def _cents(s: pd.Series) -> pd.Series:
+    return (s * 100).round().astype("int64")
+
+
+# ---------------------------------------------------------------------
+# stats family
+# ---------------------------------------------------------------------
+def test_robust_stats_mad_third_voice(spark):
+    e = _tbl("events")
+    rows = []
+    for et, g in e.groupby("event_type"):
+        med = g["value"].quantile(0.5, interpolation="linear")
+        mad = (g["value"] - med).abs().quantile(0.5, interpolation="linear")
+        rows.append(
+            {
+                "event_type": et,
+                "median": round(med, 6),
+                "mad": round(mad, 6),
+                "n": len(g),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "robust_stats_mad"), want, ["event_type"])
+
+
+def test_spearman_qty_price_third_voice(spark):
+    li = _tbl("lineitem").copy()
+    li["cents"] = _cents(li["l_extendedprice"])
+    tie = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    rows = []
+    for flag, g in li.groupby("l_returnflag"):
+        r1 = (
+            g.sort_values(["l_quantity"] + tie)
+            .reset_index()
+            .assign(r1=lambda d: np.arange(1, len(d) + 1))
+            .set_index("index")["r1"]
+        )
+        r2 = (
+            g.sort_values(["cents"] + tie)
+            .reset_index()
+            .assign(r2=lambda d: np.arange(1, len(d) + 1))
+            .set_index("index")["r2"]
+        )
+        n = len(g)
+        d2 = int(((r1 - r2) ** 2).sum())
+        rho = 1.0 - 6.0 * d2 / (n * (n * n - 1))
+        rows.append({"l_returnflag": flag, "n": n, "spearman_rho": rho})
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "spearman_qty_price"), want, ["l_returnflag"])
+
+
+def test_weighted_median_third_voice(spark):
+    li = _tbl("lineitem").copy()
+    li["price_cents"] = _cents(li["l_extendedprice"])
+    li["w"] = li["l_quantity"].round().astype("int64")
+    rows = []
+    for flag, g in li.groupby("l_returnflag"):
+        per_val = (
+            g.groupby("price_cents")["w"].sum().sort_index()
+        )
+        cw = per_val.cumsum()
+        tw = int(per_val.sum())
+        med = int(cw.index[(2 * cw >= tw).to_numpy().nonzero()[0][0]])
+        rows.append(
+            {
+                "flag": flag,
+                "weighted_median_cents": med,
+                "total_weight": tw,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "weighted_median_price_by_flag"), want, ["flag"]
+    )
+
+
+def test_winsorized_stats_third_voice(spark):
+    o = _tbl("orders").copy()
+    o["c"] = _cents(o["o_totalprice"])
+    rows = []
+    for st, g in o.groupby("o_orderstatus"):
+        vals = np.sort(g["c"].to_numpy())
+        lo, hi = _pdisc(vals, 0.05), _pdisc(vals, 0.95)
+        clipped = g["c"].clip(lo, hi)
+        rows.append(
+            {
+                "o_orderstatus": st,
+                "n": len(g),
+                "n_clipped_low": int((g["c"] < lo).sum()),
+                "n_clipped_high": int((g["c"] > hi).sum()),
+                "winsorized_sum_cents": int(clipped.sum()),
+                "winsorized_avg": float(clipped.sum())
+                / (100.0 * len(g)),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "winsorized_stats_prices"), want, ["o_orderstatus"]
+    )
+
+
+# ---------------------------------------------------------------------
+# time-series family
+# ---------------------------------------------------------------------
+def test_twap_daily_third_voice(spark):
+    e = _tbl("events").copy()
+    e["day"] = e["ts"].dt.floor("D")
+    e["value_cents"] = _cents(e["value"])
+    e["t_us"] = e["ts"].astype("datetime64[us]").astype("int64")
+    rows = []
+    for (day, et), g in e.groupby(["day", "event_type"]):
+        g = g.sort_values(["t_us", "event_id"])
+        t = g["t_us"].to_numpy()
+        v = g["value_cents"].to_numpy()
+        if len(g) < 2:
+            continue
+        dt = t[1:] - t[:-1]
+        num = (v[:-1] * dt).sum()
+        rows.append(
+            {
+                "day": day,
+                "event_type": et,
+                "weighted_cents_us": int(num),
+                "span_us": int(dt.sum()),
+                "twap_cents": float(num) / float(dt.sum()),
+            }
+        )
+    want = pd.DataFrame(rows)
+    got = _run(spark, "twap_daily_by_type")
+    # normalize the day column representation on both sides
+    got["day"] = pd.to_datetime(got["day"]).dt.strftime("%Y-%m-%d")
+    want["day"] = pd.to_datetime(want["day"]).dt.strftime("%Y-%m-%d")
+    _compare(got, want, ["day", "event_type"])
+
+
+def test_ohlc_monthly_third_voice(spark):
+    o = _tbl("orders").copy()
+    od = pd.to_datetime(o["o_orderdate"])
+    o["month"] = od.dt.to_period("M").dt.start_time
+    epoch_s = od.astype("int64") // 1_000_000_000
+    o["ord"] = epoch_s * 100_000_000 + o["o_orderkey"]
+    o["price_cents"] = _cents(o["o_totalprice"])
+    rows = []
+    for m, g in o.groupby("month"):
+        g_sorted = g.sort_values("ord")
+        rows.append(
+            {
+                "month": m.strftime("%Y-%m-%d"),
+                "open_cents": int(g_sorted["price_cents"].iloc[0]),
+                "high_cents": int(g["price_cents"].max()),
+                "low_cents": int(g["price_cents"].min()),
+                "close_cents": int(g_sorted["price_cents"].iloc[-1]),
+                "n_orders": len(g),
+                "volume_cents": int(g["price_cents"].sum()),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "ohlc_monthly_order_prices"), want, ["month"])
