@@ -227,3 +227,90 @@ def test_ohlc_monthly_third_voice(spark):
         )
     want = pd.DataFrame(rows)
     _compare(_run(spark, "ohlc_monthly_order_prices"), want, ["month"])
+
+
+# ---------------------------------------------------------------------
+# analytics / sampling family
+# ---------------------------------------------------------------------
+def test_skyline_third_voice(spark):
+    p = _tbl("part").copy()
+    p["price_cents"] = _cents(p["p_retailprice"])
+    counts = (
+        p.groupby(["price_cents", "p_size"]).size().rename("n_parts")
+    )
+    pairs = counts.reset_index()
+    pc = pairs["price_cents"].to_numpy()
+    sz = pairs["p_size"].to_numpy()
+    keep = []
+    for i in range(len(pairs)):
+        dominated = (
+            (pc <= pc[i])
+            & (sz >= sz[i])
+            & ((pc < pc[i]) | (sz > sz[i]))
+        ).any()
+        if not dominated:
+            keep.append(i)
+    want = pairs.iloc[keep].rename(columns={"p_size": "size"})[
+        ["price_cents", "size", "n_parts"]
+    ]
+    _compare(
+        _run(spark, "skyline_parts_price_size"), want, ["price_cents"]
+    )
+
+
+def test_systematic_sample_third_voice(spark):
+    e = _tbl("events").copy()
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    e["rn"] = e.groupby("user_id").cumcount()
+    keep = e[e["rn"] % 20 == 0].copy()
+    keep["ts"] = keep["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    want = keep[["user_id", "event_id", "ts"]]
+    _compare(
+        _run(spark, "systematic_sample_user_events"),
+        want,
+        ["user_id", "event_id"],
+    )
+
+
+def test_quality_tiers_ntile_third_voice(spark):
+    d = _tbl("documents").copy()
+    frames = []
+    for lang, g in d.groupby("lang"):
+        g = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        n, k = len(g), 10
+        base, extra = divmod(n, k)
+        tiers = np.repeat(
+            np.arange(1, k + 1),
+            [base + 1 if i < extra else base for i in range(k)],
+        )[:n]
+        g["tier"] = tiers.astype("int64")
+        frames.append(g[["doc_id", "lang", "tier"]])
+    want = pd.concat(frames, ignore_index=True)
+    _compare(_run(spark, "quality_tiers_ntile"), want, ["doc_id"])
+
+
+def test_retention_cohorts_third_voice(spark):
+    e = _tbl("events").copy()
+    du = (
+        e.assign(day=e["ts"].dt.normalize())[["user_id", "day"]]
+        .drop_duplicates()
+    )
+    d0 = du.groupby("user_id")["day"].min().rename("d0")
+    j = du.join(d0, on="user_id")
+    j["week_offset"] = ((j["day"] - j["d0"]).dt.days // 7).astype(
+        "int64"
+    )
+    j["cohort_day"] = j["d0"].dt.strftime("%Y-%m-%d")
+    want = (
+        j.groupby(["cohort_day", "week_offset"])["user_id"]
+        .nunique()
+        .rename("n_active")
+        .reset_index()
+    )
+    _compare(
+        _run(spark, "retention_cohorts_weekly"),
+        want,
+        ["cohort_day", "week_offset"],
+    )
