@@ -314,3 +314,113 @@ def test_retention_cohorts_third_voice(spark):
         want,
         ["cohort_day", "week_offset"],
     )
+
+
+# ---------------------------------------------------------------------
+# time-bucketing / scalar-parse / session families
+# ---------------------------------------------------------------------
+def test_time_bucket_weekly_third_voice(spark):
+    e = _tbl("events").copy()
+    ep = e["ts"].astype("datetime64[us]").astype("int64")
+    origin, week = 345_600_000_000, 604_800_000_000
+    start_us = ((ep - origin) // week) * week + origin
+    e["week_start"] = pd.Series(
+        pd.to_datetime(start_us, unit="us")
+    ).dt.strftime("%Y-%m-%d").to_numpy()
+    e["vc"] = _cents(e["value"])
+    want = (
+        e.groupby("week_start")
+        .agg(
+            n_events=("event_id", "size"),
+            sum_value_cents=("vc", "sum"),
+            users=("user_id", "nunique"),
+        )
+        .reset_index()
+    )
+    _compare(
+        _run(spark, "time_bucket_weekly_monday"), want, ["week_start"]
+    )
+
+
+def test_timegrain_rollup_third_voice(spark):
+    e = _tbl("events")
+    p = e[e["event_type"] == "purchase"].copy()
+    p["month"] = p["ts"].dt.to_period("M").dt.start_time.dt.strftime(
+        "%Y-%m-%d"
+    )
+    p["day"] = p["ts"].dt.normalize().dt.strftime("%Y-%m-%d")
+    p["vc"] = _cents(p["value"])
+    daily = (
+        p.groupby(["month", "day"])
+        .agg(n_events=("vc", "size"), sum_value_cents=("vc", "sum"))
+        .reset_index()
+        .assign(grain="day")
+    )
+    monthly = (
+        p.groupby("month")
+        .agg(n_events=("vc", "size"), sum_value_cents=("vc", "sum"))
+        .reset_index()
+        .assign(grain="month", day=None)
+    )
+    want = pd.concat([daily, monthly], ignore_index=True)[
+        ["grain", "month", "day", "n_events", "sum_value_cents"]
+    ]
+    _compare(
+        _run(spark, "timegrain_rollup_events"),
+        want,
+        ["month", "grain", "day"],
+    )
+
+
+def test_url_kv_parse_third_voice(spark):
+    e = _tbl("events").copy()
+    # round() in both engines is HALF-UP for positives; numpy's is
+    # banker's, so emulate half-up explicitly
+    v_round = np.floor(e["value"].to_numpy() + 0.5).astype("int64")
+    e["v"] = v_round
+    e["path"] = (
+        "/" + e["event_type"] + "/" + (e["event_id"] % 100).astype(str)
+    )
+    want = (
+        e.groupby("event_type")
+        .agg(
+            n=("event_id", "size"),
+            sum_user_param=("user_id", "sum"),
+            sum_v_param=("v", "sum"),
+            distinct_paths=("path", "nunique"),
+        )
+        .reset_index()
+    )
+    _compare(_run(spark, "url_kv_parse_events"), want, ["event_type"])
+
+
+def test_session_pattern_third_voice(spark):
+    e = _tbl("events").copy()
+    e["ep"] = e["ts"].astype("datetime64[us]").astype("int64")
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    gap = 1_800_000_000  # 30 min in us
+    prev = e.groupby("user_id")["ep"].shift()
+    e["new_s"] = ((prev.isna()) | (e["ep"] - prev > gap)).astype(int)
+    e["sid"] = e.groupby("user_id")["new_s"].cumsum()
+    e["ch"] = e["event_type"].str[0].str.upper()
+    pat = (
+        e.groupby(["user_id", "sid"])["ch"]
+        .apply("".join)
+        .rename("pattern")
+        .reset_index()
+    )
+    agg = (
+        pat.groupby("pattern")
+        .agg(n_sessions=("user_id", "size"), n_users=("user_id", "nunique"))
+        .reset_index()
+        .sort_values(
+            ["n_sessions", "pattern"], ascending=[False, True]
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+    _compare(
+        _run(spark, "session_pattern_top20"),
+        agg,
+        ["n_sessions", "pattern"],
+    )
