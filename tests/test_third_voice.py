@@ -424,3 +424,89 @@ def test_session_pattern_third_voice(spark):
         agg,
         ["n_sessions", "pattern"],
     )
+
+
+# ---------------------------------------------------------------------
+# scalar / error-path / format families
+# ---------------------------------------------------------------------
+def _props_k(props: pd.Series) -> pd.Series:
+    import json
+
+    def get(s):
+        try:
+            v = json.loads(s).get("k")
+            return int(v) if v is not None else None
+        except Exception:
+            return None
+
+    return props.apply(get).astype("Int64")
+
+
+def test_try_arithmetic_third_voice(spark):
+    e = _tbl("events").copy()
+    c = _cents(e["value"]).to_numpy()
+    denom = c - 500
+    ratio = np.where(
+        denom != 0, np.trunc((c * 100.0) / np.where(denom == 0, 1, denom)), np.nan
+    )
+    e["safe_ratio"] = ratio
+    e["k"] = _props_k(e["props"])
+    e["is_zero"] = (c == 500).astype(int)
+    want = (
+        e.groupby("event_type")
+        .agg(
+            n=("event_id", "size"),
+            sum_safe_ratio=("safe_ratio", lambda s: int(s.sum())),
+            n_div_zero=("is_zero", "sum"),
+            sum_k=("k", "sum"),
+        )
+        .reset_index()
+    )
+    _compare(_run(spark, "try_arithmetic_safety"), want, ["event_type"])
+
+
+def test_variant_props_third_voice(spark):
+    e = _tbl("events").copy()
+    e["k"] = _props_k(e["props"])
+    want = (
+        e.groupby("event_type")
+        .agg(
+            n=("event_id", "size"),
+            sum_k=("k", "sum"),
+            min_k=("k", "min"),
+            max_k=("k", "max"),
+        )
+        .reset_index()
+    )
+    _compare(_run(spark, "variant_props_events"), want, ["event_type"])
+
+
+def test_xml_parse_third_voice(spark):
+    o = _tbl("orders").copy()
+    o["c"] = _cents(o["o_totalprice"])
+    want = (
+        o.groupby("o_orderpriority")
+        .agg(
+            n=("o_orderkey", "size"),
+            sum_cents=("c", "sum"),
+            max_key=("o_orderkey", "max"),
+        )
+        .reset_index()
+        .rename(columns={"o_orderpriority": "priority"})
+    )
+    _compare(_run(spark, "xml_parse_orders"), want, ["priority"])
+
+
+def test_posexplode_third_voice(spark):
+    d = _tbl("documents")
+    rows = []
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        for i, w in enumerate(ws[:3]):
+            rows.append(
+                {"doc_id": r["doc_id"], "pos": i, "word": w}
+            )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "posexplode_leading_words"), want, ["doc_id", "pos"]
+    )
