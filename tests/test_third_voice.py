@@ -510,3 +510,119 @@ def test_posexplode_third_voice(spark):
     _compare(
         _run(spark, "posexplode_leading_words"), want, ["doc_id", "pos"]
     )
+
+
+# ---------------------------------------------------------------------
+# SQL-entry / diagnostics / UDx families
+# ---------------------------------------------------------------------
+def test_sql_text_monthly_revenue_third_voice(spark):
+    o = _tbl("orders").copy()
+    d = pd.to_datetime(o["o_orderdate"])
+    o = o[(d >= "1996-01-01") & (d < "1998-01-01")].copy()
+    d = pd.to_datetime(o["o_orderdate"])
+    o["y"] = d.dt.year.astype("int32")
+    o["m"] = d.dt.month.astype("int32")
+    o["c"] = _cents(o["o_totalprice"])
+    want = (
+        o.groupby(["y", "m"])
+        .agg(n_orders=("c", "size"), gross=("c", "sum"))
+        .reset_index()
+    )
+    want["gross"] = want["gross"] / 100.0
+    _compare(_run(spark, "sql_text_monthly_revenue"), want, ["y", "m"])
+
+
+def test_recursive_chains_third_voice(spark):
+    n = _tbl("nation")
+    # parent(child) = largest smaller nationkey in the same region
+    parent = {}
+    for _, r in n.iterrows():
+        smaller = n[
+            (n["n_regionkey"] == r["n_regionkey"])
+            & (n["n_nationkey"] < r["n_nationkey"])
+        ]["n_nationkey"]
+        if len(smaller):
+            parent[int(r["n_nationkey"])] = int(smaller.max())
+    names = dict(zip(n["n_nationkey"].astype(int), n["n_name"]))
+    rows = []
+    for k in sorted(names):
+        depth, root = 0, k
+        while root in parent:
+            root = parent[root]
+            depth += 1
+        rows.append(
+            {
+                "nationkey": k,
+                "root": root,
+                "depth": depth,
+                "n_name": names[k],
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "recursive_cte_nation_chains"), want, ["nationkey"]
+    )
+
+
+def test_skew_diagnosis_third_voice(spark):
+    li = _tbl("lineitem")
+    n = li.groupby("l_orderkey").size()
+    vals = np.sort(n.to_numpy())
+    want = pd.DataFrame(
+        [
+            {
+                "n_keys": len(n),
+                "n_rows": int(n.sum()),
+                "max_rows_per_key": int(n.max()),
+                "p50": int(_pdisc(vals, 0.50)),
+                "p90": int(_pdisc(vals, 0.90)),
+                "p99": int(_pdisc(vals, 0.99)),
+                "skew_ratio_milli": int(
+                    (int(n.max()) * 1000 * len(n)) // int(n.sum())
+                ),
+            }
+        ]
+    )
+    _compare(_run(spark, "skew_diagnosis_join_keys"), want, ["n_keys"])
+
+
+def test_pandas_udaf_weighted_price_third_voice(spark):
+    li = _tbl("lineitem").copy()
+    li["c"] = _cents(li["l_extendedprice"])
+    li["q"] = li["l_quantity"].astype("int64")
+    rows = []
+    for flag, g in li.groupby("l_returnflag"):
+        num = int((g["c"] * g["q"]).sum())
+        den = int(g["q"].sum())
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "wavg_price_cents": float(num) / float(den),
+                "total_qty": den,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "pandas_udaf_weighted_price"), want, ["l_returnflag"]
+    )
+
+
+def test_pandas_udf_char_classes_third_voice(spark):
+    import re
+
+    d = _tbl("documents")
+    want = pd.DataFrame(
+        {
+            "doc_id": d["doc_id"],
+            "n_digits": d["text"]
+            .apply(lambda t: len(re.findall(r"[0-9]", str(t))))
+            .astype("int64"),
+            "n_upper": d["text"]
+            .apply(lambda t: len(re.findall(r"[A-Z]", str(t))))
+            .astype("int64"),
+            "n_chars": d["text"].str.len().astype("int64"),
+        }
+    )
+    _compare(
+        _run(spark, "pandas_udf_char_classes"), want, ["doc_id"]
+    )
