@@ -626,3 +626,116 @@ def test_pandas_udf_char_classes_third_voice(spark):
     _compare(
         _run(spark, "pandas_udf_char_classes"), want, ["doc_id"]
     )
+
+
+# ---------------------------------------------------------------------
+# packing / UDTF / sampling / sink families
+# ---------------------------------------------------------------------
+def test_sequence_pack_cu_seqlens_third_voice(spark):
+    d = _tbl("documents").copy()
+    d["tok"] = d["text"].apply(lambda t: len(str(t).split()))
+    rows = []
+    for src, g in d.groupby("source"):
+        g = g.sort_values("doc_id")
+        cum = 0
+        for _, r in g.iterrows():
+            tok = int(r["tok"])
+            if tok > 0:
+                lo = cum // 256
+                hi = (cum + tok - 1) // 256
+                for seq_idx in range(lo, hi + 1):
+                    rows.append(
+                        {
+                            "source": src,
+                            "seq_idx": seq_idx,
+                            "off": max(cum - seq_idx * 256, 0),
+                        }
+                    )
+            cum += tok
+    spans = pd.DataFrame(rows)
+    want = (
+        spans.groupby(["source", "seq_idx"])
+        .agg(
+            n_docs=("off", "size"),
+            cu_seqlens=(
+                "off",
+                lambda s: ",".join(str(x) for x in sorted(s)),
+            ),
+        )
+        .reset_index()
+    )
+    _compare(
+        _run(spark, "sequence_pack_cu_seqlens"),
+        want,
+        ["source", "seq_idx"],
+    )
+
+
+def test_udtf_shared_shingles_third_voice(spark):
+    d = _tbl("documents")
+    from collections import Counter
+
+    counts = Counter()
+    for t_ in d["text"]:
+        ws = str(t_).split(" ")
+        seen = set()
+        for i in range(len(ws) - 3):
+            seen.add(" ".join(ws[i : i + 4]))
+        counts.update(seen)
+    want = pd.DataFrame(
+        [
+            {"shingle": s, "n_docs": n}
+            for s, n in counts.items()
+            if n >= 3
+        ]
+    )
+    _compare(
+        _run(spark, "udtf_shared_shingles"), want, ["n_docs", "shingle"]
+    )
+
+
+def test_weighted_sample_wor_third_voice(spark):
+    import hashlib
+
+    d = _tbl("documents").copy()
+
+    def unif(doc_id):
+        h = hashlib.md5(f"es:{doc_id}".encode()).hexdigest()[:13]
+        return (int(h, 16) + 1) / 4503599627370496.0
+
+    d["key"] = d.apply(
+        lambda r: math.log(unif(r["doc_id"])) / r["n_chars"], axis=1
+    )
+    frames = []
+    for lang, g in d.groupby("lang"):
+        g = g.sort_values(
+            ["key", "doc_id"], ascending=[False, True]
+        ).head(10)
+        g = g.reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1)
+        frames.append(g[["lang", "rn", "doc_id", "n_chars"]])
+    want = pd.concat(frames, ignore_index=True)
+    _compare(
+        _run(spark, "weighted_sample_without_replacement"),
+        want,
+        ["lang", "rn"],
+    )
+
+
+def test_sink_hilbert_roundtrip_third_voice(spark):
+    p = _tbl("part")
+    f = p[
+        (p["p_size"].between(25, 40))
+        & (p["p_retailprice"].between(940, 980))
+    ].copy()
+    f["c"] = _cents(f["p_retailprice"])
+    want = (
+        f.groupby("p_brand")
+        .agg(
+            n_parts=("p_size", "size"),
+            size_sum=("p_size", "sum"),
+            price_cents=("c", "sum"),
+        )
+        .reset_index()
+    )
+    _compare(_run(spark, "sink_hilbert_roundtrip"), want, ["p_brand"])
