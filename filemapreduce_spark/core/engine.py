@@ -213,9 +213,9 @@ class FileEngine:
                 if not isinstance(keys, (list, tuple)):
                     keys = [keys]
                 n = job.sort_partitions
-                if n is None or n < 1:
+                if not isinstance(n, int) or isinstance(n, bool) or n < 1:
                     raise ValueError(
-                        f"sort_partitions must be >= 1, got {n!r}"
+                        f"sort_partitions must be an int >= 1, got {n!r}"
                     )
                 if n > 1:
                     # partition on the LEADING key only: ranges on a
