@@ -739,3 +739,83 @@ def test_sink_hilbert_roundtrip_third_voice(spark):
         .reset_index()
     )
     _compare(_run(spark, "sink_hilbert_roundtrip"), want, ["p_brand"])
+
+
+# ---------------------------------------------------------------------
+# ratio-to-report / rolling distinct / TF-IDF families
+# ---------------------------------------------------------------------
+def test_revenue_share_third_voice(spark):
+    li = _tbl("lineitem")[["l_suppkey", "l_extendedprice"]].copy()
+    s = _tbl("supplier")[["s_suppkey", "s_nationkey"]]
+    n = _tbl("nation")[["n_nationkey", "n_name"]]
+    li["c"] = _cents(li["l_extendedprice"])
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey").merge(
+        n, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    rev = (
+        j.groupby("n_name")["c"]
+        .sum()
+        .rename("rev_cents")
+        .reset_index()
+        .rename(columns={"n_name": "nation"})
+    )
+    total = int(rev["rev_cents"].sum())
+    rev["share"] = (rev["rev_cents"].astype(float) / total).round(9)
+    _compare(_run(spark, "revenue_share_by_nation"), rev, ["nation"])
+
+
+def test_rolling_7day_active_third_voice(spark):
+    e = _tbl("events").copy()
+    du = (
+        e.assign(day=e["ts"].dt.normalize())[["day", "user_id"]]
+        .drop_duplicates()
+    )
+    days = sorted(du["day"].unique())
+    rows = []
+    for d in days:
+        lo = d - pd.Timedelta(days=7)
+        active = du[(du["day"] > lo) & (du["day"] <= d)][
+            "user_id"
+        ].nunique()
+        rows.append(
+            {
+                "day": pd.Timestamp(d).strftime("%Y-%m-%d"),
+                "active_7d": active,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "rolling_7day_active_users"), want, ["day"]
+    )
+
+
+def test_tfidf_top_term_third_voice(spark):
+    d = _tbl("documents")
+    from collections import Counter
+
+    n_docs = len(d)
+    tf = {}
+    df_counter = Counter()
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        c = Counter(ws)
+        tf[r["doc_id"]] = c
+        df_counter.update(c.keys())
+    rows = []
+    for doc_id, c in tf.items():
+        best = None
+        for word, f in c.items():
+            score = round(f * math.log(n_docs / df_counter[word]), 6)
+            key = (-score, word)
+            if best is None or key < best[0]:
+                best = (key, word, score)
+        if best:
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "word": best[1],
+                    "tfidf": best[2],
+                }
+            )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "tfidf_top_term_per_doc"), want, ["doc_id"])
