@@ -819,3 +819,148 @@ def test_tfidf_top_term_third_voice(spark):
             )
     want = pd.DataFrame(rows)
     _compare(_run(spark, "tfidf_top_term_per_doc"), want, ["doc_id"])
+
+
+# ---------------------------------------------------------------------
+# PMI / rolling correlation / KL families
+# ---------------------------------------------------------------------
+def test_session_cooccurrence_pmi_third_voice(spark):
+    e = _tbl("events").copy()
+    s = (
+        e.assign(day=e["ts"].dt.normalize())[
+            ["user_id", "day", "event_type"]
+        ]
+        .drop_duplicates()
+    )
+    n_sessions = len(s[["user_id", "day"]].drop_duplicates())
+    singles = s.groupby("event_type").size().to_dict()
+    from collections import Counter
+
+    pair_counts = Counter()
+    for _, g in s.groupby(["user_id", "day"]):
+        types = sorted(g["event_type"].unique())
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                pair_counts[(types[i], types[j])] += 1
+    rows = []
+    for (a, b), n_both in pair_counts.items():
+        pmi = math.log(
+            (float(n_both) * n_sessions)
+            / (float(singles[a]) * singles[b])
+        )
+        rows.append(
+            {
+                "type_a": a,
+                "type_b": b,
+                "n_both": n_both,
+                "n_a": singles[a],
+                "n_b": singles[b],
+                "pmi_micro": round(pmi * 1_000_000),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "session_cooccurrence_pmi"),
+        want,
+        ["type_a", "type_b"],
+    )
+
+
+def test_rolling_correlation_third_voice(spark):
+    e = _tbl("events").copy()
+    e["day"] = e["ts"].dt.normalize()
+    e["c"] = _cents(e["value"])
+    daily = (
+        e.groupby("day")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "x": int(g.loc[g["event_type"] == "purchase", "c"].sum()),
+                    "y": int(g.loc[g["event_type"] == "click", "c"].sum()),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    rows = []
+    X = daily["x"].to_numpy(dtype=object)
+    Y = daily["y"].to_numpy(dtype=object)
+    for i in range(len(daily)):
+        lo = max(0, i - 13)
+        xs, ys = X[lo : i + 1], Y[lo : i + 1]
+        n = len(xs)
+        sx, sy = float(sum(xs)), float(sum(ys))
+        sxy = float(sum(int(a) * int(b) for a, b in zip(xs, ys)))
+        sxx = float(sum(int(a) * int(a) for a in xs))
+        syy = float(sum(int(b) * int(b) for b in ys))
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        corr = (
+            round(
+                (n * sxy - sx * sy)
+                / (math.sqrt(vx) * math.sqrt(vy))
+                * 1000
+            )
+            if n >= 2 and vx > 0 and vy > 0
+            else None
+        )
+        rows.append(
+            {
+                "day": daily["day"].iloc[i].strftime("%Y-%m-%d"),
+                "n": n,
+                "corr_milli": corr,
+            }
+        )
+    want = pd.DataFrame(rows)
+    want["corr_milli"] = want["corr_milli"].astype("Int64")
+    _compare(
+        _run(spark, "rolling_correlation_series"), want, ["day"]
+    )
+
+
+def test_kl_divergence_third_voice(spark):
+    from collections import Counter
+
+    V = 100
+    d = _tbl("documents")
+    toks_by_source = {}
+    global_counts = Counter()
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        toks_by_source.setdefault(r["source"], []).extend(ws)
+        global_counts.update(ws)
+    # top-V vocabulary: count desc, word asc
+    vocab = sorted(global_counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :V
+    ]
+    vwords = [w for w, _ in vocab]
+    n_all = sum(global_counts.values())
+    n_inv = sum(c for _, c in vocab)
+    rows = []
+    for src, toks in toks_by_source.items():
+        cs = Counter(toks)
+        n_s = len(toks)
+        kl = 0.0
+        inv_s = 0
+        for w in vwords:
+            c_sw = cs.get(w, 0)
+            inv_s += c_sw
+            p = (c_sw + 1) / (n_s + V + 1)
+            q = (global_counts[w] + 1) / (n_all + V + 1)
+            kl += p * math.log(p / q)
+        p_oov = (n_s - inv_s + 1) / (n_s + V + 1)
+        q_oov = (n_all - n_inv + 1) / (n_all + V + 1)
+        kl += p_oov * math.log(p_oov / q_oov)
+        rows.append(
+            {
+                "source": src,
+                "n_tokens": n_s,
+                "kl_micro": round(kl * 1_000_000),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "kl_divergence_by_source"), want, ["source"]
+    )
