@@ -964,3 +964,115 @@ def test_kl_divergence_third_voice(spark):
     _compare(
         _run(spark, "kl_divergence_by_source"), want, ["source"]
     )
+
+
+# ---------------------------------------------------------------------
+# graph / normalization families
+# ---------------------------------------------------------------------
+def test_kcore_peeling_third_voice(spark):
+    K = 110
+    li = _tbl("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    from collections import defaultdict
+
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(g["l_partkey"].unique())
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                edges.add((parts[i], parts[j]))
+    rows = []
+    cur = edges
+    for rnd in (1, 2, 3):
+        deg = defaultdict(int)
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        surv = {v for v, d_ in deg.items() if d_ >= K}
+        cur = {(a, b) for a, b in cur if a in surv and b in surv}
+        rows.append(
+            {"round": rnd, "n_nodes": len(surv), "n_edges": len(cur)}
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "kcore_peeling_rounds"), want, ["round"])
+
+
+def test_pagerank_third_voice(spark):
+    li = _tbl("lineitem")[["l_orderkey", "l_suppkey"]]
+    o = _tbl("orders")[["o_orderkey", "o_custkey"]]
+    c = _tbl("customer")[["c_custkey", "c_nationkey"]]
+    s = _tbl("supplier")[["s_suppkey", "s_nationkey"]]
+    nn = _tbl("nation")[["n_nationkey", "n_name"]]
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    e = (
+        j[j["s_nationkey"] != j["c_nationkey"]][
+            ["s_nationkey", "c_nationkey"]
+        ]
+        .drop_duplicates()
+        .rename(columns={"s_nationkey": "src", "c_nationkey": "dst"})
+    )
+    nodes = sorted(set(e["src"]) | set(e["dst"]))
+    n_nodes = len(nodes)
+    deg = e.groupby("src").size().to_dict()
+    r = {n: 1_000_000_000_000 // n_nodes for n in nodes}
+    for _ in range(2):
+        nxt = {n: 150_000_000_000 // n_nodes for n in nodes}
+        for _, row in e.iterrows():
+            src, dst = row["src"], row["dst"]
+            nxt[dst] += (r[src] * 85) // (100 * deg[src])
+        r = nxt
+    names = dict(zip(nn["n_nationkey"], nn["n_name"]))
+    want = pd.DataFrame(
+        [
+            {"nationkey": n, "nation": names[n], "rank_e12": r[n]}
+            for n in nodes
+        ]
+    )
+    _compare(_run(spark, "pagerank_trade_2iter"), want, ["nationkey"])
+
+
+def test_quantile_normalize_third_voice(spark):
+    GRID = 1000
+    d = _tbl("documents").copy()
+    d["score"] = d["n_chars"].astype("int64")
+    all_scores = d["score"].to_numpy()
+    qv = {
+        m: round(
+            float(np.quantile(all_scores, m / GRID, method="linear")), 6
+        )
+        for m in range(GRID + 1)
+    }
+    rows = []
+    for src, g in d.groupby("source"):
+        g = g.sort_values(["score", "doc_id"]).reset_index(drop=True)
+        n_s = len(g)
+        for i, (_, row) in enumerate(g.iterrows()):
+            r = i + 1
+            decile = (r - 1) * 10 // n_s
+            milli = math.floor(GRID * (2 * r - 1) / (2 * n_s) + 0.5)
+            rows.append(
+                {
+                    "source": src,
+                    "decile": decile,
+                    "score": int(row["score"]),
+                    "norm": qv[milli],
+                }
+            )
+    m = pd.DataFrame(rows)
+    want = (
+        m.groupby(["source", "decile"])
+        .agg(
+            n_docs=("score", "size"),
+            sum_raw=("score", "sum"),
+            avg_norm=("norm", lambda s: round(s.sum() / len(s), 6)),
+        )
+        .reset_index()
+    )
+    _compare(
+        _run(spark, "quantile_normalize_scores"),
+        want,
+        ["source", "decile"],
+    )
