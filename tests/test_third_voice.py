@@ -22,22 +22,27 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_ORACLE, SF_SMALL
 
 _REG = None
 
 
-def _run(spark, name: str) -> pd.DataFrame:
+@pytest.fixture(params=[SF_SMALL, SF_ORACLE], ids=["sf0.001", "sf0.01"])
+def sf(request):
+    return request.param
+
+
+def _run(spark, name: str, sf: str) -> pd.DataFrame:
     global _REG
     if _REG is None:
         from filemapreduce_spark.queries import load_all
 
         _REG = load_all()
-    return _REG[name].fn(spark, SF_SMALL).toPandas()
+    return _REG[name].fn(spark, sf).toPandas()
 
 
-def _tbl(name: str) -> pd.DataFrame:
-    return pd.read_parquet(f"{SF_SMALL}/{name}.parquet")
+def _tbl(name: str, sf: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf}/{name}.parquet")
 
 
 def _compare(got: pd.DataFrame, want: pd.DataFrame, sort_by: list[str]):
@@ -76,8 +81,8 @@ def _cents(s: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------
 # stats family
 # ---------------------------------------------------------------------
-def test_robust_stats_mad_third_voice(spark):
-    e = _tbl("events")
+def test_robust_stats_mad_third_voice(spark, sf):
+    e = _tbl("events", sf)
     rows = []
     for et, g in e.groupby("event_type"):
         med = g["value"].quantile(0.5, interpolation="linear")
@@ -91,11 +96,11 @@ def test_robust_stats_mad_third_voice(spark):
             }
         )
     want = pd.DataFrame(rows)
-    _compare(_run(spark, "robust_stats_mad"), want, ["event_type"])
+    _compare(_run(spark, "robust_stats_mad", sf), want, ["event_type"])
 
 
-def test_spearman_qty_price_third_voice(spark):
-    li = _tbl("lineitem").copy()
+def test_spearman_qty_price_third_voice(spark, sf):
+    li = _tbl("lineitem", sf).copy()
     li["cents"] = _cents(li["l_extendedprice"])
     tie = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
     rows = []
@@ -117,11 +122,11 @@ def test_spearman_qty_price_third_voice(spark):
         rho = 1.0 - 6.0 * d2 / (n * (n * n - 1))
         rows.append({"l_returnflag": flag, "n": n, "spearman_rho": rho})
     want = pd.DataFrame(rows)
-    _compare(_run(spark, "spearman_qty_price"), want, ["l_returnflag"])
+    _compare(_run(spark, "spearman_qty_price", sf), want, ["l_returnflag"])
 
 
-def test_weighted_median_third_voice(spark):
-    li = _tbl("lineitem").copy()
+def test_weighted_median_third_voice(spark, sf):
+    li = _tbl("lineitem", sf).copy()
     li["price_cents"] = _cents(li["l_extendedprice"])
     li["w"] = li["l_quantity"].round().astype("int64")
     rows = []
@@ -141,12 +146,12 @@ def test_weighted_median_third_voice(spark):
         )
     want = pd.DataFrame(rows)
     _compare(
-        _run(spark, "weighted_median_price_by_flag"), want, ["flag"]
+        _run(spark, "weighted_median_price_by_flag", sf), want, ["flag"]
     )
 
 
-def test_winsorized_stats_third_voice(spark):
-    o = _tbl("orders").copy()
+def test_winsorized_stats_third_voice(spark, sf):
+    o = _tbl("orders", sf).copy()
     o["c"] = _cents(o["o_totalprice"])
     rows = []
     for st, g in o.groupby("o_orderstatus"):
@@ -166,15 +171,15 @@ def test_winsorized_stats_third_voice(spark):
         )
     want = pd.DataFrame(rows)
     _compare(
-        _run(spark, "winsorized_stats_prices"), want, ["o_orderstatus"]
+        _run(spark, "winsorized_stats_prices", sf), want, ["o_orderstatus"]
     )
 
 
 # ---------------------------------------------------------------------
 # time-series family
 # ---------------------------------------------------------------------
-def test_twap_daily_third_voice(spark):
-    e = _tbl("events").copy()
+def test_twap_daily_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     e["day"] = e["ts"].dt.floor("D")
     e["value_cents"] = _cents(e["value"])
     e["t_us"] = e["ts"].astype("datetime64[us]").astype("int64")
@@ -197,15 +202,15 @@ def test_twap_daily_third_voice(spark):
             }
         )
     want = pd.DataFrame(rows)
-    got = _run(spark, "twap_daily_by_type")
+    got = _run(spark, "twap_daily_by_type", sf)
     # normalize the day column representation on both sides
     got["day"] = pd.to_datetime(got["day"]).dt.strftime("%Y-%m-%d")
     want["day"] = pd.to_datetime(want["day"]).dt.strftime("%Y-%m-%d")
     _compare(got, want, ["day", "event_type"])
 
 
-def test_ohlc_monthly_third_voice(spark):
-    o = _tbl("orders").copy()
+def test_ohlc_monthly_third_voice(spark, sf):
+    o = _tbl("orders", sf).copy()
     od = pd.to_datetime(o["o_orderdate"])
     o["month"] = od.dt.to_period("M").dt.start_time
     epoch_s = od.astype("int64") // 1_000_000_000
@@ -226,14 +231,14 @@ def test_ohlc_monthly_third_voice(spark):
             }
         )
     want = pd.DataFrame(rows)
-    _compare(_run(spark, "ohlc_monthly_order_prices"), want, ["month"])
+    _compare(_run(spark, "ohlc_monthly_order_prices", sf), want, ["month"])
 
 
 # ---------------------------------------------------------------------
 # analytics / sampling family
 # ---------------------------------------------------------------------
-def test_skyline_third_voice(spark):
-    p = _tbl("part").copy()
+def test_skyline_third_voice(spark, sf):
+    p = _tbl("part", sf).copy()
     p["price_cents"] = _cents(p["p_retailprice"])
     counts = (
         p.groupby(["price_cents", "p_size"]).size().rename("n_parts")
@@ -254,26 +259,26 @@ def test_skyline_third_voice(spark):
         ["price_cents", "size", "n_parts"]
     ]
     _compare(
-        _run(spark, "skyline_parts_price_size"), want, ["price_cents"]
+        _run(spark, "skyline_parts_price_size", sf), want, ["price_cents"]
     )
 
 
-def test_systematic_sample_third_voice(spark):
-    e = _tbl("events").copy()
+def test_systematic_sample_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     e = e.sort_values(["user_id", "ts", "event_id"])
     e["rn"] = e.groupby("user_id").cumcount()
     keep = e[e["rn"] % 20 == 0].copy()
     keep["ts"] = keep["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
     want = keep[["user_id", "event_id", "ts"]]
     _compare(
-        _run(spark, "systematic_sample_user_events"),
+        _run(spark, "systematic_sample_user_events", sf),
         want,
         ["user_id", "event_id"],
     )
 
 
-def test_quality_tiers_ntile_third_voice(spark):
-    d = _tbl("documents").copy()
+def test_quality_tiers_ntile_third_voice(spark, sf):
+    d = _tbl("documents", sf).copy()
     frames = []
     for lang, g in d.groupby("lang"):
         g = g.sort_values(
@@ -288,11 +293,11 @@ def test_quality_tiers_ntile_third_voice(spark):
         g["tier"] = tiers.astype("int64")
         frames.append(g[["doc_id", "lang", "tier"]])
     want = pd.concat(frames, ignore_index=True)
-    _compare(_run(spark, "quality_tiers_ntile"), want, ["doc_id"])
+    _compare(_run(spark, "quality_tiers_ntile", sf), want, ["doc_id"])
 
 
-def test_retention_cohorts_third_voice(spark):
-    e = _tbl("events").copy()
+def test_retention_cohorts_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     du = (
         e.assign(day=e["ts"].dt.normalize())[["user_id", "day"]]
         .drop_duplicates()
@@ -310,7 +315,7 @@ def test_retention_cohorts_third_voice(spark):
         .reset_index()
     )
     _compare(
-        _run(spark, "retention_cohorts_weekly"),
+        _run(spark, "retention_cohorts_weekly", sf),
         want,
         ["cohort_day", "week_offset"],
     )
@@ -319,8 +324,8 @@ def test_retention_cohorts_third_voice(spark):
 # ---------------------------------------------------------------------
 # time-bucketing / scalar-parse / session families
 # ---------------------------------------------------------------------
-def test_time_bucket_weekly_third_voice(spark):
-    e = _tbl("events").copy()
+def test_time_bucket_weekly_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     ep = e["ts"].astype("datetime64[us]").astype("int64")
     origin, week = 345_600_000_000, 604_800_000_000
     start_us = ((ep - origin) // week) * week + origin
@@ -338,12 +343,12 @@ def test_time_bucket_weekly_third_voice(spark):
         .reset_index()
     )
     _compare(
-        _run(spark, "time_bucket_weekly_monday"), want, ["week_start"]
+        _run(spark, "time_bucket_weekly_monday", sf), want, ["week_start"]
     )
 
 
-def test_timegrain_rollup_third_voice(spark):
-    e = _tbl("events")
+def test_timegrain_rollup_third_voice(spark, sf):
+    e = _tbl("events", sf)
     p = e[e["event_type"] == "purchase"].copy()
     p["month"] = p["ts"].dt.to_period("M").dt.start_time.dt.strftime(
         "%Y-%m-%d"
@@ -366,14 +371,14 @@ def test_timegrain_rollup_third_voice(spark):
         ["grain", "month", "day", "n_events", "sum_value_cents"]
     ]
     _compare(
-        _run(spark, "timegrain_rollup_events"),
+        _run(spark, "timegrain_rollup_events", sf),
         want,
         ["month", "grain", "day"],
     )
 
 
-def test_url_kv_parse_third_voice(spark):
-    e = _tbl("events").copy()
+def test_url_kv_parse_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     # round() in both engines is HALF-UP for positives; numpy's is
     # banker's, so emulate half-up explicitly
     v_round = np.floor(e["value"].to_numpy() + 0.5).astype("int64")
@@ -391,11 +396,11 @@ def test_url_kv_parse_third_voice(spark):
         )
         .reset_index()
     )
-    _compare(_run(spark, "url_kv_parse_events"), want, ["event_type"])
+    _compare(_run(spark, "url_kv_parse_events", sf), want, ["event_type"])
 
 
-def test_session_pattern_third_voice(spark):
-    e = _tbl("events").copy()
+def test_session_pattern_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     e["ep"] = e["ts"].astype("datetime64[us]").astype("int64")
     e = e.sort_values(["user_id", "ts", "event_id"])
     gap = 1_800_000_000  # 30 min in us
@@ -420,7 +425,7 @@ def test_session_pattern_third_voice(spark):
         .reset_index(drop=True)
     )
     _compare(
-        _run(spark, "session_pattern_top20"),
+        _run(spark, "session_pattern_top20", sf),
         agg,
         ["n_sessions", "pattern"],
     )
@@ -442,8 +447,8 @@ def _props_k(props: pd.Series) -> pd.Series:
     return props.apply(get).astype("Int64")
 
 
-def test_try_arithmetic_third_voice(spark):
-    e = _tbl("events").copy()
+def test_try_arithmetic_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     c = _cents(e["value"]).to_numpy()
     denom = c - 500
     ratio = np.where(
@@ -462,11 +467,11 @@ def test_try_arithmetic_third_voice(spark):
         )
         .reset_index()
     )
-    _compare(_run(spark, "try_arithmetic_safety"), want, ["event_type"])
+    _compare(_run(spark, "try_arithmetic_safety", sf), want, ["event_type"])
 
 
-def test_variant_props_third_voice(spark):
-    e = _tbl("events").copy()
+def test_variant_props_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     e["k"] = _props_k(e["props"])
     want = (
         e.groupby("event_type")
@@ -478,11 +483,11 @@ def test_variant_props_third_voice(spark):
         )
         .reset_index()
     )
-    _compare(_run(spark, "variant_props_events"), want, ["event_type"])
+    _compare(_run(spark, "variant_props_events", sf), want, ["event_type"])
 
 
-def test_xml_parse_third_voice(spark):
-    o = _tbl("orders").copy()
+def test_xml_parse_third_voice(spark, sf):
+    o = _tbl("orders", sf).copy()
     o["c"] = _cents(o["o_totalprice"])
     want = (
         o.groupby("o_orderpriority")
@@ -494,11 +499,11 @@ def test_xml_parse_third_voice(spark):
         .reset_index()
         .rename(columns={"o_orderpriority": "priority"})
     )
-    _compare(_run(spark, "xml_parse_orders"), want, ["priority"])
+    _compare(_run(spark, "xml_parse_orders", sf), want, ["priority"])
 
 
-def test_posexplode_third_voice(spark):
-    d = _tbl("documents")
+def test_posexplode_third_voice(spark, sf):
+    d = _tbl("documents", sf)
     rows = []
     for _, r in d.iterrows():
         ws = str(r["text"]).lower().split()
@@ -508,15 +513,15 @@ def test_posexplode_third_voice(spark):
             )
     want = pd.DataFrame(rows)
     _compare(
-        _run(spark, "posexplode_leading_words"), want, ["doc_id", "pos"]
+        _run(spark, "posexplode_leading_words", sf), want, ["doc_id", "pos"]
     )
 
 
 # ---------------------------------------------------------------------
 # SQL-entry / diagnostics / UDx families
 # ---------------------------------------------------------------------
-def test_sql_text_monthly_revenue_third_voice(spark):
-    o = _tbl("orders").copy()
+def test_sql_text_monthly_revenue_third_voice(spark, sf):
+    o = _tbl("orders", sf).copy()
     d = pd.to_datetime(o["o_orderdate"])
     o = o[(d >= "1996-01-01") & (d < "1998-01-01")].copy()
     d = pd.to_datetime(o["o_orderdate"])
@@ -529,11 +534,11 @@ def test_sql_text_monthly_revenue_third_voice(spark):
         .reset_index()
     )
     want["gross"] = want["gross"] / 100.0
-    _compare(_run(spark, "sql_text_monthly_revenue"), want, ["y", "m"])
+    _compare(_run(spark, "sql_text_monthly_revenue", sf), want, ["y", "m"])
 
 
-def test_recursive_chains_third_voice(spark):
-    n = _tbl("nation")
+def test_recursive_chains_third_voice(spark, sf):
+    n = _tbl("nation", sf)
     # parent(child) = largest smaller nationkey in the same region
     parent = {}
     for _, r in n.iterrows():
@@ -560,12 +565,12 @@ def test_recursive_chains_third_voice(spark):
         )
     want = pd.DataFrame(rows)
     _compare(
-        _run(spark, "recursive_cte_nation_chains"), want, ["nationkey"]
+        _run(spark, "recursive_cte_nation_chains", sf), want, ["nationkey"]
     )
 
 
-def test_skew_diagnosis_third_voice(spark):
-    li = _tbl("lineitem")
+def test_skew_diagnosis_third_voice(spark, sf):
+    li = _tbl("lineitem", sf)
     n = li.groupby("l_orderkey").size()
     vals = np.sort(n.to_numpy())
     want = pd.DataFrame(
@@ -583,11 +588,11 @@ def test_skew_diagnosis_third_voice(spark):
             }
         ]
     )
-    _compare(_run(spark, "skew_diagnosis_join_keys"), want, ["n_keys"])
+    _compare(_run(spark, "skew_diagnosis_join_keys", sf), want, ["n_keys"])
 
 
-def test_pandas_udaf_weighted_price_third_voice(spark):
-    li = _tbl("lineitem").copy()
+def test_pandas_udaf_weighted_price_third_voice(spark, sf):
+    li = _tbl("lineitem", sf).copy()
     li["c"] = _cents(li["l_extendedprice"])
     li["q"] = li["l_quantity"].astype("int64")
     rows = []
@@ -603,14 +608,14 @@ def test_pandas_udaf_weighted_price_third_voice(spark):
         )
     want = pd.DataFrame(rows)
     _compare(
-        _run(spark, "pandas_udaf_weighted_price"), want, ["l_returnflag"]
+        _run(spark, "pandas_udaf_weighted_price", sf), want, ["l_returnflag"]
     )
 
 
-def test_pandas_udf_char_classes_third_voice(spark):
+def test_pandas_udf_char_classes_third_voice(spark, sf):
     import re
 
-    d = _tbl("documents")
+    d = _tbl("documents", sf)
     want = pd.DataFrame(
         {
             "doc_id": d["doc_id"],
@@ -624,15 +629,15 @@ def test_pandas_udf_char_classes_third_voice(spark):
         }
     )
     _compare(
-        _run(spark, "pandas_udf_char_classes"), want, ["doc_id"]
+        _run(spark, "pandas_udf_char_classes", sf), want, ["doc_id"]
     )
 
 
 # ---------------------------------------------------------------------
 # packing / UDTF / sampling / sink families
 # ---------------------------------------------------------------------
-def test_sequence_pack_cu_seqlens_third_voice(spark):
-    d = _tbl("documents").copy()
+def test_sequence_pack_cu_seqlens_third_voice(spark, sf):
+    d = _tbl("documents", sf).copy()
     d["tok"] = d["text"].apply(lambda t: len(str(t).split()))
     rows = []
     for src, g in d.groupby("source"):
@@ -665,14 +670,14 @@ def test_sequence_pack_cu_seqlens_third_voice(spark):
         .reset_index()
     )
     _compare(
-        _run(spark, "sequence_pack_cu_seqlens"),
+        _run(spark, "sequence_pack_cu_seqlens", sf),
         want,
         ["source", "seq_idx"],
     )
 
 
-def test_udtf_shared_shingles_third_voice(spark):
-    d = _tbl("documents")
+def test_udtf_shared_shingles_third_voice(spark, sf):
+    d = _tbl("documents", sf)
     from collections import Counter
 
     counts = Counter()
@@ -690,14 +695,14 @@ def test_udtf_shared_shingles_third_voice(spark):
         ]
     )
     _compare(
-        _run(spark, "udtf_shared_shingles"), want, ["n_docs", "shingle"]
+        _run(spark, "udtf_shared_shingles", sf), want, ["n_docs", "shingle"]
     )
 
 
-def test_weighted_sample_wor_third_voice(spark):
+def test_weighted_sample_wor_third_voice(spark, sf):
     import hashlib
 
-    d = _tbl("documents").copy()
+    d = _tbl("documents", sf).copy()
 
     def unif(doc_id):
         h = hashlib.md5(f"es:{doc_id}".encode()).hexdigest()[:13]
@@ -716,14 +721,14 @@ def test_weighted_sample_wor_third_voice(spark):
         frames.append(g[["lang", "rn", "doc_id", "n_chars"]])
     want = pd.concat(frames, ignore_index=True)
     _compare(
-        _run(spark, "weighted_sample_without_replacement"),
+        _run(spark, "weighted_sample_without_replacement", sf),
         want,
         ["lang", "rn"],
     )
 
 
-def test_sink_hilbert_roundtrip_third_voice(spark):
-    p = _tbl("part")
+def test_sink_hilbert_roundtrip_third_voice(spark, sf):
+    p = _tbl("part", sf)
     f = p[
         (p["p_size"].between(25, 40))
         & (p["p_retailprice"].between(940, 980))
@@ -738,16 +743,16 @@ def test_sink_hilbert_roundtrip_third_voice(spark):
         )
         .reset_index()
     )
-    _compare(_run(spark, "sink_hilbert_roundtrip"), want, ["p_brand"])
+    _compare(_run(spark, "sink_hilbert_roundtrip", sf), want, ["p_brand"])
 
 
 # ---------------------------------------------------------------------
 # ratio-to-report / rolling distinct / TF-IDF families
 # ---------------------------------------------------------------------
-def test_revenue_share_third_voice(spark):
-    li = _tbl("lineitem")[["l_suppkey", "l_extendedprice"]].copy()
-    s = _tbl("supplier")[["s_suppkey", "s_nationkey"]]
-    n = _tbl("nation")[["n_nationkey", "n_name"]]
+def test_revenue_share_third_voice(spark, sf):
+    li = _tbl("lineitem", sf)[["l_suppkey", "l_extendedprice"]].copy()
+    s = _tbl("supplier", sf)[["s_suppkey", "s_nationkey"]]
+    n = _tbl("nation", sf)[["n_nationkey", "n_name"]]
     li["c"] = _cents(li["l_extendedprice"])
     j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey").merge(
         n, left_on="s_nationkey", right_on="n_nationkey"
@@ -761,11 +766,11 @@ def test_revenue_share_third_voice(spark):
     )
     total = int(rev["rev_cents"].sum())
     rev["share"] = (rev["rev_cents"].astype(float) / total).round(9)
-    _compare(_run(spark, "revenue_share_by_nation"), rev, ["nation"])
+    _compare(_run(spark, "revenue_share_by_nation", sf), rev, ["nation"])
 
 
-def test_rolling_7day_active_third_voice(spark):
-    e = _tbl("events").copy()
+def test_rolling_7day_active_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     du = (
         e.assign(day=e["ts"].dt.normalize())[["day", "user_id"]]
         .drop_duplicates()
@@ -785,12 +790,12 @@ def test_rolling_7day_active_third_voice(spark):
         )
     want = pd.DataFrame(rows)
     _compare(
-        _run(spark, "rolling_7day_active_users"), want, ["day"]
+        _run(spark, "rolling_7day_active_users", sf), want, ["day"]
     )
 
 
-def test_tfidf_top_term_third_voice(spark):
-    d = _tbl("documents")
+def test_tfidf_top_term_third_voice(spark, sf):
+    d = _tbl("documents", sf)
     from collections import Counter
 
     n_docs = len(d)
@@ -818,14 +823,14 @@ def test_tfidf_top_term_third_voice(spark):
                 }
             )
     want = pd.DataFrame(rows)
-    _compare(_run(spark, "tfidf_top_term_per_doc"), want, ["doc_id"])
+    _compare(_run(spark, "tfidf_top_term_per_doc", sf), want, ["doc_id"])
 
 
 # ---------------------------------------------------------------------
 # PMI / rolling correlation / KL families
 # ---------------------------------------------------------------------
-def test_session_cooccurrence_pmi_third_voice(spark):
-    e = _tbl("events").copy()
+def test_session_cooccurrence_pmi_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     s = (
         e.assign(day=e["ts"].dt.normalize())[
             ["user_id", "day", "event_type"]
@@ -860,14 +865,14 @@ def test_session_cooccurrence_pmi_third_voice(spark):
         )
     want = pd.DataFrame(rows)
     _compare(
-        _run(spark, "session_cooccurrence_pmi"),
+        _run(spark, "session_cooccurrence_pmi", sf),
         want,
         ["type_a", "type_b"],
     )
 
 
-def test_rolling_correlation_third_voice(spark):
-    e = _tbl("events").copy()
+def test_rolling_correlation_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
     e["day"] = e["ts"].dt.normalize()
     e["c"] = _cents(e["value"])
     daily = (
@@ -916,15 +921,15 @@ def test_rolling_correlation_third_voice(spark):
     want = pd.DataFrame(rows)
     want["corr_milli"] = want["corr_milli"].astype("Int64")
     _compare(
-        _run(spark, "rolling_correlation_series"), want, ["day"]
+        _run(spark, "rolling_correlation_series", sf), want, ["day"]
     )
 
 
-def test_kl_divergence_third_voice(spark):
+def test_kl_divergence_third_voice(spark, sf):
     from collections import Counter
 
     V = 100
-    d = _tbl("documents")
+    d = _tbl("documents", sf)
     toks_by_source = {}
     global_counts = Counter()
     for _, r in d.iterrows():
@@ -962,16 +967,16 @@ def test_kl_divergence_third_voice(spark):
         )
     want = pd.DataFrame(rows)
     _compare(
-        _run(spark, "kl_divergence_by_source"), want, ["source"]
+        _run(spark, "kl_divergence_by_source", sf), want, ["source"]
     )
 
 
 # ---------------------------------------------------------------------
 # graph / normalization families
 # ---------------------------------------------------------------------
-def test_kcore_peeling_third_voice(spark):
+def test_kcore_peeling_third_voice(spark, sf):
     K = 110
-    li = _tbl("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    li = _tbl("lineitem", sf)[["l_orderkey", "l_partkey"]].drop_duplicates()
     from collections import defaultdict
 
     edges = set()
@@ -993,15 +998,15 @@ def test_kcore_peeling_third_voice(spark):
             {"round": rnd, "n_nodes": len(surv), "n_edges": len(cur)}
         )
     want = pd.DataFrame(rows)
-    _compare(_run(spark, "kcore_peeling_rounds"), want, ["round"])
+    _compare(_run(spark, "kcore_peeling_rounds", sf), want, ["round"])
 
 
-def test_pagerank_third_voice(spark):
-    li = _tbl("lineitem")[["l_orderkey", "l_suppkey"]]
-    o = _tbl("orders")[["o_orderkey", "o_custkey"]]
-    c = _tbl("customer")[["c_custkey", "c_nationkey"]]
-    s = _tbl("supplier")[["s_suppkey", "s_nationkey"]]
-    nn = _tbl("nation")[["n_nationkey", "n_name"]]
+def test_pagerank_third_voice(spark, sf):
+    li = _tbl("lineitem", sf)[["l_orderkey", "l_suppkey"]]
+    o = _tbl("orders", sf)[["o_orderkey", "o_custkey"]]
+    c = _tbl("customer", sf)[["c_custkey", "c_nationkey"]]
+    s = _tbl("supplier", sf)[["s_suppkey", "s_nationkey"]]
+    nn = _tbl("nation", sf)[["n_nationkey", "n_name"]]
     j = (
         li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
         .merge(c, left_on="o_custkey", right_on="c_custkey")
@@ -1031,12 +1036,12 @@ def test_pagerank_third_voice(spark):
             for n in nodes
         ]
     )
-    _compare(_run(spark, "pagerank_trade_2iter"), want, ["nationkey"])
+    _compare(_run(spark, "pagerank_trade_2iter", sf), want, ["nationkey"])
 
 
-def test_quantile_normalize_third_voice(spark):
+def test_quantile_normalize_third_voice(spark, sf):
     GRID = 1000
-    d = _tbl("documents").copy()
+    d = _tbl("documents", sf).copy()
     d["score"] = d["n_chars"].astype("int64")
     all_scores = d["score"].to_numpy()
     qv = {
@@ -1072,7 +1077,7 @@ def test_quantile_normalize_third_voice(spark):
         .reset_index()
     )
     _compare(
-        _run(spark, "quantile_normalize_scores"),
+        _run(spark, "quantile_normalize_scores", sf),
         want,
         ["source", "decile"],
     )
