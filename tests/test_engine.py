@@ -663,3 +663,39 @@ def test_sort_partitions_validation(spark):
     eng = FileEngine.from_memory(spark, NUMBERS_TREE)
     with pytest.raises(ValueError, match="sort_partitions"):
         eng.plan(_keyrun_job(0))
+
+
+def test_sort_partitions_randomized_equivalence(spark):
+    """Seeded random trees: for every N, the ranged reduce must equal
+    both the N=1 funnel AND a pure-Python expected digest (key runs
+    whole, values ascending within each run)."""
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        vals = [rng.randrange(0, 10_000) for _ in range(60)]
+        tree, i = {}, 0
+        for f in range(rng.randrange(3, 8)):
+            take = rng.randrange(1, 15)
+            chunk, i = vals[i : i + take], i + take
+            if chunk:
+                tree[f"d{f % 3}/f{f}.txt"] = "\n".join(map(str, chunk))
+        used = vals[:i]
+        expected = {}
+        for v in used:
+            expected.setdefault(v % 3, []).append(v)
+        expected = {
+            k: ",".join(str(v) for v in sorted(vs))
+            for k, vs in expected.items()
+        }
+        eng = FileEngine.from_memory(spark, tree)
+        single = {
+            (r.k, r.vals) for r in eng.plan(_keyrun_job(1)).collect()
+        }
+        assert single == set(expected.items()), (seed, single, expected)
+        for n in (2, 5):
+            ranged = {
+                (r.k, r.vals)
+                for r in eng.plan(_keyrun_job(n)).collect()
+            }
+            assert ranged == single, (seed, n, ranged, single)
