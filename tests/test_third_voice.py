@@ -1081,3 +1081,153 @@ def test_quantile_normalize_third_voice(spark, sf):
         want,
         ["source", "decile"],
     )
+
+
+# ---------------------------------------------------------------------
+# trend / rank-correlation / inequality / richness families
+# ---------------------------------------------------------------------
+def _round_half_away(x: float) -> int:
+    """SQL round(): half away from zero (numpy's is banker's)."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _daily_cents(e: pd.DataFrame) -> pd.DataFrame:
+    e = e.copy()
+    e["day"] = e["ts"].dt.normalize()
+    e["c"] = _cents(e["value"])
+    return (
+        e.groupby(["event_type", "day"])["c"]
+        .sum()
+        .rename("v")
+        .reset_index()
+    )
+
+
+def test_mann_kendall_third_voice(spark, sf):
+    daily = _daily_cents(_tbl("events", sf))
+    rows = []
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        v = g["v"].to_numpy()
+        n = len(v)
+        s_stat = int(
+            sum(
+                int(np.sign(v[j] - v[i]))
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+        )
+        from collections import Counter
+
+        ties = Counter(v.tolist())
+        tie_term = sum(tn * (tn - 1) * (2 * tn + 5) for tn in ties.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        adj = s_stat - int(np.sign(s_stat))
+        z = 1e6 * adj / math.sqrt(var18 / 18.0)
+        rows.append(
+            {
+                "event_type": et,
+                "n_days": n,
+                "s_stat": s_stat,
+                "var18": var18,
+                "z_micro": _round_half_away(z),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "mann_kendall_trend", sf), want, ["event_type"])
+
+
+def test_kendall_tau_third_voice(spark, sf):
+    daily = _daily_cents(_tbl("events", sf))
+    rows = []
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        v = g["v"].to_numpy()
+        n = len(v)
+        conc = disc = tie = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if v[j] > v[i]:
+                    conc += 1
+                elif v[j] < v[i]:
+                    disc += 1
+                else:
+                    tie += 1
+        n0 = conc + disc + tie
+        tau = 1000.0 * (conc - disc) / math.sqrt(float(n0) * (n0 - tie))
+        rows.append(
+            {
+                "event_type": et,
+                "n_days": n,
+                "n_conc": conc,
+                "n_disc": disc,
+                "n_tie": tie,
+                "tau_milli": _round_half_away(tau),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "kendall_tau_daily_value", sf), want, ["event_type"]
+    )
+
+
+def test_theil_index_third_voice(spark, sf):
+    o = _tbl("orders", sf)[["o_custkey", "o_totalprice"]]
+    c = _tbl("customer", sf)[["c_custkey", "c_nationkey"]]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j.assign(x=_cents(j["o_totalprice"]))
+    rows = []
+    for nk, g in j.groupby("c_nationkey"):
+        n = len(g)
+        s = int(g["x"].sum())
+        t_micros = [
+            _round_half_away(
+                1e6 * (x * float(n) / s) * math.log(x * float(n) / s)
+            )
+            for x in g["x"]
+        ]
+        rows.append(
+            {
+                "nationkey": nk,
+                "n_orders": n,
+                "mean_milli": _round_half_away(1000.0 * s / n),
+                "theil_micro": _round_half_away(float(sum(t_micros)) / n),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "theil_index_by_nation", sf), want, ["nationkey"]
+    )
+
+
+def test_chao1_third_voice(spark, sf):
+    from collections import Counter
+
+    d = _tbl("documents", sf)
+    per_source = {}
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        tris = [
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        ]
+        per_source.setdefault(r["source"], Counter()).update(tris)
+    rows = []
+    for src, counts in per_source.items():
+        v = len(counts)
+        f1 = sum(1 for c_ in counts.values() if c_ == 1)
+        f2 = sum(1 for c_ in counts.values() if c_ == 2)
+        chao1 = 1000.0 * (v + f1 * (f1 - 1) / (2.0 * (f2 + 1)))
+        rows.append(
+            {
+                "source": src,
+                "n_tokens": sum(counts.values()),
+                "vocab": v,
+                "f1": f1,
+                "f2": f2,
+                "chao1_milli": _round_half_away(chao1),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "chao1_vocab_richness", sf), want, ["source"]
+    )
