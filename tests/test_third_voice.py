@@ -1231,3 +1231,138 @@ def test_chao1_third_voice(spark, sf):
     _compare(
         _run(spark, "chao1_vocab_richness", sf), want, ["source"]
     )
+
+
+# ---------------------------------------------------------------------
+# smoothing / power-law / uncertainty / drift families
+# ---------------------------------------------------------------------
+def test_good_turing_third_voice(spark, sf):
+    from collections import Counter
+
+    d = _tbl("documents", sf)
+    counts = Counter()
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        counts.update(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        )
+    fof = Counter(counts.values())
+    rows = []
+    for r_ in sorted(c for c in fof if c <= 10):
+        n_r, n_next = fof[r_], fof.get(r_ + 1, 0)
+        rows.append(
+            {
+                "r": r_,
+                "n_r": n_r,
+                "n_next": n_next,
+                "r_star_micro": _round_half_away(
+                    1e6 * (r_ + 1) * n_next / n_r
+                ),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "good_turing_smoothed_counts", sf), want, ["r"]
+    )
+
+
+def test_zipf_fit_third_voice(spark, sf):
+    from collections import Counter
+
+    d = _tbl("documents", sf)
+    counts = Counter()
+    for _, r in d.iterrows():
+        counts.update(str(r["text"]).lower().split())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    k = len(top)
+    xs = [math.log(i + 1) for i in range(k)]
+    ys = [math.log(f) for _, f in top]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    want = pd.DataFrame(
+        [
+            {
+                "k": k,
+                "zipf_slope": round(slope, 6),
+                "intercept": round(intercept, 6),
+            }
+        ]
+    )
+    _compare(_run(spark, "zipf_exponent_fit", sf), want, ["k"])
+
+
+def test_jackknife_third_voice(spark, sf):
+    o = _tbl("orders", sf)[["o_custkey", "o_totalprice"]]
+    c = _tbl("customer", sf)[["c_custkey", "c_nationkey"]]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j.assign(cents=_cents(j["o_totalprice"]))
+    g = j.groupby("c_nationkey")["cents"].agg(["count", "sum"])
+    n_all, s_all = int(g["count"].sum()), int(g["sum"].sum())
+    ms = [
+        _round_half_away(1000.0 * (s_all - int(s)) / (n_all - int(n)))
+        for n, s in zip(g["count"], g["sum"])
+        if n_all > n
+    ]
+    gg = len(ms)
+    sm, sm2 = sum(ms), sum(m * m for m in ms)
+    se = math.sqrt(
+        (gg - 1.0) / gg * (float(sm2) - float(sm) * sm / gg)
+    )
+    want = pd.DataFrame(
+        [
+            {
+                "n_groups": len(g),
+                "n_all": n_all,
+                "grand_mean_milli": _round_half_away(
+                    1000.0 * s_all / n_all
+                ),
+                "jack_se_milli": _round_half_away(se),
+            }
+        ]
+    )
+    _compare(
+        _run(spark, "jackknife_nation_mean_se", sf), want, ["n_all"]
+    )
+
+
+def test_psi_drift_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    e["period"] = (e["ts"] >= pd.Timestamp("2024-01-16")).astype(int)
+    rows = []
+    for et, g in e.groupby("event_type"):
+        base = np.sort(g.loc[g["period"] == 0, "c"].to_numpy())
+        if len(base) == 0:
+            continue
+        edges = [_pdisc(base, i / 10) for i in range(1, 10)]
+        def to_bin(c):
+            return sum(1 for ed in edges if c > ed)
+        n0 = np.zeros(10, dtype="int64")
+        n1 = np.zeros(10, dtype="int64")
+        for _, r in g.iterrows():
+            b = to_bin(r["c"])
+            if r["period"] == 0:
+                n0[b] += 1
+            else:
+                n1[b] += 1
+        t0, t1 = int(n0.sum()), int(n1.sum())
+        psi = sum(
+            ((n1[b] + 1) / (t1 + 10) - (n0[b] + 1) / (t0 + 10))
+            * math.log(
+                ((n1[b] + 1) / (t1 + 10)) / ((n0[b] + 1) / (t0 + 10))
+            )
+            for b in range(10)
+        )
+        rows.append(
+            {
+                "event_type": et,
+                "n_base": t0,
+                "n_cur": t1,
+                "psi_micro": _round_half_away(1e6 * psi),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "psi_value_drift", sf), want, ["event_type"])
