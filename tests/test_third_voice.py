@@ -1366,3 +1366,134 @@ def test_psi_drift_third_voice(spark, sf):
         )
     want = pd.DataFrame(rows)
     _compare(_run(spark, "psi_value_drift", sf), want, ["event_type"])
+
+
+# ---------------------------------------------------------------------
+# hypothesis-test / effect-size families
+# ---------------------------------------------------------------------
+def test_welch_ttest_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    stats = {}
+    for et, g in e.groupby("event_type"):
+        n = len(g)
+        s1 = int(g["c"].sum())
+        s2 = int((g["c"].astype(object) ** 2).sum())
+        mean = s1 / n
+        var = (s2 - s1 * (s1 / n)) / (n - 1)
+        stats[et] = (n, mean, var)
+    nb, mb, vb = stats["view"]
+    rows = []
+    for et, (n, m, v) in stats.items():
+        if et == "view":
+            continue
+        se2 = v / n + vb / nb
+        t_ = (m - mb) / math.sqrt(se2)
+        df = (se2 * se2) / (
+            (v / n) ** 2 / (n - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+        rows.append(
+            {
+                "event_type": et,
+                "n_a": n,
+                "n_view": nb,
+                "mean_diff_milli": _round_half_away((m - mb) * 1000),
+                "t_milli": _round_half_away(t_ * 1000),
+                "df_milli": _round_half_away(df * 1000),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "welch_ttest_vs_view", sf), want, ["event_type"])
+
+
+def test_kruskal_wallis_third_voice(spark, sf):
+    daily = _daily_cents(_tbl("events", sf))
+    vals = daily["v"].to_numpy()
+    order = np.sort(vals)
+    from collections import Counter
+
+    ties = Counter(vals.tolist())
+    # 2*midrank = 2*minrank + ties - 1 (minrank = RANK() over value asc)
+    minrank = {}
+    r = 1
+    for v in sorted(ties):
+        minrank[v] = r
+        r += ties[v]
+    daily = daily.assign(
+        r2=daily["v"].map(lambda v: 2 * minrank[v] + ties[v] - 1)
+    )
+    g = (
+        daily.groupby("event_type")
+        .agg(n_days=("r2", "size"), ranksum_x2=("r2", "sum"))
+        .reset_index()
+    )
+    nn = int(g["n_days"].sum())
+    h_raw = (12.0 / (nn * (nn + 1.0))) * sum(
+        float(rs) * rs / (4.0 * nd)
+        for rs, nd in zip(g["ranksum_x2"], g["n_days"])
+    ) - 3.0 * (nn + 1.0)
+    tcorr = sum(t_**3 - t_ for t_ in ties.values())
+    corr = 1.0 - tcorr / (float(nn) ** 3 - nn)
+    g["h_milli"] = _round_half_away(1000.0 * h_raw / corr)
+    _compare(
+        _run(spark, "kruskal_wallis_daily", sf), g, ["event_type"]
+    )
+
+
+def _arm_values(sf):
+    e = _tbl("events", sf)
+    p = e[e["event_type"] == "purchase"].copy()
+    p["arm"] = p["user_id"] % 2
+    p["x"] = _cents(p["value"])
+    return p
+
+
+def test_cliffs_delta_third_voice(spark, sf):
+    p = _arm_values(sf)
+    x1 = np.sort(p.loc[p["arm"] == 1, "x"].to_numpy())
+    x0 = np.sort(p.loc[p["arm"] == 0, "x"].to_numpy())
+    n1, n0 = len(x1), len(x0)
+    # brute-force dominance counts (the identity-free ground truth)
+    gt = sum(int((x0 < v).sum()) for v in x1)
+    lt = sum(int((x0 > v).sum()) for v in x1)
+    u1 = gt + 0.5 * (n1 * n0 - gt - lt)  # ties get half credit
+    delta = (gt - lt) / (n1 * n0)
+    want = pd.DataFrame(
+        [
+            {
+                "n0": n0,
+                "n1": n1,
+                "u1_x2": int(round(2 * u1)),
+                "n_pairs": n1 * n0,
+                "delta_micro": _round_half_away(1e6 * delta),
+            }
+        ]
+    )
+    _compare(_run(spark, "cliffs_delta_arms", sf), want, ["n0"])
+
+
+def test_cohens_d_third_voice(spark, sf):
+    p = _arm_values(sf)
+    g = {}
+    for arm in (0, 1):
+        x = p.loc[p["arm"] == arm, "x"].astype(object)
+        g[arm] = (len(x), int(x.sum()), int((x**2).sum()))
+    n0, a0, q0 = g[0]
+    n1, a1, q1 = g[1]
+    pooled = math.sqrt(
+        ((q0 - a0 * (a0 / n0)) + (q1 - a1 * (a1 / n1)))
+        / (n0 + n1 - 2)
+    )
+    d = (a1 / n1 - a0 / n0) / pooled
+    want = pd.DataFrame(
+        [
+            {
+                "n0": n0,
+                "n1": n1,
+                "mean0_milli": _round_half_away(1000.0 * a0 / n0),
+                "mean1_milli": _round_half_away(1000.0 * a1 / n1),
+                "d_micro": _round_half_away(1e6 * d),
+            }
+        ]
+    )
+    _compare(_run(spark, "cohens_d_arms", sf), want, ["n0"])
