@@ -1497,3 +1497,155 @@ def test_cohens_d_third_voice(spark, sf):
         ]
     )
     _compare(_run(spark, "cohens_d_arms", sf), want, ["n0"])
+
+
+# ---------------------------------------------------------------------
+# CvM / Theil-Sen / Holt / Nelson-Aalen families
+# ---------------------------------------------------------------------
+def test_cramer_von_mises_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    base = np.sort(e.loc[e["event_type"] == "view", "c"].to_numpy())
+    rows = []
+    for et, g in e.groupby("event_type"):
+        if et == "view":
+            continue
+        a = np.sort(g["c"].to_numpy())
+        na, nb = len(a), len(base)
+        grid = np.unique(np.concatenate([a, base]))
+        cum_a = np.searchsorted(a, grid, side="right")
+        cum_b = np.searchsorted(base, grid, side="right")
+        ca = np.diff(np.concatenate([[0], cum_a]))
+        cb = np.diff(np.concatenate([[0], cum_b]))
+        s_num = sum(
+            int(int(cum_a[i]) * nb - int(cum_b[i]) * na) ** 2
+            * int(ca[i] + cb[i])
+            for i in range(len(grid))
+        )
+        t_stat = (
+            (float(na) * nb / ((na + nb) * (na + nb)))
+            * (float(s_num) / (float(na) * na * nb * nb))
+        )
+        rows.append(
+            {
+                "pair": et,
+                "n_a": na,
+                "n_b": nb,
+                "t_micro": _round_half_away(1e6 * t_stat),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "cramer_von_mises_vs_view", sf), want, ["pair"]
+    )
+
+
+def test_theil_sen_third_voice(spark, sf):
+    daily = _daily_cents(_tbl("events", sf))
+    rows = []
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        days = g["day"].to_numpy()
+        v = g["v"].to_numpy()
+        slopes = []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                dd = (days[j] - days[i]) / np.timedelta64(1, "D")
+                slopes.append(float(v[j] - v[i]) / dd)
+        med = float(np.quantile(np.array(slopes), 0.5, method="linear"))
+        rows.append(
+            {
+                "event_type": et,
+                "n_pairs": len(slopes),
+                "slope_cents_per_day": round(med, 6),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "theil_sen_slope_daily", sf), want, ["event_type"]
+    )
+
+
+def test_holt_linear_third_voice(spark, sf):
+    daily = _daily_cents(_tbl("events", sf))
+    rows = []
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        v = [float(x) for x in g["v"]]
+        l, b = v[0], 0.0
+        for y in v[1:]:
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        rows.append(
+            {
+                "event_type": et,
+                "n_days": len(v),
+                "level_milli": _round_half_away(1000.0 * l),
+                "trend_milli": _round_half_away(1000.0 * b),
+                "forecast7_milli": _round_half_away(
+                    1000.0 * (l + 7 * b)
+                ),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "holt_linear_by_type", sf), want, ["event_type"]
+    )
+
+
+def test_nelson_aalen_third_voice(spark, sf):
+    e = _tbl("events", sf)
+    horizon = pd.Timestamp("2024-01-31")
+    s = (
+        e[e["event_type"] == "signup"]
+        .groupby("user_id")["ts"]
+        .min()
+        .rename("s_ts")
+    )
+    ep = e[e["event_type"] == "purchase"].merge(
+        s, on="user_id"
+    )
+    p = (
+        ep[ep["ts"] >= ep["s_ts"]]
+        .groupby("user_id")["ts"]
+        .min()
+        .rename("p_ts")
+    )
+    subj = s.to_frame().join(p, how="left")
+    t_days, event = [], []
+    for _, r in subj.iterrows():
+        sd = r["s_ts"].normalize()
+        if pd.notna(r["p_ts"]):
+            t_days.append(int((r["p_ts"].normalize() - sd).days))
+            event.append(1)
+        else:
+            t_days.append(int((horizon - sd).days))
+            event.append(0)
+    df_ = pd.DataFrame({"t": t_days, "e": event})
+    grid = (
+        df_.groupby("t")
+        .agg(d=("e", "sum"), leaving=("e", "size"))
+        .sort_index()
+    )
+    n_total = len(df_)
+    rows, left_before, H, V = [], 0, 0.0, 0.0
+    for t_, r in grid.iterrows():
+        n_risk = n_total - left_before
+        H += float(r["d"]) / n_risk
+        V += float(r["d"]) / (float(n_risk) * n_risk)
+        if r["d"] > 0:
+            rows.append(
+                {
+                    "t_days": t_,
+                    "n_risk": n_risk,
+                    "d": int(r["d"]),
+                    "cumhaz": round(H, 6),
+                    "var_est": round(V, 6),
+                }
+            )
+        left_before += int(r["leaving"])
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "nelson_aalen_cumhaz", sf), want, ["t_days"]
+    )
