@@ -1649,3 +1649,200 @@ def test_nelson_aalen_third_voice(spark, sf):
     _compare(
         _run(spark, "nelson_aalen_cumhaz", sf), want, ["t_days"]
     )
+
+
+# ---------------------------------------------------------------------
+# trend-in-proportions / paired-eval / keyness / RMST families
+# ---------------------------------------------------------------------
+def test_cochran_armitage_third_voice(spark, sf):
+    o = _tbl("orders", sf).copy()
+    o["s"] = o["o_orderpriority"].str[0].astype("int64")
+    o["f"] = (o["o_orderstatus"] == "F").astype(int)
+    g = o.groupby("s").agg(n=("f", "size"), r=("f", "sum"))
+    nn, rr = int(g["n"].sum()), int(g["r"].sum())
+    sns = int((g["n"] * g.index).sum())
+    sns2 = int((g["n"] * g.index * g.index).sum())
+    srs = int((g["r"] * g.index).sum())
+    num = float(srs) - float(rr) * float(sns) / nn
+    p = float(rr) / nn
+    var = p * (1.0 - p) * (float(sns2) - float(sns) * sns / nn)
+    want = pd.DataFrame(
+        [
+            {
+                "n_orders": nn,
+                "n_events": rr,
+                "z_micro": _round_half_away(1e6 * num / math.sqrt(var)),
+            }
+        ]
+    )
+    _compare(
+        _run(spark, "cochran_armitage_trend", sf), want, ["n_orders"]
+    )
+
+
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "una"),
+    "fr": ("le", "la", "les", "des", "une"),
+    "de": ("der", "die", "das", "und", "ein"),
+}
+
+
+def _langid_predict(text: str) -> str:
+    ws = str(text).lower().split()
+    sc = {
+        lang: sum(1 for w in ws if w in set(m))
+        for lang, m in _MARKERS.items()
+    }
+    best = max(sc.values())
+    if best == 0:
+        return "und"
+    for lang in ("de", "en", "es"):
+        if sc[lang] == best:
+            return lang
+    return "fr"
+
+
+def test_mcnemar_third_voice(spark, sf):
+    d = _tbl("documents", sf)
+    b = c = a_corr = b_corr = 0
+    for _, r in d.iterrows():
+        pa = _langid_predict(r["text"])
+        pb = "en"
+        actual = r["lang"]
+        if pa == actual:
+            a_corr += 1
+        if pb == actual:
+            b_corr += 1
+        if pa == actual and pb != actual:
+            b += 1
+        if pa != actual and pb == actual:
+            c += 1
+    chi2 = (
+        _round_half_away(1000.0 * (b - c) * (b - c) / (b + c))
+        if b + c > 0
+        else 0
+    )
+    want = pd.DataFrame(
+        [
+            {
+                "n_docs": len(d),
+                "a_correct": a_corr,
+                "b_correct": b_corr,
+                "a_only": b,
+                "b_only": c,
+                "chi2_milli": chi2,
+            }
+        ]
+    )
+    _compare(
+        _run(spark, "mcnemar_langid_vs_baseline", sf), want, ["n_docs"]
+    )
+
+
+def test_keyness_third_voice(spark, sf):
+    from collections import Counter
+
+    d = _tbl("documents", sf)
+    a_cnt, b_cnt = Counter(), Counter()
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        (a_cnt if r["lang"] == "en" else b_cnt).update(ws)
+    ta = sum(a_cnt.values())
+    tb = sum(b_cnt.values())
+    rows = []
+    for w in set(a_cnt) | set(b_cnt):
+        a, b = a_cnt.get(w, 0), b_cnt.get(w, 0)
+        if a + b < 5:
+            continue
+        g2 = 0.0
+        if a > 0:
+            g2 += a * math.log(a / ((a + b) * float(ta) / (ta + tb)))
+        if b > 0:
+            g2 += b * math.log(b / ((a + b) * float(tb) / (ta + tb)))
+        g2 *= 2.0
+        sign = 1.0 if a * tb >= b * ta else -1.0
+        g2 *= sign
+        rows.append({"w": w, "a": a, "b": b, "g2": g2})
+    rows.sort(key=lambda r: (-r["g2"], r["w"]))
+    want = pd.DataFrame(
+        [
+            {
+                "w": r["w"],
+                "a": r["a"],
+                "b": r["b"],
+                "g2_micro": _round_half_away(1e6 * r["g2"]),
+            }
+            for r in rows[:25]
+        ]
+    )
+    _compare(
+        _run(spark, "keyness_loglik_terms", sf), want, ["w"]
+    )
+
+
+def test_rmst_third_voice(spark, sf):
+    TAU = 90
+    e = _tbl("events", sf)
+    horizon = pd.Timestamp("2024-01-31")
+    s = (
+        e[e["event_type"] == "signup"]
+        .groupby("user_id")["ts"]
+        .min()
+        .rename("s_ts")
+    )
+    ep = e[e["event_type"] == "purchase"].merge(s, on="user_id")
+    p = (
+        ep[ep["ts"] >= ep["s_ts"]]
+        .groupby("user_id")["ts"]
+        .min()
+        .rename("p_ts")
+    )
+    subj = s.to_frame().join(p, how="left")
+    recs = []
+    for _, r in subj.iterrows():
+        sd = r["s_ts"].normalize()
+        if pd.notna(r["p_ts"]):
+            recs.append((int((r["p_ts"].normalize() - sd).days), 1))
+        else:
+            recs.append((int((horizon - sd).days), 0))
+    df_ = pd.DataFrame(recs, columns=["t", "e"])
+    grid = (
+        df_.groupby("t")
+        .agg(d=("e", "sum"), leaving=("e", "size"))
+        .sort_index()
+    )
+    n_total, left_before, log_s = len(df_), 0, 0.0
+    km = []  # (t, s_micro) at event times only
+    for t_, r in grid.iterrows():
+        n_risk = n_total - left_before
+        if r["d"] > 0:
+            if r["d"] == n_risk:
+                s_micro = 0
+            else:
+                log_s += math.log(1.0 - float(r["d"]) / n_risk)
+                s_micro = _round_half_away(1e6 * math.exp(log_s))
+            km.append((t_, s_micro))
+        elif r["d"] < n_risk and r["d"] > 0:
+            pass
+        left_before += int(r["leaving"])
+    first_t = min(min(t for t, _ in km), TAU) if km else TAU
+    area = 0
+    for i, (t_, s_micro) in enumerate(km):
+        seg_start = min(t_, TAU)
+        nxt = km[i + 1][0] if i + 1 < len(km) else TAU
+        seg_end = min(nxt, TAU)
+        if seg_end > seg_start:
+            area += s_micro * (seg_end - seg_start)
+    want = pd.DataFrame(
+        [
+            {
+                "tau_days": TAU,
+                "first_event_day": first_t,
+                "rmst_micro_days": first_t * 1_000_000 + area,
+            }
+        ]
+    )
+    _compare(
+        _run(spark, "rmst_signup_purchase", sf), want, ["tau_days"]
+    )
