@@ -1846,3 +1846,42 @@ def test_rmst_third_voice(spark, sf):
     _compare(
         _run(spark, "rmst_signup_purchase", sf), want, ["tau_days"]
     )
+
+
+def test_cohens_kappa_third_voice(spark, sf):
+    from collections import Counter
+
+    d = _tbl("documents", sf)
+    cm = Counter()
+    for _, r in d.iterrows():
+        cm[(r["lang"], _langid_predict(r["text"]))] += 1
+    nn = sum(cm.values())
+    agree = sum(n for (a, p), n in cm.items() if a == p)
+    classes = {a for a, _ in cm} | {p for _, p in cm}
+    row_n = {
+        k: sum(n for (a, _), n in cm.items() if a == k)
+        for k in classes
+    }
+    col_n = {
+        k: sum(n for (_, p), n in cm.items() if p == k)
+        for k in classes
+    }
+    chance_num = sum(row_n[k] * col_n[k] for k in classes)
+    po = float(agree) / nn
+    pe = float(chance_num) / (float(nn) * nn)
+    want = pd.DataFrame(
+        [
+            {
+                "n_docs": nn,
+                "agree": agree,
+                "po_micro": _round_half_away(1e6 * po),
+                "pe_micro": _round_half_away(1e6 * pe),
+                "kappa_micro": _round_half_away(
+                    1e6 * (po - pe) / (1.0 - pe)
+                ),
+            }
+        ]
+    )
+    _compare(
+        _run(spark, "cohens_kappa_langid", sf), want, ["n_docs"]
+    )
