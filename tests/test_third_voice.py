@@ -1885,3 +1885,137 @@ def test_cohens_kappa_third_voice(spark, sf):
     _compare(
         _run(spark, "cohens_kappa_langid", sf), want, ["n_docs"]
     )
+
+
+# ---------------------------------------------------------------------
+# experiment / means / diversity families
+# ---------------------------------------------------------------------
+def test_two_proportion_ztest_third_voice(spark, sf):
+    e = _tbl("events", sf)
+    u = (
+        e.assign(conv=(e["event_type"] == "purchase").astype(int))
+        .groupby("user_id")["conv"]
+        .max()
+        .reset_index()
+    )
+    u["arm"] = u["user_id"] % 2
+    g = u.groupby("arm")["conv"].agg(["size", "sum"])
+    n0, c0 = int(g.loc[0, "size"]), int(g.loc[0, "sum"])
+    n1, c1 = int(g.loc[1, "size"]), int(g.loc[1, "sum"])
+    if 0 < c0 + c1 < n0 + n1:
+        p = (c0 + c1) / (n0 + n1)
+        z = (c1 / n1 - c0 / n0) / math.sqrt(
+            p * (1.0 - p) * (1.0 / n0 + 1.0 / n1)
+        )
+        z_micro = _round_half_away(1e6 * z)
+    else:
+        z_micro = 0
+    want = pd.DataFrame(
+        [
+            {
+                "n0": n0,
+                "n1": n1,
+                "conv0": c0,
+                "conv1": c1,
+                "p0_micro": _round_half_away(1e6 * c0 / n0),
+                "p1_micro": _round_half_away(1e6 * c1 / n1),
+                "z_micro": z_micro,
+            }
+        ]
+    )
+    _compare(_run(spark, "two_proportion_ztest", sf), want, ["n0"])
+
+
+def test_paired_diff_ttest_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    cut = pd.Timestamp("2024-01-16")
+    per_user = e.groupby("user_id").apply(
+        lambda g: int(g.loc[g["ts"] >= cut, "c"].sum())
+        - int(g.loc[g["ts"] < cut, "c"].sum()),
+        include_groups=False,
+    )
+    d = per_user.astype(object)
+    n = len(d)
+    sd_, sd2 = int(d.sum()), int((d**2).sum())
+    mean = float(sd_) / n
+    var = (float(sd2) - float(sd_) * sd_ / n) / (n - 1)
+    t_ = 1000.0 * mean / math.sqrt(var / n)
+    want = pd.DataFrame(
+        [
+            {
+                "n_users": n,
+                "sum_diff_cents": sd_,
+                "mean_diff_milli": _round_half_away(1000.0 * mean),
+                "t_milli": _round_half_away(t_),
+            }
+        ]
+    )
+    _compare(_run(spark, "paired_diff_ttest", sf), want, ["n_users"])
+
+
+def test_generalized_means_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    e = e[e["c"] > 0]
+    rows = []
+    for et, g in e.groupby("event_type"):
+        n = len(g)
+        sc = int(g["c"].sum())
+        sln = sum(
+            _round_half_away(1e6 * math.log(float(c_)))
+            for c_ in g["c"]
+        )
+        sinv = sum(
+            _round_half_away(1e12 / float(c_)) for c_ in g["c"]
+        )
+        rows.append(
+            {
+                "event_type": et,
+                "n_pos": n,
+                "arith_milli": _round_half_away(1000.0 * sc / n),
+                "geo_milli": _round_half_away(
+                    1000.0 * math.exp(float(sln) / 1e6 / n)
+                ),
+                "harm_milli": _round_half_away(
+                    1000.0 * float(n) / (float(sinv) / 1e12)
+                ),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "generalized_means_value", sf), want, ["event_type"]
+    )
+
+
+def test_simpson_diversity_third_voice(spark, sf):
+    from collections import Counter
+
+    d = _tbl("documents", sf)
+    per_source = {}
+    for _, r in d.iterrows():
+        per_source.setdefault(r["source"], Counter()).update(
+            str(r["text"]).lower().split()
+        )
+    rows = []
+    for src, counts in per_source.items():
+        n = sum(counts.values())
+        if n <= 1:
+            continue
+        sum_cc = sum(c_ * (c_ - 1) for c_ in counts.values())
+        simp = float(sum_cc) / (float(n) * (n - 1))
+        rows.append(
+            {
+                "source": src,
+                "n_tokens": n,
+                "vocab": len(counts),
+                "simpson_micro": _round_half_away(1e6 * simp),
+                "diversity_micro": _round_half_away(
+                    1e6 * (1.0 - simp)
+                ),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "simpson_diversity_by_source", sf), want, ["source"]
+    )
