@@ -2019,3 +2019,232 @@ def test_simpson_diversity_third_voice(spark, sf):
     _compare(
         _run(spark, "simpson_diversity_by_source", sf), want, ["source"]
     )
+
+
+# ---------------------------------------------------------------------
+# log-rank / JSD / readability / burstiness families
+# ---------------------------------------------------------------------
+def _survival_subjects(sf):
+    e = _tbl("events", sf)
+    horizon = pd.Timestamp("2024-01-31")
+    s = (
+        e[e["event_type"] == "signup"]
+        .groupby("user_id")["ts"]
+        .min()
+        .rename("s_ts")
+    )
+    ep = e[e["event_type"] == "purchase"].merge(s, on="user_id")
+    p = (
+        ep[ep["ts"] >= ep["s_ts"]]
+        .groupby("user_id")["ts"]
+        .min()
+        .rename("p_ts")
+    )
+    subj = s.to_frame().join(p, how="left").reset_index()
+    rows = []
+    for _, r in subj.iterrows():
+        sd = r["s_ts"].normalize()
+        if pd.notna(r["p_ts"]):
+            t_ = int((r["p_ts"].normalize() - sd).days)
+            ev = 1
+        else:
+            t_ = int((horizon - sd).days)
+            ev = 0
+        rows.append(
+            {"user_id": r["user_id"], "t": t_, "e": ev,
+             "grp": int(r["user_id"]) % 2}
+        )
+    return pd.DataFrame(rows)
+
+
+def test_logrank_third_voice(spark, sf):
+    subj = _survival_subjects(sf)
+    grid = (
+        subj.groupby("t")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "d1": int(g.loc[g["grp"] == 1, "e"].sum()),
+                    "d0": int(g.loc[g["grp"] == 0, "e"].sum()),
+                    "l1": int((g["grp"] == 1).sum()),
+                    "l0": int((g["grp"] == 0).sum()),
+                }
+            ),
+            include_groups=False,
+        )
+        .sort_index()
+    )
+    n1 = int((subj["grp"] == 1).sum())
+    n0 = int((subj["grp"] == 0).sum())
+    o1 = o0 = 0
+    e1 = vv = 0.0
+    r1, r0 = n1, n0
+    for t_, r in grid.iterrows():
+        d = int(r["d1"] + r["d0"])
+        nt = r1 + r0
+        if d > 0:
+            o1 += int(r["d1"])
+            o0 += int(r["d0"])
+            e1 += float(d) * r1 / nt
+            if nt > 1:
+                vv += (
+                    float(d)
+                    * (float(r1) / nt)
+                    * (float(r0) / nt)
+                    * (nt - d)
+                    / (nt - 1)
+                )
+        r1 -= int(r["l1"])
+        r0 -= int(r["l0"])
+    chi2 = (
+        _round_half_away(1000.0 * (o1 - e1) ** 2 / vv) if vv > 0 else 0
+    )
+    want = pd.DataFrame(
+        [
+            {
+                "grp": 0,
+                "n_subjects": n0,
+                "observed": o0,
+                "expected_milli": _round_half_away(
+                    1000.0 * (o1 + o0 - e1)
+                ),
+                "chi2_milli": chi2,
+            },
+            {
+                "grp": 1,
+                "n_subjects": n1,
+                "observed": o1,
+                "expected_milli": _round_half_away(1000.0 * e1),
+                "chi2_milli": chi2,
+            },
+        ]
+    )
+    _compare(_run(spark, "logrank_test_arms", sf), want, ["grp"])
+
+
+def test_jsd_pairwise_third_voice(spark, sf):
+    from collections import Counter
+
+    V = 100
+    d = _tbl("documents", sf)
+    by_src, global_counts = {}, Counter()
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        by_src.setdefault(r["source"], Counter()).update(ws)
+        global_counts.update(ws)
+    vocab = [
+        w
+        for w, _ in sorted(
+            global_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:V]
+    ]
+
+    def dist(counts):
+        n_s = sum(counts.values())
+        ps = [
+            (counts.get(w, 0) + 1) / (n_s + V + 1) for w in vocab
+        ]
+        inv = sum(counts.get(w, 0) for w in vocab)
+        ps.append((n_s - inv + 1) / (n_s + V + 1))
+        return ps
+
+    def jsd(pa, pb):
+        return sum(
+            0.5
+            * (
+                p * math.log(2.0 * p / (p + q))
+                + q * math.log(2.0 * q / (p + q))
+            )
+            for p, q in zip(pa, pb)
+        )
+
+    srcs = sorted(by_src)
+    dists = {s_: dist(by_src[s_]) for s_ in srcs}
+    rows = [
+        {
+            "source_a": a,
+            "source_b": b,
+            "jsd_micro": _round_half_away(
+                1e6 * jsd(dists[a], dists[b])
+            ),
+        }
+        for i, a in enumerate(srcs)
+        for b in srcs[i + 1 :]
+    ]
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "jsd_pairwise_sources", sf),
+        want,
+        ["source_a", "source_b"],
+    )
+
+
+def test_flesch_third_voice(spark, sf):
+    import re
+
+    d = _tbl("documents", sf)
+    rows = {}
+    for _, r in d.iterrows():
+        txt = str(r["text"])
+        nw = len(txt.lower().split())
+        ns = max(1, len(re.findall(r"[.!?]+", txt)))
+        sy = len(re.findall(r"[aeiouy]+", txt.lower()))
+        acc = rows.setdefault(
+            r["source"], {"n_docs": 0, "words": 0, "sents": 0, "sylls": 0}
+        )
+        acc["n_docs"] += 1
+        acc["words"] += nw
+        acc["sents"] += ns
+        acc["sylls"] += sy
+    out = []
+    for src, a in rows.items():
+        fre = (
+            206.835
+            - 1.015 * (a["words"] / a["sents"])
+            - 84.6 * (a["sylls"] / a["words"])
+        )
+        out.append(
+            {
+                "source": src,
+                **a,
+                "fre_milli": _round_half_away(1000.0 * fre),
+            }
+        )
+    want = pd.DataFrame(out)
+    _compare(
+        _run(spark, "flesch_reading_ease_by_source", sf),
+        want,
+        ["source"],
+    )
+
+
+def test_burstiness_third_voice(spark, sf):
+    from collections import Counter
+
+    d = _tbl("documents", sf)
+    n_docs = len(d)
+    per_term_doc = {}
+    for _, r in d.iterrows():
+        for w, c_ in Counter(str(r["text"]).lower().split()).items():
+            per_term_doc.setdefault(w, []).append(c_)
+    stats = []
+    for w, cs in per_term_doc.items():
+        total = sum(cs)
+        sum_c2 = sum(c_ * c_ for c_ in cs)
+        vmr = (float(sum_c2) - float(total) * total / n_docs) / total
+        stats.append((w, total, len(cs), vmr))
+    stats.sort(key=lambda x: (-x[1], x[0]))
+    want = pd.DataFrame(
+        [
+            {
+                "term": w,
+                "total_c": total,
+                "df": df_,
+                "vmr_milli": _round_half_away(1000.0 * vmr),
+            }
+            for w, total, df_, vmr in stats[:20]
+        ]
+    )
+    _compare(
+        _run(spark, "term_burstiness_top20", sf), want, ["term"]
+    )
