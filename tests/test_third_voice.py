@@ -2248,3 +2248,145 @@ def test_burstiness_third_voice(spark, sf):
     _compare(
         _run(spark, "term_burstiness_top20", sf), want, ["term"]
     )
+
+
+# ---------------------------------------------------------------------
+# KN smoothing / model card / ESS / Neyman allocation families
+# ---------------------------------------------------------------------
+def test_kneser_ney_third_voice(spark, sf):
+    from collections import Counter
+
+    D = 0.75
+    d = _tbl("documents", sf)
+    c = Counter()
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        c.update(zip(ws, ws[1:]))
+    c_v, n1p_v, n1p_w = Counter(), Counter(), Counter()
+    for (v, w), n in c.items():
+        c_v[v] += n
+        n1p_v[v] += 1
+        n1p_w[w] += 1
+    n_types = len(c)
+    scored = [
+        {
+            "v": v,
+            "w": w,
+            "c_vw": n,
+            "p_kn_micro": _round_half_away(
+                1e6
+                * (
+                    max(n - D, 0.0) / c_v[v]
+                    + D * n1p_v[v] / c_v[v] * n1p_w[w] / n_types
+                )
+            ),
+        }
+        for (v, w), n in c.items()
+    ]
+    scored.sort(key=lambda r: (-r["c_vw"], r["v"], r["w"]))
+    want = pd.DataFrame(scored[:20])
+    _compare(
+        _run(spark, "kneser_ney_bigram_probs", sf), want, ["v", "w"]
+    )
+
+
+def test_langid_prf1_third_voice(spark, sf):
+    from collections import Counter
+
+    d = _tbl("documents", sf)
+    cm = Counter()
+    for _, r in d.iterrows():
+        cm[(r["lang"], _langid_predict(r["text"]))] += 1
+    classes = sorted({a for a, _ in cm} | {p for _, p in cm})
+    rows = []
+    for k in classes:
+        tp = cm.get((k, k), 0)
+        pred_n = sum(n for (_, p), n in cm.items() if p == k)
+        act_n = sum(n for (a, _), n in cm.items() if a == k)
+        rows.append(
+            {
+                "class": k,
+                "tp": tp,
+                "fp": pred_n - tp,
+                "fn": act_n - tp,
+                "precision_milli": _round_half_away(
+                    1000.0 * tp / pred_n
+                )
+                if pred_n > 0
+                else 0,
+                "recall_milli": _round_half_away(1000.0 * tp / act_n)
+                if act_n > 0
+                else 0,
+                "f1_milli": _round_half_away(
+                    2000.0 * tp / (pred_n + act_n)
+                )
+                if pred_n + act_n > 0
+                else 0,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "langid_precision_recall_f1", sf), want, ["class"]
+    )
+
+
+def test_ess_third_voice(spark, sf):
+    d = _tbl("documents", sf)
+    rows = []
+    for src, g in d.groupby("source"):
+        w = [len(str(t_).lower().split()) for t_ in g["text"]]
+        sw, sw2 = sum(w), sum(x * x for x in w)
+        ess = float(sw) * sw / sw2
+        rows.append(
+            {
+                "source": src,
+                "n_docs": len(w),
+                "ess_milli": _round_half_away(1000.0 * ess),
+                "ess_ratio_milli": _round_half_away(
+                    1000.0 * ess / len(w)
+                ),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "ess_importance_weights", sf), want, ["source"]
+    )
+
+
+def test_neyman_allocation_third_voice(spark, sf):
+    B = 1000
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    strata = []
+    for et, g in e.groupby("event_type"):
+        n = len(g)
+        s = int(g["c"].sum())
+        ss = int((g["c"].astype(object) ** 2).sum())
+        s_h = math.sqrt((float(ss) - float(s) * s / n) / (n - 1))
+        strata.append({"event_type": et, "n_h": n, "s_h": s_h})
+    tot = sum(r["n_h"] * r["s_h"] for r in strata)
+    for r in strata:
+        r["w_h"] = r["n_h"] * r["s_h"] / tot
+        r["base"] = math.floor(B * r["w_h"])
+        r["rem"] = B * r["w_h"] - r["base"]
+    leftover = B - sum(r["base"] for r in strata)
+    order = sorted(strata, key=lambda r: (-r["rem"], r["event_type"]))
+    for i, r in enumerate(order):
+        r["n_alloc"] = r["base"] + (1 if i < leftover else 0)
+    want = pd.DataFrame(
+        [
+            {
+                "event_type": r["event_type"],
+                "n_h": r["n_h"],
+                "sd_milli": _round_half_away(1000.0 * r["s_h"]),
+                "share_micro": _round_half_away(1e6 * r["w_h"]),
+                "n_alloc": r["n_alloc"],
+            }
+            for r in strata
+        ]
+    )
+    _compare(
+        _run(spark, "neyman_allocation_by_type", sf),
+        want,
+        ["event_type"],
+    )
