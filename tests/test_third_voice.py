@@ -2390,3 +2390,188 @@ def test_neyman_allocation_third_voice(spark, sf):
         want,
         ["event_type"],
     )
+
+
+# ---------------------------------------------------------------------
+# closed-form regression / graph-structure families
+# ---------------------------------------------------------------------
+def _copurchase_edges(sf, mod):
+    li = _tbl("lineitem", sf)[["l_orderkey", "l_partkey"]]
+    li = li[li["l_partkey"] % mod == 0].drop_duplicates()
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((int(ps[i]), int(ps[j])))
+    return edges
+
+
+def test_ridge_third_voice(spark, sf):
+    LAM = 10000
+    li = _tbl("lineitem", sf)
+    f = li.groupby("l_orderkey").agg(
+        x1=("l_partkey", "size"), x2=("l_quantity", "sum")
+    )
+    o = _tbl("orders", sf).set_index("o_orderkey")
+    j = f.join(o, how="inner")
+    x1 = j["x1"].astype(object)
+    x2 = j["x2"].astype("int64").astype(object)
+    y = _cents(j["o_totalprice"]).astype(object)
+    n = len(j)
+    s1, s2, sy_ = int(x1.sum()), int(x2.sum()), int(y.sum())
+    s11 = int((x1 * x1).sum())
+    s12 = int((x1 * x2).sum())
+    s22 = int((x2 * x2).sum())
+    s1y = int((x1 * y).sum())
+    s2y = int((x2 * y).sum())
+    a11, a12, a13 = float(n), float(s1), float(s2)
+    a22, a23, a33 = float(s11 + LAM), float(s12), float(s22 + LAM)
+    v1, v2, v3 = float(sy_), float(s1y), float(s2y)
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    b0 = (
+        v1 * (a22 * a33 - a23 * a23)
+        - a12 * (v2 * a33 - a23 * v3)
+        + a13 * (v2 * a23 - a22 * v3)
+    ) / det
+    b1 = (
+        a11 * (v2 * a33 - a23 * v3)
+        - v1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * v3 - v2 * a13)
+    ) / det
+    b2 = (
+        a11 * (a22 * v3 - v2 * a23)
+        - a12 * (a12 * v3 - v2 * a13)
+        + v1 * (a12 * a23 - a22 * a13)
+    ) / det
+    want = pd.DataFrame(
+        [
+            {
+                "n_orders": n,
+                "b0_micro": _round_half_away(1e6 * b0),
+                "b1_micro": _round_half_away(1e6 * b1),
+                "b2_micro": _round_half_away(1e6 * b2),
+            }
+        ]
+    )
+    _compare(
+        _run(spark, "ridge_normal_equations", sf), want, ["n_orders"]
+    )
+
+
+def test_assortativity_third_voice(spark, sf):
+    from collections import defaultdict
+
+    edges = _copurchase_edges(sf, 4)
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    n = len(xs)
+    sx, sy_ = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y_ * y_ for y_ in ys)
+    sxy = sum(x * y_ for x, y_ in zip(xs, ys))
+    r = (float(sxy) - float(sx) * sy_ / n) / (
+        math.sqrt(float(sxx) - float(sx) * sx / n)
+        * math.sqrt(float(syy) - float(sy_) * sy_ / n)
+    )
+    want = pd.DataFrame(
+        [
+            {
+                "n_endpoints": n,
+                "mean_deg_milli": _round_half_away(1000.0 * sx / n),
+                "assortativity_milli": _round_half_away(1000.0 * r),
+            }
+        ]
+    )
+    _compare(
+        _run(spark, "degree_assortativity_copurchase", sf),
+        want,
+        ["n_endpoints"],
+    )
+
+
+def test_lcc_third_voice(spark, sf):
+    from collections import defaultdict
+
+    edges = _copurchase_edges(sf, 4)
+    deg = defaultdict(int)
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    # canonical triangles a<b<c, credit all corners
+    tri = defaultdict(int)
+    for a, b in edges:
+        common = nbrs[a] & nbrs[b]
+        for c_ in common:
+            if c_ > b:  # a<b<c canonical
+                tri[a] += 1
+                tri[b] += 1
+                tri[c_] += 1
+    rows = [
+        {
+            "node": n_,
+            "degree": d_,
+            "triangles": tri.get(n_, 0),
+            "lcc_milli": _round_half_away(
+                1000.0 * 2 * tri.get(n_, 0) / (d_ * (d_ - 1))
+            ),
+        }
+        for n_, d_ in deg.items()
+        if d_ >= 2
+    ]
+    rows.sort(key=lambda r: (-r["lcc_milli"], -r["degree"], r["node"]))
+    want = pd.DataFrame(rows[:20])
+    _compare(
+        _run(spark, "local_clustering_coefficient", sf), want, ["node"]
+    )
+
+
+def test_link_prediction_third_voice(spark, sf):
+    from collections import defaultdict
+
+    edges = _copurchase_edges(sf, 6)
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    deg = {n_: len(s_) for n_, s_ in nbrs.items()}
+    cand = defaultdict(int)
+    for w, ns in nbrs.items():
+        ns_sorted = sorted(ns)
+        for i in range(len(ns_sorted)):
+            for j in range(i + 1, len(ns_sorted)):
+                cand[(ns_sorted[i], ns_sorted[j])] += 1
+    rows = [
+        {
+            "a": a,
+            "b": b,
+            "cn": cn,
+            "jaccard_milli": _round_half_away(
+                1000.0 * cn / (deg[a] + deg[b] - cn)
+            ),
+        }
+        for (a, b), cn in cand.items()
+        if (a, b) not in edges
+    ]
+    rows.sort(
+        key=lambda r: (-r["jaccard_milli"], -r["cn"], r["a"], r["b"])
+    )
+    want = pd.DataFrame(rows[:15])
+    _compare(
+        _run(spark, "common_neighbors_link_prediction", sf),
+        want,
+        ["a", "b"],
+    )
