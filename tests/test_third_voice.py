@@ -2575,3 +2575,184 @@ def test_link_prediction_third_voice(spark, sf):
         want,
         ["a", "b"],
     )
+
+
+# ---------------------------------------------------------------------
+# causal / scorecard families
+# ---------------------------------------------------------------------
+def test_cuped_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    cut = pd.Timestamp("2024-01-16")
+    u = (
+        e.groupby("user_id")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "x": int(g.loc[g["ts"] < cut, "c"].sum()),
+                    "y": int(g.loc[g["ts"] >= cut, "c"].sum()),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+    )
+    u["arm"] = u["user_id"] % 2
+    n = len(u)
+    sx, sy_ = int(u["x"].sum()), int(u["y"].sum())
+    sxx = int((u["x"].astype(object) ** 2).sum())
+    sxy = int((u["x"].astype(object) * u["y"].astype(object)).sum())
+    theta = (float(sxy) - float(sx) * sy_ / n) / (
+        float(sxx) - float(sx) * sx / n
+    )
+    mean_x = float(sx) / n
+    rows = []
+    for arm, g in u.groupby("arm"):
+        na = len(g)
+        sxa, sya = int(g["x"].sum()), int(g["y"].sum())
+        sxxa = int((g["x"].astype(object) ** 2).sum())
+        sxya = int(
+            (g["x"].astype(object) * g["y"].astype(object)).sum()
+        )
+        syya = int((g["y"].astype(object) ** 2).sum())
+        mxa, mya = float(sxa) / na, float(sya) / na
+        vxa = float(sxxa) / na - mxa * mxa
+        vya = float(syya) / na - mya * mya
+        cva = float(sxya) / na - mxa * mya
+        varred = 1.0 - (
+            vya - 2.0 * theta * cva + theta * theta * vxa
+        ) / vya
+        rows.append(
+            {
+                "arm": arm,
+                "n_users": na,
+                "theta_micro": _round_half_away(1e6 * theta),
+                "mean_post_milli": _round_half_away(1000.0 * mya),
+                "mean_cuped_milli": _round_half_away(
+                    1000.0 * (mya - theta * (mxa - mean_x))
+                ),
+                "varred_bp": _round_half_away(10000.0 * varred),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "cuped_adjusted_lift", sf), want, ["arm"])
+
+
+def test_did_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    e["arm"] = e["user_id"] % 2
+    cut = pd.Timestamp("2024-01-16")
+    cells = {}
+    for arm, g in e.groupby("arm"):
+        pre = g[g["ts"] < cut]
+        post = g[g["ts"] >= cut]
+        cells[arm] = {
+            "n_pre": len(pre),
+            "n_post": len(post),
+            "pre_mean": float(pre["c"].sum()) / len(pre),
+            "post_mean": float(post["c"].sum()) / len(post),
+        }
+    deltas = {
+        a: c_["post_mean"] - c_["pre_mean"] for a, c_ in cells.items()
+    }
+    did = deltas[1] - deltas[0]
+    rows = [
+        {
+            "arm": a,
+            "n_pre": c_["n_pre"],
+            "n_post": c_["n_post"],
+            "pre_mean_milli": _round_half_away(1000.0 * c_["pre_mean"]),
+            "post_mean_milli": _round_half_away(
+                1000.0 * c_["post_mean"]
+            ),
+            "delta_milli": _round_half_away(1000.0 * deltas[a]),
+            "did_milli": _round_half_away(1000.0 * did),
+        }
+        for a, c_ in cells.items()
+    ]
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "did_two_period_lift", sf), want, ["arm"])
+
+
+def test_woe_iv_third_voice(spark, sf):
+    o = _tbl("orders", sf).copy()
+    o["c"] = _cents(o["o_totalprice"])
+    o["y"] = (o["o_orderstatus"] == "F").astype(int)
+    vals = np.sort(o["c"].to_numpy())
+    edges = [_pdisc(vals, i / 10) for i in range(1, 10)]
+    o["bin"] = o["c"].apply(
+        lambda c_: sum(1 for e_ in edges if c_ > e_)
+    )
+    cnt = o.groupby("bin").agg(n=("y", "size"), n_pos=("y", "sum"))
+    tp = int(cnt["n_pos"].sum())
+    tn = int((cnt["n"] - cnt["n_pos"]).sum())
+    rows = []
+    for b, r in cnt.iterrows():
+        ps = (r["n_pos"] + 0.5) / (tp + 0.5)
+        ns = (r["n"] - r["n_pos"] + 0.5) / (tn + 0.5)
+        woe = math.log(ps / ns)
+        rows.append(
+            {
+                "bin": b,
+                "n": int(r["n"]),
+                "n_pos": int(r["n_pos"]),
+                "woe_micro": _round_half_away(1e6 * woe),
+                "iv_term_micro": _round_half_away(
+                    1e6 * (ps - ns) * woe
+                ),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "woe_iv_price_deciles", sf), want, ["bin"])
+
+
+def test_stratified_adjustment_third_voice(spark, sf):
+    e = _tbl("events", sf)
+    per_user = (
+        e.groupby("user_id")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "n": len(g),
+                    "x": int((g["event_type"] == "purchase").sum()),
+                    "treated": int(
+                        g["ts"].min()
+                        < pd.Timestamp("2024-01-01 06:00:00")
+                    ),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+    )
+    ns = np.sort(per_user["n"].to_numpy())
+    qs = [_pdisc(ns, q) for q in (0.25, 0.5, 0.75)]
+    per_user["stratum"] = per_user["n"].apply(
+        lambda n_: sum(1 for q in qs if n_ > q)
+    )
+    rows = []
+    for s_, g in per_user.groupby("stratum"):
+        t_ = g[g["treated"] == 1]
+        c_ = g[g["treated"] == 0]
+        if len(t_) == 0 or len(c_) == 0:
+            continue
+        rate_diff = float(t_["x"].sum()) / t_["n"].sum() - float(
+            c_["x"].sum()
+        ) / c_["n"].sum()
+        rows.append(
+            {
+                "stratum": s_,
+                "n_treated": len(t_),
+                "n_control": len(c_),
+                "x_treated": int(t_["x"].sum()),
+                "x_control": int(c_["x"].sum()),
+                "rate_diff_milli": _round_half_away(1000.0 * rate_diff),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "stratified_adjusted_difference", sf),
+        want,
+        ["stratum"],
+    )
