@@ -2756,3 +2756,153 @@ def test_stratified_adjustment_third_voice(spark, sf):
         want,
         ["stratum"],
     )
+
+
+# ---------------------------------------------------------------------
+# allocation / backtest / segmentation / sequence-audit families
+# ---------------------------------------------------------------------
+def test_proration_third_voice(spark, sf):
+    li = _tbl("lineitem", sf)[
+        ["l_orderkey", "l_linenumber", "l_quantity"]
+    ].copy()
+    o = _tbl("orders", sf)[["o_orderkey", "o_totalprice"]].copy()
+    o["total_cents"] = _cents(o["o_totalprice"])
+    totals = o.set_index("o_orderkey")["total_cents"].to_dict()
+    li["qty"] = li["l_quantity"].round().astype("int64")
+    rows = []
+    for ok, g in li.groupby("l_orderkey"):
+        if ok not in totals:
+            continue
+        g = g.sort_values(["l_linenumber", "l_quantity"]).reset_index(
+            drop=True
+        )
+        tq = int(g["qty"].sum())
+        tc = int(totals[ok])
+        lines = []
+        for i, (_, r) in enumerate(g.iterrows()):
+            q = int(r["qty"])
+            lines.append(
+                {
+                    "line_seq": i + 1,
+                    "base": (tc * q) // tq,
+                    "rem": (tc * q) % tq,
+                }
+            )
+        short = tc - sum(ln["base"] for ln in lines)
+        order = sorted(lines, key=lambda x: (-x["rem"], x["line_seq"]))
+        bump = {ln["line_seq"] for ln in order[:short]}
+        for ln in lines:
+            rows.append(
+                {
+                    "l_orderkey": ok,
+                    "line_seq": ln["line_seq"],
+                    "alloc_cents": ln["base"]
+                    + (1 if ln["line_seq"] in bump else 0),
+                }
+            )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "proration_largest_remainder", sf),
+        want,
+        ["l_orderkey", "line_seq"],
+    )
+
+
+def test_seasonal_naive_third_voice(spark, sf):
+    daily = _daily_cents(_tbl("events", sf)).rename(
+        columns={"v": "cents"}
+    )
+    split = pd.Timestamp("2024-01-24")
+    daily["dow"] = daily["day"].dt.weekday + 1  # ISO dow
+    train = daily[daily["day"] < split]
+    model = (
+        train.groupby(["event_type", "dow"])["cents"]
+        .agg(["size", "sum"])
+        .rename(columns={"size": "n", "sum": "s"})
+    )
+    rows = []
+    test = daily[daily["day"] >= split]
+    for _, r in test.iterrows():
+        key = (r["event_type"], r["dow"])
+        if key not in model.index:
+            continue
+        m = model.loc[key]
+        pred = _round_half_away(1000.0 * m["s"] / m["n"])
+        rows.append(
+            {
+                "event_type": r["event_type"],
+                "day": r["day"].strftime("%Y-%m-%d"),
+                "actual_cents": int(r["cents"]),
+                "pred_milli": pred,
+                "abs_err_milli": abs(int(r["cents"]) * 1000 - pred),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "seasonal_naive_backtest", sf),
+        want,
+        ["event_type", "day"],
+    )
+
+
+def test_rfm_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    asof = pd.Timestamp("2024-01-31")
+    rfm = (
+        e.groupby("user_id")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "r_days": int(
+                        (asof - g["ts"].max().normalize()).days
+                    ),
+                    "f_events": len(g),
+                    "m_cents": int(g["c"].sum()),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+    )
+
+    def score(col):
+        vals = np.sort(rfm[col].to_numpy())
+        ths = [_pdisc(vals, q) for q in (0.2, 0.4, 0.6, 0.8)]
+        return rfm[col].apply(
+            lambda v: 1 + sum(1 for t_ in ths if v > t_)
+        )
+
+    rfm["r_score"] = score("r_days")
+    rfm["f_score"] = score("f_events")
+    rfm["m_score"] = score("m_cents")
+    want = (
+        rfm.groupby(["r_score", "f_score", "m_score"])
+        .agg(n_users=("m_cents", "size"), segment_cents=("m_cents", "sum"))
+        .reset_index()
+    )
+    _compare(
+        _run(spark, "rfm_quintile_segments", sf),
+        want,
+        ["r_score", "f_score", "m_score"],
+    )
+
+
+def test_orderkey_gap_third_voice(spark, sf):
+    o = _tbl("orders", sf)
+    keys = sorted(
+        o.loc[o["o_orderstatus"] == "F", "o_orderkey"].unique()
+    )
+    rows = [
+        {
+            "gap_start": int(a) + 1,
+            "gap_end": int(b) - 1,
+            "n_missing": int(b) - int(a) - 1,
+        }
+        for a, b in zip(keys, keys[1:])
+        if b - a > 1
+    ]
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "orderkey_gap_audit", sf), want, ["gap_start"]
+    )
