@@ -2906,3 +2906,198 @@ def test_orderkey_gap_third_voice(spark, sf):
     _compare(
         _run(spark, "orderkey_gap_audit", sf), want, ["gap_start"]
     )
+
+
+# ---------------------------------------------------------------------
+# contrastive terms / collocations / LM scoring / decomposition
+# ---------------------------------------------------------------------
+def test_fightin_words_third_voice(spark, sf):
+    from collections import Counter
+
+    ALPHA, MIN_, TOP = 500.0, 5, 10
+    d = _tbl("documents", sf)
+    ca, cb = Counter(), Counter()
+    for _, r in d.iterrows():
+        if r["source"] == "src0":
+            ca.update(str(r["text"]).lower().split())
+        elif r["source"] == "src1":
+            cb.update(str(r["text"]).lower().split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    rows = []
+    for w in set(ca) | set(cb):
+        ya, yb = ca.get(w, 0), cb.get(w, 0)
+        if ya + yb < MIN_:
+            continue
+        aw = ALPHA * (ya + yb) / (na + nb)
+        delta = math.log((ya + aw) / (na + ALPHA - ya - aw)) - math.log(
+            (yb + aw) / (nb + ALPHA - yb - aw)
+        )
+        var = 1.0 / (ya + aw) + 1.0 / (yb + aw)
+        z = delta / math.sqrt(var)
+        rows.append({"w": w, "ya": ya, "yb": yb, "z": z})
+    rows.sort(key=lambda r: (-r["z"], r["w"]))
+    want = pd.DataFrame(
+        [
+            {
+                "w": r["w"],
+                "ya": r["ya"],
+                "yb": r["yb"],
+                "z_micro": _round_half_away(1e6 * r["z"]),
+            }
+            for r in rows[:TOP]
+        ]
+    )
+    _compare(_run(spark, "fightin_words_terms", sf), want, ["w"])
+
+
+def test_skipgram_pmi_third_voice(spark, sf):
+    from collections import Counter
+
+    W, MIN_, TOP = 2, 5, 50
+    d = _tbl("documents", sf)
+    uni, pairs = Counter(), Counter()
+    n_tok = n_pairs = 0
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        uni.update(ws)
+        n_tok += len(ws)
+        for i in range(len(ws)):
+            for k in range(1, W + 1):
+                if i + k < len(ws):
+                    pairs[(ws[i], ws[i + k])] += 1
+                    n_pairs += 1
+    rows = []
+    for (a, b), c_ab in pairs.items():
+        if c_ab < MIN_:
+            continue
+        pmi = math.log(
+            (float(c_ab) / n_pairs)
+            / ((float(uni[a]) / n_tok) * (float(uni[b]) / n_tok))
+        )
+        rows.append(
+            {
+                "a": a,
+                "b": b,
+                "c_ab": c_ab,
+                "pmi_micro": _round_half_away(1e6 * pmi),
+            }
+        )
+    rows.sort(key=lambda r: (-r["pmi_micro"], r["a"], r["b"]))
+    want = pd.DataFrame(rows[:TOP])
+    _compare(
+        _run(spark, "skipgram_pmi_pairs", sf), want, ["a", "b"]
+    )
+
+
+def test_stupid_backoff_third_voice(spark, sf):
+    import hashlib
+    from collections import Counter
+
+    ALPHA, GATE = 0.4, 58982
+    d = _tbl("documents", sf)
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    n_train = 0
+    test_docs = []
+    for _, r in d.iterrows():
+        txt = str(r["text"]).lower()
+        ws = txt.split()
+        is_train = int(hashlib.md5(txt.encode()).hexdigest()[:4], 16) < GATE
+        if is_train:
+            c1.update(ws)
+            n_train += len(ws)
+            c2.update(zip(ws, ws[1:]))
+            c3.update(zip(ws, ws[1:], ws[2:]))
+        else:
+            if len(ws) >= 3:
+                test_docs.append((r["doc_id"], r["source"], ws))
+    rows = []
+    for doc_id, src, ws in test_docs:
+        lps = []
+        for a, b, c_ in zip(ws, ws[1:], ws[2:]):
+            if (a, b, c_) in c3:
+                s = c3[(a, b, c_)] / c2[(a, b)]
+            elif (b, c_) in c2:
+                s = ALPHA * c2[(b, c_)] / c1[b]
+            elif c_ in c1:
+                s = ALPHA * ALPHA * c1[c_] / n_train
+            else:
+                s = ALPHA * ALPHA / n_train
+            lps.append(math.log(s))
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "source": src,
+                "n_tri": len(lps),
+                "avg_logscore_micro": _round_half_away(
+                    1e6 * sum(lps) / len(lps)
+                ),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "stupid_backoff_trigram_score", sf),
+        want,
+        ["doc_id"],
+    )
+
+
+def test_seasonal_decomposition_third_voice(spark, sf):
+    daily = _daily_cents(_tbl("events", sf)).rename(
+        columns={"v": "cents"}
+    )
+    frames = []
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        n = len(g)
+        tsum = [
+            int(g["cents"].iloc[i - 3 : i + 4].sum())
+            if 3 <= i < n - 3
+            else None
+            for i in range(n)
+        ]
+        g["tsum"] = tsum
+        g["detrended"] = [
+            float(c_) - float(t_) / 7 if t_ is not None else None
+            for c_, t_ in zip(g["cents"], g["tsum"])
+        ]
+        frames.append(g)
+    detr = pd.concat(frames, ignore_index=True)
+    detr["dow"] = detr["day"].dt.weekday + 1
+    seas = (
+        detr[detr["detrended"].notna()]
+        .groupby(["event_type", "dow"])["detrended"]
+        .mean()
+        .round(6)
+        .rename("seasonal")
+    )
+    rows = []
+    for _, r in detr.iterrows():
+        key = (r["event_type"], r["dow"])
+        if key not in seas.index:
+            continue
+        s_milli = _round_half_away(1000.0 * seas.loc[key])
+        t_milli = (
+            _round_half_away(1000.0 * r["tsum"] / 7)
+            if pd.notna(r["tsum"])
+            else None
+        )
+        rows.append(
+            {
+                "event_type": r["event_type"],
+                "day": r["day"].strftime("%Y-%m-%d"),
+                "cents": int(r["cents"]),
+                "trend_milli": t_milli,
+                "seasonal_milli": s_milli,
+                "resid_milli": int(r["cents"]) * 1000 - t_milli - s_milli
+                if t_milli is not None
+                else None,
+            }
+        )
+    want = pd.DataFrame(rows)
+    want["trend_milli"] = want["trend_milli"].astype("Int64")
+    want["resid_milli"] = want["resid_milli"].astype("Int64")
+    _compare(
+        _run(spark, "seasonal_decomposition_daily", sf),
+        want,
+        ["event_type", "day"],
+    )
