@@ -3101,3 +3101,124 @@ def test_seasonal_decomposition_third_voice(spark, sf):
         want,
         ["event_type", "day"],
     )
+
+
+# ---------------------------------------------------------------------
+# retrieval-eval / feature-selection families
+# ---------------------------------------------------------------------
+_RETR_QUERIES = {
+    1: ("spark", "join", "merge"),
+    2: ("scan", "filter", "column"),
+    3: ("stream", "window", "batch"),
+}
+
+
+def _retrieval_hits(sf):
+    from collections import Counter
+
+    d = _tbl("documents", sf)
+    hits = {}  # qid -> {doc_id: (tf_sum, n_distinct_terms)}
+    for _, r in d.iterrows():
+        counts = Counter(str(r["text"]).lower().split())
+        for qid, terms in _RETR_QUERIES.items():
+            tf_sum = sum(counts.get(t_, 0) for t_ in terms)
+            rel = sum(1 for t_ in terms if counts.get(t_, 0) > 0)
+            if rel > 0:
+                hits.setdefault(qid, {})[int(r["doc_id"])] = (
+                    tf_sum,
+                    rel,
+                )
+    return hits
+
+
+def test_ndcg_third_voice(spark, sf):
+    K = 10
+    hits = _retrieval_hits(sf)
+    rows = []
+    for qid, docs in hits.items():
+        items = [
+            {"doc_id": did, "tf": tf, "rel": rel}
+            for did, (tf, rel) in docs.items()
+        ]
+        by_score = sorted(items, key=lambda x: (-x["tf"], x["doc_id"]))
+        by_rel = sorted(items, key=lambda x: (-x["rel"], x["doc_id"]))
+        dcg = sum(
+            (2.0 ** it["rel"] - 1) / math.log2(pos + 2)
+            for pos, it in enumerate(by_score[:K])
+        )
+        idcg = sum(
+            (2.0 ** it["rel"] - 1) / math.log2(pos + 2)
+            for pos, it in enumerate(by_rel[:K])
+        )
+        rows.append(
+            {
+                "qid": qid,
+                "dcg_micro": _round_half_away(1e6 * dcg),
+                "idcg_micro": _round_half_away(1e6 * idcg),
+                "ndcg_milli": _round_half_away(1000.0 * dcg / idcg),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "ndcg_retrieval_audit", sf), want, ["qid"])
+
+
+def test_map_third_voice(spark, sf):
+    REL = 2
+    hits = _retrieval_hits(sf)
+    rows = []
+    for qid, docs in hits.items():
+        items = sorted(
+            (
+                {"doc_id": did, "tf": tf, "rel": 1 if nd >= REL else 0}
+                for did, (tf, nd) in docs.items()
+            ),
+            key=lambda x: (-x["tf"], x["doc_id"]),
+        )
+        cum = 0
+        ap_num = 0
+        for pos, it in enumerate(items, start=1):
+            cum += it["rel"]
+            if it["rel"] == 1:
+                ap_num += _round_half_away(1e6 * cum / pos)
+        n_rel = sum(it["rel"] for it in items)
+        if n_rel == 0:
+            continue
+        rows.append(
+            {
+                "qid": qid,
+                "n_candidates": len(items),
+                "n_rel": n_rel,
+                "ap_micro": _round_half_away(float(ap_num) / n_rel),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "map_retrieval_audit", sf), want, ["qid"])
+
+
+def test_mutual_information_third_voice(spark, sf):
+    o = _tbl("orders", sf).copy()
+    o["y"] = (o["o_totalprice"] > 250000).astype(int)
+    rows = []
+    for feat in ("o_orderpriority", "o_orderstatus"):
+        cells = o.groupby([feat, "y"]).size()
+        n = int(cells.sum())
+        cx = cells.groupby(level=0).sum()
+        cy = cells.groupby(level=1).sum()
+        mi = sum(
+            (c_ / n)
+            * math.log(n * c_ / (float(cx[x_]) * cy[y_]))
+            for (x_, y_), c_ in cells.items()
+        )
+        rows.append(
+            {
+                "feature": feat,
+                "n_cells": len(cells),
+                "mi_nats": round(mi, 6),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "mutual_information_features", sf),
+        want,
+        ["feature"],
+    )
