@@ -3222,3 +3222,148 @@ def test_mutual_information_third_voice(spark, sf):
         want,
         ["feature"],
     )
+
+
+# ---------------------------------------------------------------------
+# RBO / Luhn / l-diversity / temperature-mixture families
+# ---------------------------------------------------------------------
+def test_rbo_third_voice(spark, sf):
+    K = 15
+    li = _tbl("lineitem", sf).copy()
+    li["rev"] = _cents(li["l_extendedprice"])
+    li["qty"] = li["l_quantity"].astype("int64")
+    agg = li.groupby("l_partkey").agg(
+        rev=("rev", "sum"), qty=("qty", "sum")
+    )
+    ra = [
+        k
+        for k, _ in sorted(
+            agg["rev"].items(), key=lambda kv: (-kv[1], kv[0])
+        )[:K]
+    ]
+    rb = [
+        k
+        for k, _ in sorted(
+            agg["qty"].items(), key=lambda kv: (-kv[1], kv[0])
+        )[:K]
+    ]
+    pos_a = {k: i + 1 for i, k in enumerate(ra)}
+    pos_b = {k: i + 1 for i, k in enumerate(rb)}
+    dmax = [
+        max(pos_a[k], pos_b[k]) for k in set(ra) & set(rb)
+    ]
+    rows = []
+    cum_term = 0
+    for d in range(1, K + 1):
+        overlap = sum(1 for x in dmax if x <= d)
+        p9, p10 = 9 ** (d - 1), 10 ** (d - 1)
+        a = 100000 * overlap * p9
+        b = d * p10
+        term = (2 * a + b) // (2 * b)  # round-half-up integer div
+        cum_term += term
+        rows.append(
+            {
+                "d": d,
+                "overlap_d": overlap,
+                "agreement_milli": _round_half_away(
+                    1000.0 * overlap / d
+                ),
+                "rbo_partial_micro": cum_term,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "rbo_rank_agreement", sf), want, ["d"])
+
+
+def test_luhn_third_voice(spark, sf):
+    o = _tbl("orders", sf)
+    rows = {}
+    for _, r in o.iterrows():
+        pan = str(
+            (int(r["o_orderkey"]) * 1000003 + int(r["o_custkey"]) * 97)
+            % 10_000_000_000_000_000
+        ).zfill(16)
+        total = 0
+        for i, ch in enumerate(reversed(pan)):
+            d_ = int(ch)
+            if i % 2 == 1:
+                d_ *= 2
+                if d_ > 9:
+                    d_ -= 9
+            total += d_
+        ok = 1 if total % 10 == 0 else 0
+        acc = rows.setdefault(
+            r["o_orderpriority"], {"n_orders": 0, "n_valid": 0}
+        )
+        acc["n_orders"] += 1
+        acc["n_valid"] += ok
+    want = pd.DataFrame(
+        [
+            {
+                "o_orderpriority": p,
+                "n_orders": a["n_orders"],
+                "n_valid": a["n_valid"],
+                "valid_permille": _round_half_away(
+                    1000.0 * a["n_valid"] / a["n_orders"]
+                ),
+            }
+            for p, a in rows.items()
+        ]
+    )
+    _compare(
+        _run(spark, "luhn_checksum_screen", sf),
+        want,
+        ["o_orderpriority"],
+    )
+
+
+def test_l_diversity_third_voice(spark, sf):
+    c = _tbl("customer", sf).copy()
+    # Spark `div` truncates toward zero (DuckDB `//` on negatives
+    # floors, but the banding here matches Spark's div semantics)
+    c["bal_band"] = _cents(c["c_acctbal"]).apply(
+        lambda x: int(x / 100000) if x < 0 else x // 100000
+    )
+    g = (
+        c.groupby(["c_nationkey", "bal_band"])["c_mktsegment"]
+        .agg(["size", "nunique"])
+        .reset_index()
+    )
+    want = pd.DataFrame(
+        {
+            "nation": g["c_nationkey"].astype("int64"),
+            "bal_band": g["bal_band"].astype("int64"),
+            "class_size": g["size"],
+            "l_distinct": g["nunique"],
+            "violates_l3": g["nunique"] < 3,
+        }
+    )
+    _compare(
+        _run(spark, "l_diversity_audit", sf),
+        want,
+        ["nation", "bal_band"],
+    )
+
+
+def test_temperature_mixture_third_voice(spark, sf):
+    d = _tbl("documents", sf)
+    m = d.groupby("lang").size()
+    total = int(m.sum())
+    z = sum(math.sqrt(float(n)) for n in m)
+    rows = []
+    for lang, n in m.items():
+        p = float(n) / total
+        w = math.sqrt(float(n)) / z
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": int(n),
+                "p_micro": _round_half_away(1e6 * p),
+                "w_micro": _round_half_away(1e6 * w),
+                "boost_milli": _round_half_away(1000.0 * w / p),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "temperature_mixture_weights", sf), want, ["lang"]
+    )
