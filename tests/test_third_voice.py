@@ -3367,3 +3367,146 @@ def test_temperature_mixture_third_voice(spark, sf):
     _compare(
         _run(spark, "temperature_mixture_weights", sf), want, ["lang"]
     )
+
+
+# ---------------------------------------------------------------------
+# cohort LTV / SLA / trailing quantile / disorder families
+# ---------------------------------------------------------------------
+def test_cohort_ltv_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    e["day"] = e["ts"].dt.normalize()
+    s = (
+        e[e["event_type"] == "signup"]
+        .groupby("user_id")["day"]
+        .min()
+        .rename("s_day")
+    )
+    cohorts = s.to_frame()
+    cohorts["cohort"] = cohorts["s_day"] - pd.to_timedelta(
+        cohorts["s_day"].dt.weekday, unit="D"
+    )
+    csize = cohorts.groupby("cohort").size()
+    p = e[e["event_type"] == "purchase"].merge(
+        cohorts, on="user_id"
+    )
+    p = p[p["day"] >= p["s_day"]].copy()
+    p["age_day"] = (p["day"] - p["s_day"]).dt.days
+    rev = (
+        p.groupby(["cohort", "age_day"])["c"]
+        .sum()
+        .rename("rev")
+        .reset_index()
+        .sort_values(["cohort", "age_day"])
+    )
+    rows = []
+    for coh, g in rev.groupby("cohort"):
+        cum = 0
+        n_users = int(csize[coh])
+        for _, r in g.iterrows():
+            cum += int(r["rev"])
+            rows.append(
+                {
+                    "cohort": coh.strftime("%Y-%m-%d"),
+                    "age_day": int(r["age_day"]),
+                    "n_users": n_users,
+                    "cum_rev_cents": cum,
+                    "ltv_per_user_cents": cum // n_users,
+                }
+            )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "cohort_ltv_curve", sf), want, ["cohort", "age_day"]
+    )
+
+
+def test_order_to_ship_third_voice(spark, sf):
+    li = _tbl("lineitem", sf)[["l_orderkey", "l_shipdate"]]
+    o = _tbl("orders", sf)[
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    sd = pd.to_datetime(j["l_shipdate"])
+    od = pd.to_datetime(j["o_orderdate"])
+    j = j[sd >= od].copy()
+    j["days"] = (
+        pd.to_datetime(j["l_shipdate"]).dt.normalize()
+        - pd.to_datetime(j["o_orderdate"]).dt.normalize()
+    ).dt.days
+    rows = []
+    for p_, g in j.groupby("o_orderpriority"):
+        vals = np.sort(g["days"].to_numpy())
+        rows.append(
+            {
+                "o_orderpriority": p_,
+                "n_lines": len(g),
+                "p50_days": int(_pdisc(vals, 0.50)),
+                "p90_days": int(_pdisc(vals, 0.90)),
+                "max_days": int(vals[-1]),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "order_to_ship_latency", sf),
+        want,
+        ["o_orderpriority"],
+    )
+
+
+def test_trailing_quantile_third_voice(spark, sf):
+    daily = _daily_cents(_tbl("events", sf)).rename(
+        columns={"v": "cents"}
+    )
+    rows = []
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        vals = g["cents"].tolist()
+        for i in range(len(g)):
+            win = sorted(vals[max(0, i - 6) : i + 1])
+            n = len(win)
+            idx = math.ceil(0.9 * n)
+            rows.append(
+                {
+                    "event_type": et,
+                    "day": g["day"].iloc[i].strftime("%Y-%m-%d"),
+                    "cents": int(vals[i]),
+                    "p90_trailing": int(win[idx - 1]),
+                }
+            )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "trailing_quantile_7day", sf),
+        want,
+        ["event_type", "day"],
+    )
+
+
+def test_out_of_order_third_voice(spark, sf):
+    e = _tbl("events", sf).copy()
+    e["t_us"] = e["ts"].astype("datetime64[us]").astype("int64")
+    rows = []
+    for et, g in e.groupby("event_type"):
+        g = g.sort_values("event_id")
+        t = g["t_us"].to_numpy()
+        prev = np.roll(t, 1)
+        prev[0] = -1
+        back = (t[1:] < t[:-1])
+        n_back = int(back.sum())
+        max_back = (
+            int((t[:-1] - t[1:])[back].max()) if n_back else 0
+        )
+        rows.append(
+            {
+                "event_type": et,
+                "n_events": len(g),
+                "n_backward": n_back,
+                "backward_milli": _round_half_away(
+                    1000.0 * n_back / len(g)
+                ),
+                "max_backward_us": max_back,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "out_of_order_audit", sf), want, ["event_type"]
+    )
