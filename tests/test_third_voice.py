@@ -3510,3 +3510,152 @@ def test_out_of_order_third_voice(spark, sf):
     _compare(
         _run(spark, "out_of_order_audit", sf), want, ["event_type"]
     )
+
+
+# ---------------------------------------------------------------------
+# rank fusion / sharding / curriculum / coreset families
+# ---------------------------------------------------------------------
+def test_rrf_fusion_third_voice(spark, sf):
+    d = _tbl("documents", sf).copy()
+    d["n_words"] = d["text"].apply(lambda t_: len(str(t_).lower().split()))
+    rows = []
+    for lang, g in d.groupby("lang"):
+        ra = {
+            did: i + 1
+            for i, did in enumerate(
+                g.sort_values(
+                    ["n_chars", "doc_id"], ascending=[False, True]
+                )["doc_id"]
+            )
+        }
+        rb = {
+            did: i + 1
+            for i, did in enumerate(
+                g.sort_values(
+                    ["n_words", "doc_id"], ascending=[False, True]
+                )["doc_id"]
+            )
+        }
+        fused = sorted(
+            (
+                (
+                    1_000_000_000_000 // (60 + ra[did])
+                    + 1_000_000_000_000 // (60 + rb[did]),
+                    did,
+                )
+                for did in g["doc_id"]
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rk, (score, did) in enumerate(fused[:5], start=1):
+            rows.append(
+                {
+                    "lang": lang,
+                    "doc_id": did,
+                    "rrf_score": score,
+                    "rk": rk,
+                }
+            )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "rrf_rank_fusion_by_lang", sf), want, ["lang", "rk"]
+    )
+
+
+def test_shard_stripe_third_voice(spark, sf):
+    NS = 8
+    d = _tbl("documents", sf)
+    shard_mass = {s_: {"n": 0, "chars": 0} for s_ in range(NS)}
+    for _, g in d.groupby("lang"):
+        g = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        for i, (_, r) in enumerate(g.iterrows()):
+            s_ = i % NS
+            shard_mass[s_]["n"] += 1
+            shard_mass[s_]["chars"] += int(r["n_chars"])
+    total = sum(a["chars"] for a in shard_mass.values())
+    want = pd.DataFrame(
+        [
+            {
+                "shard": s_,
+                "n_docs": a["n"],
+                "total_chars": a["chars"],
+                "imbalance_milli": _round_half_away(
+                    1000.0 * (NS * a["chars"] - total) / total
+                ),
+            }
+            for s_, a in shard_mass.items()
+            if a["n"] > 0
+        ]
+    )
+    _compare(
+        _run(spark, "shard_stripe_balance", sf), want, ["shard"]
+    )
+
+
+def test_curriculum_third_voice(spark, sf):
+    TOP = 100
+    d = _tbl("documents", sf)
+    srcs = sorted(d["source"].unique())
+    sidx = {s_: i + 1 for i, s_ in enumerate(srcs)}
+    n_src = len(srcs)
+    rows = []
+    for src, g in d.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        for r_, (_, row) in enumerate(g.iterrows(), start=1):
+            pos = (r_ - 1) * n_src + sidx[src]
+            if pos <= TOP:
+                rows.append(
+                    {
+                        "position": pos,
+                        "doc_id": row["doc_id"],
+                        "source": src,
+                        "n_chars": row["n_chars"],
+                    }
+                )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "curriculum_interleave_order", sf),
+        want,
+        ["position"],
+    )
+
+
+def test_kcenter_third_voice(spark, sf):
+    K, START = 5, 0
+    em = _tbl("embeddings", sf)
+    vecs = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype="float64")
+        for _, r in em.iterrows()
+    }
+
+    def sqd(a, b):
+        # mirror the index-order fold + 6dp round
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc, 6)
+
+    picks = [(1, START, 0.0)]
+    selected = [START]
+    for step in range(2, K + 1):
+        best = None
+        for vid, v in vecs.items():
+            if vid in selected:
+                continue
+            mind = min(sqd(v, vecs[s_]) for s_ in selected)
+            key = (-mind, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, mind)
+        picks.append((step, best[1], best[2]))
+        selected.append(best[1])
+    want = pd.DataFrame(
+        [
+            {"step": s_, "vec_id": vid, "radius": rad}
+            for s_, vid, rad in picks
+        ]
+    )
+    got = _run(spark, "kcenter_coreset_selection", sf)
+    got = got[["step", "vec_id", "radius"]]
+    _compare(got, want, ["step"])
