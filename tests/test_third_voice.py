@@ -3659,3 +3659,182 @@ def test_kcenter_third_voice(spark, sf):
     got = _run(spark, "kcenter_coreset_selection", sf)
     got = got[["step", "vec_id", "radius"]]
     _compare(got, want, ["step"])
+
+
+# ---------------------------------------------------------------------
+# connected components / MRL recall / spatial families
+# ---------------------------------------------------------------------
+def test_connected_components_third_voice(spark, sf):
+    edges = _copurchase_edges(sf, 7)
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    nodes = set()
+    li = _tbl("lineitem", sf)
+    nodes.update(
+        int(p)
+        for p in li.loc[
+            li["l_partkey"] % 7 == 0, "l_partkey"
+        ].unique()
+    )
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    comp = {}
+    for n_ in nodes:
+        if n_ in comp:
+            continue
+        stack, members = [n_], []
+        seen = {n_}
+        while stack:
+            x = stack.pop()
+            members.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        root = min(members)
+        for m in members:
+            comp[m] = root
+    want = pd.DataFrame(
+        [{"node": n_, "comp": c_} for n_, c_ in comp.items()]
+    )
+    _compare(
+        _run(spark, "connected_components_minlabel", sf),
+        want,
+        ["node"],
+    )
+
+
+def test_matryoshka_third_voice(spark, sf):
+    NQ, DIM, K = 8, 16, 5
+    em = _tbl("embeddings", sf)
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for _, r in em.iterrows()
+    }
+
+    def cos(a, b):
+        dot = num_a = num_b = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            num_a += x * x
+            num_b += y * y
+        return round(dot / math.sqrt(num_a * num_b), 6)
+
+    def topk(q, dims):
+        qv = vecs[q][:dims]
+        scored = sorted(
+            (
+                (-cos(qv, v[:dims]), nid)
+                for nid, v in vecs.items()
+                if nid != q
+            ),
+        )[:K]
+        return {nid for _, nid in scored}
+
+    rows = []
+    for q in range(NQ):
+        if q not in vecs:
+            continue
+        full = topk(q, 64)
+        trunc = topk(q, DIM)
+        hits = len(full & trunc)
+        rows.append(
+            {
+                "query_id": q,
+                "n_hits": hits,
+                "recall_milli": (1000 * hits) // K,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "matryoshka_truncation_recall", sf),
+        want,
+        ["query_id"],
+    )
+
+
+_ZONE_POLYGONS = {
+    1: [(0, 0), (600_000, 0), (0, 600_000)],
+    2: [(550_000, 550_000), (1_000_000, 550_000),
+        (1_000_000, 1_000_000), (550_000, 1_000_000)],
+    3: [(0, 620_000), (540_000, 620_000),
+        (540_000, 980_000), (0, 980_000)],
+}
+
+
+def _ucoord(which, key):
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"{which}:{key}".encode()).hexdigest()[:8], 16)
+        % 1_000_000
+    )
+
+
+def test_point_in_polygon_third_voice(spark, sf):
+    c = _tbl("customer", sf)
+    counts = {}
+    n_all = 0
+    for key in c["c_custkey"]:
+        px, py = _ucoord("lat", key), _ucoord("lon", key)
+        zone = 0
+        for pid, verts in _ZONE_POLYGONS.items():
+            n_cross = 0
+            for i, (x1, y1) in enumerate(verts):
+                x2, y2 = verts[(i + 1) % len(verts)]
+                if (y1 > py) != (y2 > py):
+                    dy = y2 - y1
+                    lhs = (
+                        x1 * dy + (x2 - x1) * (py - y1) - px * dy
+                    ) * (1 if dy > 0 else -1)
+                    if lhs > 0:
+                        n_cross += 1
+            if n_cross % 2 == 1:
+                zone = pid
+                break  # lowest pid wins
+        counts[zone] = counts.get(zone, 0) + 1
+        n_all += 1
+    want = pd.DataFrame(
+        [
+            {
+                "zone": z,
+                "n_points": n_,
+                "share_milli": _round_half_away(1000.0 * n_ / n_all),
+            }
+            for z, n_ in counts.items()
+        ]
+    )
+    _compare(
+        _run(spark, "point_in_polygon_assignment", sf), want, ["zone"]
+    )
+
+
+def test_quadkey_third_voice(spark, sf):
+    BOX = 1_000_000
+    c = _tbl("customer", sf)
+    from collections import Counter
+
+    lv = Counter()
+    for key in c["c_custkey"]:
+        px, py = _ucoord("lat", key), _ucoord("lon", key)
+        xb = lambda k: (px * (2**k)) // BOX
+        yb = lambda k: (py * (2**k)) // BOX
+        d1 = str(2 * yb(1) + xb(1))
+        d2 = str(2 * (yb(2) % 2) + (xb(2) % 2))
+        d3 = str(2 * (yb(3) % 2) + (xb(3) % 2))
+        lv[(1, d1)] += 1
+        lv[(2, d1 + d2)] += 1
+        lv[(3, d1 + d2 + d3)] += 1
+    want = pd.DataFrame(
+        [
+            {"level": l_, "quadkey": qk, "n_points": n_}
+            for (l_, qk), n_ in lv.items()
+        ]
+    )
+    _compare(
+        _run(spark, "quadkey_spatial_rollup", sf),
+        want,
+        ["level", "quadkey"],
+    )
