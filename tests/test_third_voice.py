@@ -3838,3 +3838,215 @@ def test_quadkey_third_voice(spark, sf):
         want,
         ["level", "quadkey"],
     )
+
+
+# ---------------------------------------------------------------------
+# HRW audit / walk-forward folds / conformal / SNM families
+# ---------------------------------------------------------------------
+def test_rendezvous_third_voice(spark, sf):
+    import hashlib
+
+    def hrw(key, n_shards):
+        best = None
+        for s_ in range(n_shards):
+            w = int(
+                hashlib.md5(f"{key}:{s_}".encode()).hexdigest()[:8], 16
+            )
+            enc = w * 16 + s_
+            if best is None or enc > best[0]:
+                best = (enc, s_)
+        # the query takes greatest(enc) % 16 == (w*16+s) % 16 == s
+        return best[0] % 16
+    c = _tbl("customer", sf)
+    rows = {}
+    for key in c["c_custkey"]:
+        old = hrw(int(key), 8)
+        new = hrw(int(key), 9)
+        acc = rows.setdefault(
+            old, {"n": 0, "moved": 0, "illegal": 0}
+        )
+        acc["n"] += 1
+        if new == 8:
+            acc["moved"] += 1
+        elif new != old:
+            acc["illegal"] += 1
+    want = pd.DataFrame(
+        [
+            {
+                "old_shard": o_,
+                "n_keys": a["n"],
+                "n_moved": a["moved"],
+                "n_illegal": a["illegal"],
+                "moved_milli": (1000 * a["moved"]) // a["n"],
+            }
+            for o_, a in rows.items()
+        ]
+    )
+    _compare(
+        _run(spark, "rendezvous_shard_move_audit", sf),
+        want,
+        ["old_shard"],
+    )
+
+
+def test_walkforward_third_voice(spark, sf):
+    e = _tbl("events", sf)
+    daily = (
+        e.assign(day=e["ts"].dt.normalize())
+        .groupby("day")
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    folds = (
+        ("2024-01-11", "2024-01-15"),
+        ("2024-01-18", "2024-01-22"),
+        ("2024-01-25", "2024-01-29"),
+    )
+    GAP = 2
+    rows = []
+    for k, (ts_, te) in enumerate(folds, start=1):
+        start, end = pd.Timestamp(ts_), pd.Timestamp(te)
+        recs = {}
+        for _, r in daily.iterrows():
+            d_ = r["day"]
+            if start <= d_ <= end:
+                role = "test"
+            elif d_ < start - pd.Timedelta(days=GAP):
+                role = "train"
+            elif d_ < start:
+                role = "purged"
+            else:
+                role = "unused"
+            a = recs.setdefault(
+                role,
+                {"n_days": 0, "n_events": 0, "days": [], "gaps": []},
+            )
+            a["n_days"] += 1
+            a["n_events"] += int(r["n"])
+            a["days"].append(d_)
+            if role == "train":
+                a["gaps"].append(int((start - d_).days))
+        for role, a in recs.items():
+            rows.append(
+                {
+                    "fold": k,
+                    "role": role,
+                    "n_days": a["n_days"],
+                    "n_events": a["n_events"],
+                    "first_day": min(a["days"]).strftime("%Y-%m-%d"),
+                    "last_day": max(a["days"]).strftime("%Y-%m-%d"),
+                    "min_gap_check": min(a["gaps"])
+                    if a["gaps"]
+                    else None,
+                }
+            )
+    want = pd.DataFrame(rows)
+    want["min_gap_check"] = want["min_gap_check"].astype("Int64")
+    _compare(
+        _run(spark, "walkforward_purged_folds", sf),
+        want,
+        ["fold", "role"],
+    )
+
+
+def test_conformal_third_voice(spark, sf):
+    ALPHA = 0.1
+    e = _tbl("events", sf).copy()
+    e["c"] = _cents(e["value"])
+    e["day"] = e["ts"].dt.normalize()
+    t_end = pd.Timestamp("2024-01-11")
+    c_end = pd.Timestamp("2024-01-21")
+    rows = []
+    for et, g in e.groupby("event_type"):
+        train = g[g["day"] < t_end]
+        if len(train) == 0:
+            continue
+        mu = float(train["c"].sum()) / len(train)
+        cal = g[(g["day"] >= t_end) & (g["day"] < c_end)]
+        rs = sorted((abs(float(x) - mu) for x in cal["c"]))
+        n_cal = len(rs)
+        rk = math.ceil((1.0 - ALPHA) * (n_cal + 1))
+        if rk > n_cal or n_cal == 0:
+            continue
+        q_hat = rs[rk - 1]
+        test = g[g["day"] >= c_end]
+        n_test = len(test)
+        if n_test == 0:
+            continue
+        covered = int(
+            sum(
+                1
+                for x in test["c"]
+                if abs(float(x) - mu) <= q_hat
+            )
+        )
+        rows.append(
+            {
+                "event_type": et,
+                "n_cal": n_cal,
+                "q_hat_cents": _round_half_away(q_hat),
+                "n_test": n_test,
+                "coverage_milli": (1000 * covered) // n_test,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "conformal_interval_coverage", sf),
+        want,
+        ["event_type"],
+    )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_sorted_neighborhood_third_voice(spark, sf):
+    HEAD, W, MAXD = 96, 3, 24
+    d = _tbl("documents", sf).copy()
+    d["head"] = d["text"].astype(str).str[:HEAD]
+    d["pre"] = d["text"].astype(str).str.lower().str[:2]
+    pairs = []
+    for (_, _), g in d.groupby(["lang", "pre"]):
+        g = g.sort_values(["head", "doc_id"]).reset_index(drop=True)
+        for i in range(len(g)):
+            for k in range(1, W + 1):
+                if i + k >= len(g):
+                    break
+                ed = _levenshtein(
+                    g["head"].iloc[i], g["head"].iloc[i + k]
+                )
+                if ed <= MAXD:
+                    a_, b_ = (
+                        int(g["doc_id"].iloc[i]),
+                        int(g["doc_id"].iloc[i + k]),
+                    )
+                    pairs.append(
+                        {
+                            "doc_a": min(a_, b_),
+                            "doc_b": max(a_, b_),
+                            "lang": g["lang"].iloc[0],
+                            "edit_dist": ed,
+                        }
+                    )
+    want = pd.DataFrame(pairs)
+    _compare(
+        _run(spark, "sorted_neighborhood_pairs", sf),
+        want,
+        ["doc_a", "doc_b"],
+    )
