@@ -4050,3 +4050,147 @@ def test_sorted_neighborhood_third_voice(spark, sf):
         want,
         ["doc_a", "doc_b"],
     )
+
+
+# ---------------------------------------------------------------------
+# deterministic masking / AQP / DP families
+# ---------------------------------------------------------------------
+def test_mlm_masking_third_voice(spark, sf):
+    import hashlib
+
+    SEL, MASK, RAND = 9830, 52429, 58982
+    d = _tbl("documents", sf)
+    rows = []
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        n_sel = n_mask = n_rand = n_keep = 0
+        for i, tok in enumerate(ws, start=1):
+            h = hashlib.md5(
+                f"{r['doc_id']}:{i}:{tok}".encode()
+            ).hexdigest()
+            h1, h2 = int(h[:4], 16), int(h[4:8], 16)
+            if h1 < SEL:
+                n_sel += 1
+                if h2 < MASK:
+                    n_mask += 1
+                elif h2 < RAND:
+                    n_rand += 1
+                else:
+                    n_keep += 1
+        rows.append(
+            {
+                "doc_id": r["doc_id"],
+                "n_tokens": len(ws),
+                "n_selected": n_sel,
+                "n_mask": n_mask,
+                "n_random": n_rand,
+                "n_keep": n_keep,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(_run(spark, "mlm_masking_plan", sf), want, ["doc_id"])
+
+
+def test_t5_span_third_voice(spark, sf):
+    import hashlib
+
+    BLOCK, OFF_MOD = 20, 16
+    d = _tbl("documents", sf)
+    rows = []
+    for _, r in d.iterrows():
+        n = len(str(r["text"]).lower().split())
+        n_masked = 0
+        spans = set()
+        for i in range(1, n + 1):
+            blk = (i - 1) // BLOCK
+            h = hashlib.md5(
+                f"{r['doc_id']}:{blk}".encode()
+            ).hexdigest()
+            start = blk * BLOCK + 1 + int(h[:4], 16) % OFF_MOD
+            sp_len = 2 + int(h[4:8], 16) % 3
+            if start <= i < start + sp_len:
+                n_masked += 1
+                spans.add(blk)
+        rows.append(
+            {
+                "doc_id": r["doc_id"],
+                "n_tokens": n,
+                "n_spans": len(spans),
+                "n_masked": n_masked,
+                "pct_masked_milli": _round_half_away(
+                    1000.0 * n_masked / n
+                ),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "t5_span_corruption_plan", sf), want, ["doc_id"]
+    )
+
+
+def test_sampled_aggregate_third_voice(spark, sf):
+    import hashlib
+
+    MOD = 10
+    li = _tbl("lineitem", sf).copy()
+    li["cents"] = _cents(li["l_extendedprice"])
+    li["bucket"] = [
+        int(
+            hashlib.md5(f"aqp:{ok}:{ln}".encode()).hexdigest()[:8], 16
+        )
+        % MOD
+        for ok, ln in zip(li["l_orderkey"], li["l_linenumber"])
+    ]
+    rows = []
+    for flag, g in li.groupby("l_returnflag"):
+        exact = int(g["cents"].sum())
+        samp = g[g["bucket"] == 0]
+        est = MOD * int(samp["cents"].sum())
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "exact_cents": exact,
+                "est_cents": est,
+                "n_sampled": len(samp),
+                "rel_err_milli": _round_half_away(
+                    1000.0 * abs(est - exact) / exact
+                ),
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "sampled_aggregate_estimate", sf),
+        want,
+        ["l_returnflag"],
+    )
+
+
+def test_dp_noisy_counts_third_voice(spark, sf):
+    import hashlib
+
+    EPS = 1.0
+    e = _tbl("events", sf)
+    rows = []
+    for et, g in e.groupby("event_type"):
+        n = len(g)
+        u = (
+            int(hashlib.md5(f"dp:{et}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        lap = (
+            -(1.0 / EPS)
+            * (1.0 if u >= 0.5 else -1.0)
+            * math.log(1.0 - 2.0 * abs(u - 0.5))
+        )
+        rows.append(
+            {
+                "event_type": et,
+                "n_true": n,
+                "n_noisy_milli": _round_half_away(1000.0 * (n + lap)),
+                "eps_spent_milli": 1000,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "dp_noisy_counts_ledger", sf), want, ["event_type"]
+    )
