@@ -4194,3 +4194,141 @@ def test_dp_noisy_counts_third_voice(spark, sf):
     _compare(
         _run(spark, "dp_noisy_counts_ledger", sf), want, ["event_type"]
     )
+
+
+# ---------------------------------------------------------------------
+# hashing-trick classifier / record linkage / exactly-once sink
+# ---------------------------------------------------------------------
+def test_feature_hashing_third_voice(spark, sf):
+    import hashlib
+
+    B, KNUTH = 1024, 2654435761
+    d = _tbl("documents", sf)
+    rows = []
+    for _, r in d.iterrows():
+        ws = str(r["text"]).lower().split()
+        terms = []
+        for w in ws:
+            h = (
+                int(
+                    hashlib.md5(f"fh:{w}".encode()).hexdigest()[:8], 16
+                )
+                % B
+            )
+            sg = (
+                1
+                if hashlib.md5(f"sg:{w}".encode()).hexdigest()[0]
+                in "01234567"
+                else -1
+            )
+            terms.append(sg * (((h * KNUTH) % 1000 - 500) / 1000.0))
+        margin = _round_half_away(1e6 * sum(terms) / len(terms))
+        rows.append(
+            {
+                "doc_id": r["doc_id"],
+                "source": r["source"],
+                "n_tokens": len(ws),
+                "margin_micro": margin,
+                "pred": 1 if margin > 0 else 0,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "feature_hashing_classifier_score", sf),
+        want,
+        ["doc_id"],
+    )
+
+
+def test_fellegi_sunter_third_voice(spark, sf):
+    W = {
+        "name": (4.553876891600541, -2.986476964580297),
+        "bal": (3.8066624897703196, -2.2823823856765264),
+        "seg": (1.791759469228055, -2.1400661634962708),
+    }
+    TH = 3.0
+    c = _tbl("customer", sf).copy()
+    c["bal"] = _cents(c["c_acctbal"])
+    base = [
+        {
+            "key": int(r["c_custkey"]),
+            "name": r["c_name"],
+            "nat": int(r["c_nationkey"]),
+            "bal": int(r["bal"]),
+            "seg": r["c_mktsegment"],
+        }
+        for _, r in c.iterrows()
+    ]
+    dirty = []
+    for r in base:
+        k = r["key"]
+        dirty.append(
+            {
+                "key": k,
+                "name": r["name"][:-1] if k % 4 == 0 else r["name"],
+                "nat": r["nat"],
+                "bal": r["bal"] + (111 if k % 5 == 0 else 0),
+                "seg": "PERTURBED" if k % 7 == 0 else r["seg"],
+            }
+        )
+    from collections import defaultdict
+
+    block = defaultdict(list)
+    for r in dirty:
+        block[(r["nat"], r["name"][9:14])].append(r)
+    agg = {}
+    for b in base:
+        for d_ in block.get((b["nat"], b["name"][9:14]), []):
+            score = (
+                (W["name"][0] if b["name"] == d_["name"] else W["name"][1])
+                + (W["bal"][0] if b["bal"] == d_["bal"] else W["bal"][1])
+                + (W["seg"][0] if b["seg"] == d_["seg"] else W["seg"][1])
+            )
+            m = 1 if score > TH else 0
+            truth = 1 if b["key"] == d_["key"] else 0
+            a = agg.setdefault(
+                b["seg"],
+                {"n": 0, "decl": 0, "tp": 0, "fp": 0, "true": 0},
+            )
+            a["n"] += 1
+            a["decl"] += m
+            a["tp"] += m * truth
+            a["fp"] += m * (1 - truth)
+            a["true"] += truth
+    want = pd.DataFrame(
+        [
+            {
+                "segment": s_,
+                "n_pairs": a["n"],
+                "n_declared": a["decl"],
+                "tp": a["tp"],
+                "fp": a["fp"],
+                "recall_milli": (1000 * a["tp"]) // a["true"],
+                "precision_milli": (1000 * a["tp"]) // a["decl"],
+            }
+            for s_, a in agg.items()
+        ]
+    )
+    _compare(
+        _run(spark, "fellegi_sunter_entity_match", sf),
+        want,
+        ["segment"],
+    )
+
+
+def test_manifest_exactly_once_third_voice(spark, sf):
+    # the exactly-once invariant: reading through the manifest must
+    # equal a plain aggregate of the source table (each batch once)
+    o = _tbl("orders", sf).copy()
+    o["c"] = _cents(o["o_totalprice"])
+    want = (
+        o.groupby("o_orderpriority")
+        .agg(n_orders=("c", "size"), sum_cents=("c", "sum"))
+        .reset_index()
+        .rename(columns={"o_orderpriority": "priority"})
+    )
+    _compare(
+        _run(spark, "sink_manifest_exactly_once", sf),
+        want,
+        ["priority"],
+    )
