@@ -4332,3 +4332,51 @@ def test_manifest_exactly_once_third_voice(spark, sf):
         want,
         ["priority"],
     )
+
+
+def test_power_iteration_third_voice(spark, sf):
+    DIM, SCALE, TOP = 64, 1_000_000, 8
+    em = _tbl("embeddings", sf)
+    V = np.array(
+        [
+            [math.floor(float(x) * SCALE) for x in r["embedding"]]
+            for _, r in em.iterrows()
+        ],
+        dtype=object,
+    )
+    # exact integer gram G = V^T V
+    G = [[0] * DIM for _ in range(DIM)]
+    for row in V:
+        for i in range(DIM):
+            vi = int(row[i])
+            if vi == 0:
+                continue
+            for j in range(DIM):
+                G[i][j] += vi * int(row[j])
+    v1 = [sum(G[i]) for i in range(DIM)]
+    m = max(abs(x) for x in v1)
+    v1n = [math.floor(float(x) * 1_000_000.0 / float(m)) for x in v1]
+    v2 = [
+        sum(G[i][j] * v1n[j] for j in range(DIM)) for i in range(DIM)
+    ]
+    lam = float(sum(n_ * v_ for n_, v_ in zip(v1n, v2))) / float(
+        sum(n_ * n_ for n_ in v1n)
+    )
+    m2 = max(abs(x) for x in v2)
+    order = sorted(range(DIM), key=lambda i: (-abs(v2[i]), i))
+    want = pd.DataFrame(
+        [
+            {
+                "rank": rk,
+                "dim": i,
+                "loading_milli": math.floor(
+                    1000.0 * float(v2[i]) / float(m2)
+                ),
+                "rayleigh_e6": _round_half_away(lam / 1_000_000.0),
+            }
+            for rk, i in enumerate(order[:TOP], start=1)
+        ]
+    )
+    _compare(
+        _run(spark, "embedding_power_iteration", sf), want, ["rank"]
+    )
