@@ -46,76 +46,73 @@ def _driver_verified() -> set[str]:
 
 
 # Names the driver window should reach before the alphabetical rest
-# (already-driver-verified names are dropped automatically). Round-6
-# priorities per the round-5 verdict (next-round item 2): the 50
-# highest-traffic never-verified ops — the core LLM dedup/ANN/quality
-# family the verdict names explicitly, then the scalar/window/setop/
-# stats basics and the two unverified sinks. Rounds 1-5 covered 208
-# of 374; everything listed here has no CORRECTNESS row yet.
+# (already-driver-verified names are dropped automatically). Round-7
+# priorities per the round-6 verdict (next-round item 1): the graph
+# family, experiment stats, retrieval audits, survival, and the two
+# never-sampled sink round-trips — the highest-traffic of the 117
+# names still without a CORRECTNESS row after rounds 1-6 (258/375).
 _PRIORITY = (
-    # round-6 new operator gate (Job.sort_partitions ranged reduce)
-    "engine_ranged_sort_digest",
-    # verdict-named dedup / similarity / quality family
-    "neardup_minhash_lsh",
-    "simhash_neardup_pairs",
-    "semdedup_cluster_prune",
-    "quality_filter_pipeline",
-    "text_stats_by_source",
-    "sequence_pack_streams",
-    "tfidf_cosine_pairs",
-    "image_neardup_dhash",
-    "winnowing_shared_fingerprints",
-    "mmr_diversified_topk",
-    # rest of the dedup / similarity family
-    "neardup_embedding_cosine",
-    "neardup_jaccard_exact",
-    "neardup_incremental_vs_corpus",
-    "segment_dedup_corpus",
-    "simhash_signatures",
-    "similarity_ivf_probe2",
-    # text-pipeline staples
-    "sessionize_events",
-    "quality_scores",
-    "token_count_bpe_ish",
-    "word_frequencies_top100",
-    "stratified_sample_per_lang",
-    "sample_fixed_k_per_lang",
-    "weighted_sample_by_length",
-    "text_clean_redact",
-    "repetition_quality_scores",
-    "unigram_surprisal_filter",
-    "tokenizer_fertility_by_lang",
-    "vocab_coverage_oov",
-    "multimodal_frame_sample",
-    # scalar-function family
-    "scalar_string_part",
-    "scalar_math_case_lineitem",
-    "scalar_datetime_orders",
-    "regexp_family_documents",
-    # set operations
-    "setop_union_rich_nations",
-    "setop_except_rich_nations",
-    "setop_intersect_rich_nations",
-    "setop_all_priorities",
-    # stats / reshape basics
-    "stats_moments_lineitem",
-    "stats_corr_regression",
-    "string_agg_nation_suppliers",
-    "unpivot_order_money",
-    "pivot_status_by_priority",
-    "rollup_lineitem_status",
-    "percentile_disc_order_prices",
-    # joins / CDC / validation staples
-    "range_join_signup_follows",
-    "scd2_user_type_intervals",
-    "scd2_incremental_merge",
-    "snapshot_diff_order_activity",
-    "table_checksum_by_flag",
-    # unverified sinks + SQL text entry
+    # round-7 new operator gate (chunked large-binary reassembly)
+    "engine_chunked_large_file",
+    # graph family (incl. the round-6 verdict's rescan-heavy fix set)
+    "local_clustering_coefficient",
+    "common_neighbors_link_prediction",
+    "connected_components_minlabel",
+    "kcore_peeling_rounds",
+    "pagerank_trade_2iter",
+    "degree_assortativity_copurchase",
+    # divergence pair (also in the de-rescan fix set)
+    "kl_divergence_by_source",
+    "jsd_pairwise_sources",
+    # experiment / hypothesis stats
+    "kruskal_wallis_daily",
+    "welch_ttest_vs_view",
+    "cohens_d_arms",
+    "cliffs_delta_arms",
+    "mann_kendall_trend",
+    "kendall_tau_daily_value",
+    "paired_diff_ttest",
+    "two_proportion_ztest",
+    "mcnemar_langid_vs_baseline",
+    "cochran_armitage_trend",
+    "spearman_qty_price",
+    "cramer_von_mises_vs_view",
+    # retrieval audits
+    "ndcg_retrieval_audit",
+    "map_retrieval_audit",
+    "rbo_rank_agreement",
+    "rrf_rank_fusion_by_lang",
+    "matryoshka_truncation_recall",
+    # survival
+    "logrank_test_arms",
+    "rmst_signup_purchase",
+    "nelson_aalen_cumhaz",
+    # never-sampled sink round-trips
     "sink_hilbert_roundtrip",
     "sink_manifest_exactly_once",
+    # SQL/semi-structured entry points
     "sql_text_monthly_revenue",
     "variant_props_events",
+    "try_arithmetic_safety",
+    "url_kv_parse_events",
+    "xml_parse_orders",
+    "posexplode_leading_words",
+    "recursive_cte_nation_chains",
+    # analytics staples
+    "proration_largest_remainder",
+    "retention_cohorts_weekly",
+    "rolling_7day_active_users",
+    "revenue_share_by_nation",
+    "quality_tiers_ntile",
+    "rfm_quintile_segments",
+    # robust / order stats
+    "robust_stats_mad",
+    "weighted_median_price_by_flag",
+    "winsorized_stats_prices",
+    "skyline_parts_price_size",
+    # UDx tail (pandas_udf_char_classes is also a bench-floor target)
+    "pandas_udf_char_classes",
+    "pandas_udaf_weighted_price",
 )
 
 
