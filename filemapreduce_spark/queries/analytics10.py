@@ -116,10 +116,15 @@ def local_clustering_coefficient(
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
+        # the edge table feeds FIVE branches (deg twice, e1/e2/e3) —
+        # persist so the li⨝li self-join + distinct behind it runs
+        # once, not once per reference (round-6 audit: 44 exchanges)
+        .persist()
     )
+    # explode-of-array instead of a 2-way union: ONE reference to the
+    # edge table, so the plan carries one scan of it, not two
     deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
@@ -137,10 +142,10 @@ def local_clustering_coefficient(
             F.col("e2.v").alias("c"),
         )
     )
+    # one reference to the triangle closure (not three union arms —
+    # each arm re-plans the two closure joins)
     tcount = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
@@ -252,10 +257,13 @@ def common_neighbors_link_prediction(
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
+        # read by the adj union (2×) and the non-edge anti-join —
+        # persist so the self-join + distinct runs once (r6 audit: 34)
+        .persist()
     )
     adj = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).persist()  # read by deg and both sides of the candidate join
     deg = adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )

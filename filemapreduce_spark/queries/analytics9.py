@@ -208,10 +208,15 @@ def kruskal_wallis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("long")
+    # the day-grain summary feeds BOTH the tie table and the rank
+    # join — persist so the raw-events scan + groupBy runs once
+    # (round-6 plan audit: 16 exchanges)
     d = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(c).cast("long").alias("s"))
-    tv = d.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("ties"))
+    ).agg(F.sum(c).cast("long").alias("s")).persist()
+    tv = d.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("ties")
+    ).persist()  # read by the rank join AND the tie-correction agg
     r = d.join(tv, "s").select(
         "event_type",
         (
@@ -223,7 +228,7 @@ def kruskal_wallis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = r.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("r2").cast("long").alias("ranksum_x2"),
-    )
+    ).persist()  # k rows; read by tot, hsum AND the final projection
     tot = g.agg(F.sum("n_days").cast("long").alias("nn"))
     tie = tv.agg(
         F.sum(
@@ -353,11 +358,16 @@ def degree_assortativity_copurchase(
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
+        # read by both adj orientations — persist so the li⨝li
+        # self-join + distinct runs once (round-6 audit: 23 exch)
+        .persist()
     )
-    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()  # read by deg AND the two endpoint-degree joins
     deg = adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
-    )
+    ).persist()  # read by both endpoint sides (du, dv)
     du = deg.select(F.col("node").alias("nu"), F.col("d").alias("x"))
     dv = deg.select(F.col("node").alias("nv"), F.col("d").alias("y"))
     pairs = (

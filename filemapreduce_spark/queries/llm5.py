@@ -455,7 +455,12 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, vocab-word) count table.
     """
     d = t(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(words("text")).alias("w"))
+    # the token stream feeds FOUR branches (vocab, tot, src_tot,
+    # src_cnt) — persist so the corpus scan + explode runs once,
+    # not once per reference (round-6 plan audit: 30 exchanges)
+    tok = d.select(
+        "source", F.explode(words("text")).alias("w")
+    ).persist()
     vocab = (
         tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cg"))
@@ -470,7 +475,7 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src_tot = tok.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_s")
-    )
+    ).persist()  # #sources rows; read by grid, oov AND final join
     src_cnt = (
         tok.join(F.broadcast(vocab.select("w")), "w")
         .groupBy("source", "w")
@@ -478,9 +483,11 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = (
         src_tot.crossJoin(F.broadcast(vocab))
-        .join(src_cnt, ["source", "w"], "left")
+        # ≤ #sources × V rows — broadcast beats shuffling the grid
+        .join(F.broadcast(src_cnt), ["source", "w"], "left")
         .withColumn("cs", F.coalesce(F.col("cs"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
+        .persist()  # #sources × V rows; read by in_terms AND inv_s
     )
     vp1 = F.lit(_KL_V + 1)
     p_in = (F.col("cs") + 1).cast("double") / (F.col("n_s") + vp1)
@@ -492,7 +499,7 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cs").cast("long").alias("inv_s")
     )
     oov = (
-        src_tot.join(inv_s, "source")
+        src_tot.join(F.broadcast(inv_s), "source")
         .crossJoin(F.broadcast(tot))
     )
     p_oov = (F.col("n_s") - F.col("inv_s") + 1).cast("double") / (
@@ -508,7 +515,7 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_terms.unionAll(oov_terms)
         .groupBy("source")
         .agg(F.sum("term").alias("kl"))
-        .join(src_tot, "source")
+        .join(F.broadcast(src_tot), "source")
         .select(
             "source",
             F.col("n_s").alias("n_tokens"),

@@ -317,7 +317,12 @@ def jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise work.
     """
     d = t(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(words("text")).alias("w"))
+    # the token stream feeds THREE branches (vocab, src_tot, src_cnt)
+    # — persist so the corpus scan + explode runs once, not once per
+    # reference (round-6 plan audit: 26 exchanges)
+    tok = d.select(
+        "source", F.explode(words("text")).alias("w")
+    ).persist()
     vocab = (
         tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cg"))
@@ -328,16 +333,18 @@ def jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src_tot = tok.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_s")
-    )
+    ).persist()  # #sources rows; read by grid AND the OOV branch
     src_cnt = (
         tok.join(F.broadcast(vocab), "w")
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("cs"))
+        .persist()  # ≤ #sources × V rows; read by grid AND inv_s
     )
     vp1 = F.lit(_JSD_V + 1)
     grid = (
         src_tot.crossJoin(F.broadcast(vocab))
-        .join(src_cnt, ["source", "w"], "left")
+        # ≤ #sources × V rows — broadcast beats shuffling the grid
+        .join(F.broadcast(src_cnt), ["source", "w"], "left")
         .select(
             "source",
             "w",
@@ -346,6 +353,7 @@ def jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_s") + vp1)
             ).alias("p"),
         )
+        .persist()  # #sources × V rows; read by BOTH pair-join sides
     )
     inv_s = src_cnt.groupBy("source").agg(F.sum("cs").alias("inv_s"))
     oov = src_tot.join(inv_s, "source", "left").select(
@@ -356,7 +364,7 @@ def jsd_pairwise_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / (F.col("n_s") + vp1)
         ).alias("p"),
-    )
+    ).persist()  # #sources rows; read by BOTH OOV pair-join sides
 
     def jsd_term(p, q):
         return 0.5 * (

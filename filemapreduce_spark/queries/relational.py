@@ -2287,6 +2287,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        # read by e1/e2/e3 AND the edge count — persist so the li⨝li
+        # self-join + distinct runs once (round-6 audit: 17 exchanges)
+        .persist()
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
