@@ -214,6 +214,12 @@ def main():
                 elapsed += construct[name]
             best = elapsed if best is None else min(best, elapsed)
         times[name] = round(best, 3)
+        # drop this query's persisted intermediates before the next:
+        # reps 2-3 legitimately reuse the warm plan, but cross-QUERY
+        # cache residue both accumulates MEMORY_AND_DISK spill over
+        # the 60+-query suite and lets plan-matching flatter a later
+        # query sharing a subtree with an earlier one (r6 advice)
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
 

@@ -174,6 +174,22 @@ class FileEngine:
 
     def plan(self, job: Job, files: DataFrame | None = None) -> DataFrame:
         """Build one job's (lazy) DataFrame pipeline."""
+        n = job.sort_partitions
+        if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+            raise ValueError(
+                f"sort_partitions must be an int >= 1, got {n!r}"
+            )
+        if n > 1 and (job.sort_key is None or job.reducer is None):
+            # the setting only means anything on the sorted-reduce
+            # path; a Job that sets it while forgetting sort_key (or
+            # the reducer) would otherwise run silently unordered
+            raise ValueError(
+                "sort_partitions > 1 requires both sort_key and "
+                "reducer (it configures the ranged ordered reduce); "
+                f"got sort_partitions={n} with "
+                f"sort_key={job.sort_key!r}, "
+                f"reducer={'set' if job.reducer else None!r}"
+            )
         files = files if files is not None else self._files()
         flt = as_filter(job.path_filter)
         data = files.filter(F.col("path").rlike(flt.to_regex()))
@@ -212,11 +228,7 @@ class FileEngine:
                 keys = job.sort_key
                 if not isinstance(keys, (list, tuple)):
                     keys = [keys]
-                n = job.sort_partitions
-                if not isinstance(n, int) or isinstance(n, bool) or n < 1:
-                    raise ValueError(
-                        f"sort_partitions must be an int >= 1, got {n!r}"
-                    )
+                # n validated unconditionally at the top of plan()
                 if n > 1:
                     # partition on the LEADING key only: ranges on a
                     # composite key would split a leading-key run at a

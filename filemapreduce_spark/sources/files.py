@@ -151,9 +151,10 @@ def read_files_chunked(
     mapInPandas task then opens its file and reads ONLY its
     [offset, offset+chunk_bytes) slice. Reassembly keys
     (chunk_idx, n_chunks, offset) ride along so loaders can
-    sort-merge or boundary-patch downstream. The byte-read path uses
-    local-file seek I/O; on an object store the same plan shape maps
-    to ranged GETs.
+    sort-merge or boundary-patch downstream. The byte-read path
+    supports local ``file:`` URIs only (seek I/O); non-file schemes
+    raise ``NotImplementedError`` at read time. The same plan shape
+    would map to ranged GETs on an object store — a future extension.
     """
     import pandas as pd
 
@@ -206,6 +207,15 @@ def read_files_chunked(
         for pdf in batches:
             contents = []
             for uri, off in zip(pdf["uri"], pdf["offset"]):
+                m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", uri)
+                scheme = m.group(1) if m else "file"
+                if scheme != "file":
+                    raise NotImplementedError(
+                        f"read_files_chunked: only local file: URIs are"
+                        f" supported (got {scheme}: for {uri!r});"
+                        f" ranged-GET object-store reads are a future"
+                        f" extension"
+                    )
                 local = uri[len("file:"):] if uri.startswith("file:") else uri
                 with open(local, "rb") as f:
                     f.seek(int(off))

@@ -72,6 +72,7 @@ def main():
     for name, spec in sorted(registry.items()):
         if only and name not in only:
             continue
+        spark.catalog.clearCache()  # bound per-query persist residue
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)

@@ -64,6 +64,7 @@ def main():
         if only and name not in only:
             continue
         n += 1
+        spark.catalog.clearCache()  # bound per-query persist residue
         try:
             spdf = spec.fn(spark, sf_dir).toPandas()
         except Exception:

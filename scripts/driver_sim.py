@@ -102,6 +102,11 @@ def main():
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        # bound cache growth across a full-registry sweep: per-query
+        # persists are never unpersisted by the queries themselves, so
+        # a 375-query session would otherwise accumulate MEMORY_AND_
+        # DISK spill for hours (round-6 advice item)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

@@ -47,6 +47,7 @@ def main():
         if only and name not in only:
             continue
         n += 1
+        spark.catalog.clearCache()  # bound per-query persist residue
         try:
             a = sort_frame(fn(spark, sf_dir).toPandas())
             b = sort_frame(fn(spark, sf_dir).toPandas())

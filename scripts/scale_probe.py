@@ -415,34 +415,65 @@ def main():
     only = set(sys.argv[1:])  # optional probe-name filter
 
     results = {}
-    for name, f1, f10 in (
-        ("groupby_agg", q1(li1), q1(li10)),
-        ("ranged_reduce", ranged_reduce(dc1, 32, 1), ranged_reduce(dc10, 32, 10)),
+    # entries hold BUILDERS, not built thunks: building a probe can
+    # have eager side effects (ranged_reduce persists + counts its
+    # input), so construction must happen only after the `only` filter
+    for name, mk1, mk10 in (
+        ("groupby_agg", lambda: q1(li1), lambda: q1(li10)),
+        (
+            "ranged_reduce",
+            lambda: ranged_reduce(dc1, 32, 1),
+            lambda: ranged_reduce(dc10, 32, 10),
+        ),
         (
             "ranged_reduce_100x",
-            ranged_reduce(dc1, 32, 1),
-            ranged_reduce(dc100, 32, 100),
+            lambda: ranged_reduce(dc1, 32, 1),
+            lambda: ranged_reduce(dc100, 32, 100),
         ),
-        ("winnowing_postings", win_fp(dc1), win_fp(dc10)),
-        ("winnowing_postings_100x", win_fp(dc1), win_fp(dc100)),
-        ("sorted_neighborhood", snm(dc1), snm(dc10)),
-        ("fact_fact_join", join_agg(li1, od1), join_agg(li10, od10)),
+        ("winnowing_postings", lambda: win_fp(dc1), lambda: win_fp(dc10)),
+        (
+            "winnowing_postings_100x",
+            lambda: win_fp(dc1),
+            lambda: win_fp(dc100),
+        ),
+        ("sorted_neighborhood", lambda: snm(dc1), lambda: snm(dc10)),
+        (
+            "fact_fact_join",
+            lambda: join_agg(li1, od1),
+            lambda: join_agg(li10, od10),
+        ),
         # 100x rows for the two shapes that actually SHUFFLE heavy
         # state (join rows / per-doc signatures): proves the
         # sub-linear claim two orders of magnitude out, like the
         # gram-matrix probe already does for mapInArrow
-        ("fact_fact_join_100x", join_agg(li1, od1), join_agg(li100, od100)),
-        ("minhash_signature", minhash(dc1), minhash(dc10)),
-        ("minhash_signature_100x", minhash(dc1), minhash(dc100)),
-        ("gram_matrix_100x", gram(em1), gram(em100)),
-        ("trigram_postings", trigram_postings(dc1), trigram_postings(dc10)),
-        ("srp_banding", srp_bands(em1), srp_bands(em10)),
-        ("srp_candidate_join_100x", srp_cand_agg(em1), srp_cand_agg(em100r)),
-        ("geo_grid_join", geo_grid(cu1), geo_grid(cu10)),
+        (
+            "fact_fact_join_100x",
+            lambda: join_agg(li1, od1),
+            lambda: join_agg(li100, od100),
+        ),
+        ("minhash_signature", lambda: minhash(dc1), lambda: minhash(dc10)),
+        (
+            "minhash_signature_100x",
+            lambda: minhash(dc1),
+            lambda: minhash(dc100),
+        ),
+        ("gram_matrix_100x", lambda: gram(em1), lambda: gram(em100)),
+        (
+            "trigram_postings",
+            lambda: trigram_postings(dc1),
+            lambda: trigram_postings(dc10),
+        ),
+        ("srp_banding", lambda: srp_bands(em1), lambda: srp_bands(em10)),
+        (
+            "srp_candidate_join_100x",
+            lambda: srp_cand_agg(em1),
+            lambda: srp_cand_agg(em100r),
+        ),
+        ("geo_grid_join", lambda: geo_grid(cu1), lambda: geo_grid(cu10)),
     ):
         if only and name not in only:
             continue
-        t1, t10 = timed(f1), timed(f10)
+        t1, t10 = timed(mk1()), timed(mk10())
         results[name] = {
             "t_1x": t1,
             "t_10x": t10,

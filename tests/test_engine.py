@@ -665,6 +665,35 @@ def test_sort_partitions_validation(spark):
         eng.plan(_keyrun_job(0))
 
 
+def test_sort_partitions_requires_sort_key_and_reducer(spark):
+    """sort_partitions > 1 without sort_key (or without a reducer) is
+    meaningless — the job would silently run with no ordering or range
+    partitioning at all — so plan() rejects it up front, even on paths
+    that never reach the sorted-reduce branch."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    base = _keyrun_job(3)
+    no_key = Job(
+        name=base.name,
+        path_filter=base.path_filter,
+        loader=base.loader,
+        mapper=base.mapper,
+        sort_partitions=3,
+        reducer=base.reducer,
+    )
+    with pytest.raises(ValueError, match="sort_key"):
+        eng.plan(no_key)
+    no_reducer = Job(
+        name=base.name,
+        path_filter=base.path_filter,
+        loader=base.loader,
+        mapper=base.mapper,
+        sort_key=["k", "v"],
+        sort_partitions=3,
+    )
+    with pytest.raises(ValueError, match="reducer"):
+        eng.plan(no_reducer)
+
+
 def test_sort_partitions_randomized_equivalence(spark):
     """Seeded random trees: for every N, the ranged reduce must equal
     both the N=1 funnel AND a pure-Python expected digest (key runs
