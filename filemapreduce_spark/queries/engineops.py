@@ -517,3 +517,90 @@ def sink_partition_evolution_roundtrip(
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------
+# Chunked large-binary read: slicing + reassembly keys, oracle-gated.
+# --------------------------------------------------------------------
+_CHUNK_BYTES = 1000  # deliberately NOT a multiple of the 33-byte line
+# width, so chunk boundaries straddle lines and the oracle's substring
+# twin would catch any off-by-one in offset arithmetic
+
+
+@register(
+    "engine_chunked_large_file",
+    f"""
+    WITH blob AS (
+      SELECT string_agg(md5(text), chr(10) ORDER BY doc_id)
+             || chr(10) AS b
+      FROM documents
+    ), meta AS (
+      SELECT b, CAST(length(b) AS BIGINT) AS len FROM blob
+    ), idx AS (
+      -- list-valued generate_series: range() cannot take subquery
+      -- params in DuckDB, the scalar list form can
+      SELECT unnest(generate_series(
+               0, CAST(ceil(len / {_CHUNK_BYTES}.0) AS BIGINT) - 1
+             )) AS chunk_idx
+      FROM meta
+    )
+    SELECT i.chunk_idx,
+           CAST(length(substring(m.b,
+                  CAST(i.chunk_idx * {_CHUNK_BYTES} + 1 AS BIGINT),
+                  {_CHUNK_BYTES})) AS BIGINT) AS chunk_len,
+           md5(substring(m.b,
+                  CAST(i.chunk_idx * {_CHUNK_BYTES} + 1 AS BIGINT),
+                  {_CHUNK_BYTES})) AS chunk_md5
+    FROM idx i CROSS JOIN meta m
+    ORDER BY i.chunk_idx
+    """,
+    tags=("engine", "source", "chunked", "binary"),
+)
+def engine_chunked_large_file(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chunked binary read of one big file (``read_files_chunked``,
+    the scale path past the whole-file row ceiling — the reference
+    streams such inputs through its ``io.Reader`` loader,
+    /root/reference/filesystem.go:12): a deterministic fixture file is
+    built from the documents table (one 33-byte ``md5(text)\\n`` line
+    per doc, ordered by doc_id — pure ASCII, so byte offsets equal
+    character offsets), read back as {_CHUNK_BYTES}-byte slices, and
+    each slice reports its byte length and md5. The DuckDB oracle
+    reconstructs the identical blob with string_agg + substring: a
+    value-hash match proves every task read EXACTLY its
+    [offset, offset+chunk) slice — no gap, overlap, or tail loss.
+
+    Scale shape: the fixture build is a bounded driver-side collect
+    (33 B/doc — fixture CONSTRUCTION, not the operator); the read
+    itself is the production path — a metadata-only listing exploded
+    to (path, chunk_idx, offset) rows, repartitioned so each slice is
+    an independent seek+read task, per-chunk digests computed
+    row-locally. A 40 GiB file becomes 320 parallel 128 MiB tasks
+    under the default chunk size; tests/test_chunked_files.py drives
+    a real >100 MB file through the same surface.
+    """
+    from filemapreduce_spark.sources.files import read_files_chunked
+
+    rows = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(F.encode(F.col("text"), "utf-8")).alias("h"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    blob = "".join(r["h"] + "\n" for r in rows).encode("ascii")
+    root = _scratch("chunked_file")
+    with open(f"{root}/corpus_md5.txt", "wb") as f:
+        f.write(blob)
+    chunks = read_files_chunked(spark, root, chunk_bytes=_CHUNK_BYTES)
+    return (
+        chunks.select(
+            "chunk_idx",
+            F.length("content").cast("long").alias("chunk_len"),
+            F.md5("content").alias("chunk_md5"),
+        )
+        .orderBy("chunk_idx")
+    )
