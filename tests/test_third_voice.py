@@ -4380,3 +4380,43 @@ def test_power_iteration_third_voice(spark, sf):
     _compare(
         _run(spark, "embedding_power_iteration", sf), want, ["rank"]
     )
+
+
+# ---------------------------------------------------------------------
+# sketch set algebra: the one former third-voice exception
+# ---------------------------------------------------------------------
+def test_hll_intersection_overlap_third_voice(spark, sf):
+    """`hll_intersection_overlap` outputs Spark HLL sketch internals
+    only through its two accuracy-contract booleans — sketch state
+    itself can't be replayed in pandas. The twin therefore recomputes
+    everything that IS engine-independent: the exact per-pair
+    intersection/union cardinalities by literal set algebra, plus the
+    contract expectations themselves (union estimate within 2% of the
+    exact union; inclusion-exclusion intersection within 5% OF THE
+    UNION), which are scale-independent and must read True at every
+    SF for the documented sketch precision."""
+    e = _tbl("events", sf)
+    u = e[e["event_type"].isin(["view", "click", "purchase"])][
+        ["event_type", "user_id"]
+    ].drop_duplicates()
+    sets = {et: set(g["user_id"]) for et, g in u.groupby("event_type")}
+    rows = []
+    for ta, tb in (
+        ("view", "purchase"),
+        ("click", "purchase"),
+        ("view", "click"),
+    ):
+        a, b = sets.get(ta, set()), sets.get(tb, set())
+        rows.append(
+            {
+                "pair": f"{ta}^{tb}",
+                "exact_inter": len(a & b),
+                "exact_union": len(a | b),
+                "union_est_within_2pct": True,
+                "inter_within_5pct_of_union": True,
+            }
+        )
+    want = pd.DataFrame(rows)
+    _compare(
+        _run(spark, "hll_intersection_overlap", sf), want, ["pair"]
+    )
