@@ -757,19 +757,34 @@ def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-count and percentiles aggregate SEPARATELY: combining
     # them makes Catalyst expand every row for the distinct rewrite
     # and drag the percentile buffers through the expanded stream —
-    # two lean aggs + a 5-row broadcast join is faster (re-measured
-    # round 5: combined single agg 0.55 s vs this form 0.32 s at
-    # sf0.1, paired min-of-4 — the single-pass form loses)
+    # two lean aggs are faster (re-measured round 5: combined single
+    # agg 0.55 s vs the split form 0.32 s at sf0.1, paired min-of-4).
+    # The branches meet by UNION + first(ignorenulls) re-agg rather
+    # than a broadcast join: same values, but no broadcast-
+    # materialization job per action (round-7 paired min-of-5 at
+    # sf0.1: join 0.42-0.52 s, union 0.35-0.42 s)
     nd = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users")
+        F.countDistinct("user_id").alias("n_users"),
+        *(F.lit(None).cast("double").alias(c) for c in ("p50", "p90", "p99")),
     )
     pct = e.groupBy("event_type").agg(
+        F.lit(None).cast("long").alias("n_users"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+    merged = (
+        nd.unionByName(pct)
+        .groupBy("event_type")
+        .agg(
+            *(
+                F.first(c, ignorenulls=True).alias(c)
+                for c in ("n_users", "p50", "p90", "p99")
+            )
+        )
+    )
     # result bounded by the event-type domain -> local tiny sort
-    return tiny_sorted(nd.join(F.broadcast(pct), "event_type"), "event_type")
+    return tiny_sorted(merged, "event_type")
 
 
 @register(
