@@ -986,24 +986,27 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "range"),
 )
 def range_join_signup_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval theta-join: events within 1h after each signup, same
-    user. Equi on user_id keeps it a hash join with a residual range
-    predicate."""
-    e = t(spark, sf_dir, "events")
-    s = e.filter(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_id"),
-        F.col("user_id").alias("s_user"),
-        F.col("ts").alias("s_ts"),
+    """Interval join expressed as a time-RANGE window frame: events in
+    (ts, ts+1h] by the same user are exactly the rows in a
+    ``rangeBetween(+1us, +1h)`` frame over user-partitioned,
+    time-ordered events, so ``count(*)`` over that frame IS the
+    interval-join cardinality. One shuffle on user_id and a sort —
+    no per-pair fan-out, unlike the equi+residual hash join this
+    replaced (whose output exploded with followers-per-signup; at
+    100 TB the window form's cost is a single exchange regardless of
+    how dense the follow windows are)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
     )
-    cond = (
-        (F.col("user_id") == F.col("s_user"))
-        & (F.col("ts") > F.col("s_ts"))
-        & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(1, 3_600_000_000)  # (+1us, +1h] in microseconds
     )
     return (
-        s.join(e, cond, "left")
-        .groupBy("signup_id")
-        .agg(F.count("event_id").alias("n_follow"))
+        e.withColumn("n_follow", F.count(F.lit(1)).over(w))
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("signup_id"), "n_follow")
         .orderBy("signup_id")
     )
 
