@@ -1244,27 +1244,27 @@ def similarity_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", to_double(F.col("embedding")).alias("_v")
     ).persist()  # three consumers: centroid sums, query slice, cells
     # exact element-wise centroid: per (label, pos) integer-sum of
-    # round(x*1e6) → one deterministic double per component. The 64
-    # dimensions are fixed columns of ONE groupBy(label) (map-side
-    # partial agg, #cells rows through the exchange) rather than a
-    # posexplode (which shuffles rows×64 exploded records); same
-    # long-sum/count arithmetic, so the doubles hash-match the oracle.
-    dim = 64
-    sums = emb.groupBy("label").agg(
-        F.count("*").alias("n"),
-        *(
-            F.sum(F.round(F.col("_v")[i] * 1e6).cast("long")).alias(f"s{i}")
-            for i in range(dim)
-        ),
+    # round(x*1e6) → one deterministic double per component. The
+    # posexplode is row-local and partial aggregation collapses it
+    # map-side, so only #cells×64 rows cross the exchange; a 64-
+    # column groupBy(label) variant was A/B-tested round 7 and lost
+    # ~20% (the 64-expression agg falls out of tight codegen).
+    comp = (
+        emb.select("label", F.posexplode("_v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label", "pos", (F.col("s").cast("double") / F.col("n")).alias("m")
+        )
     )
-    cent = sums.select(
-        "label",
-        F.array(
-            *(
-                (F.col(f"s{i}").cast("double") / F.col("n"))
-                for i in range(dim)
-            )
-        ).alias("cvec"),
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda st: st["m"],
+        ).alias("cvec")
     )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("_v").alias("_qv")
