@@ -350,32 +350,15 @@ def nelson_aalen_cumhaz(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that grid — bounded by the observation horizon in days (the
     same allowlisted shape as the KM row), never by user count.
     """
-    e = t(spark, sf_dir, "events")
-    s = (
-        e.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    # shared persisted subject table (survival._signup_purchase_subjects):
+    # same derivation + same horizon as the KM/log-rank/RMST family —
+    # one corpus pass per session instead of one (or more) per query
+    from filemapreduce_spark.queries.survival import (
+        _signup_purchase_subjects,
     )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(s, "user_id")
-        .where(F.col("ts") >= F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    horizon = F.lit(_HORIZON).cast("date")
-    subjects = s.join(p, "user_id", "left").select(
-        "user_id",
-        F.when(
-            F.col("p_ts").isNotNull(),
-            F.datediff(
-                F.col("p_ts").cast("date"), F.col("s_ts").cast("date")
-            ),
-        )
-        .otherwise(F.datediff(horizon, F.col("s_ts").cast("date")))
-        .cast("long")
-        .alias("t_days"),
-        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("event"),
+
+    subjects = _signup_purchase_subjects(spark, sf_dir).select(
+        "t_days", "event"
     )
     grid = subjects.groupBy("t_days").agg(
         F.sum("event").cast("long").alias("d"),

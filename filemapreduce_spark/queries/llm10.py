@@ -398,11 +398,15 @@ def hll_intersection_overlap(
         .filter(F.col("event_type").isin("view", "click", "purchase"))
         .select("event_type", "user_id")
     )
-    u = e.distinct()
+    # u feeds both sides of the exact-intersection self-join and sk
+    # (3 rows of sketch state) is read by both pair sides — persist
+    # so the raw-events scan + distinct + sketch agg run once, not
+    # once per downstream reference (static audit: 8 scans → 1)
+    u = e.distinct().persist()
     sk = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").cast("long").alias("exact_n"),
-    )
+    ).persist()
     pairs = spark.createDataFrame(
         list(_HLL_PAIRS), "ta string, tb string"
     )

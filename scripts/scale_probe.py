@@ -183,6 +183,59 @@ def main():
     cu1 = spark.read.parquet(f"{SF_DIR}/customer.parquet").repartition(32)
     cu10 = replicate(cu1, ["c_custkey"], 10_000_000)
 
+    # --- interval join as a time-RANGE window frame (round-7) ---
+    # range_join_signup_follows was rewritten from an equi+residual
+    # join (whose intermediate explodes with followers-per-signup) to
+    # count(*) over rangeBetween(+1us, +1h) partitioned by user. The
+    # claim: the window form costs ONE exchange + sort regardless of
+    # follow-window density. Replicating by user_id keeps per-user
+    # density constant, so linear time in rows is the pass bar; the
+    # join form is timed on the same replicated stream for the
+    # constant-factor contrast (join_over_window below).
+    ev1 = spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(32)
+    if dict(ev1.dtypes).get("ts") == "bigint":
+        ev1 = ev1.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev100 = replicate(ev1, ["user_id", "event_id"], 10_000_000, copies=100)
+
+    def interval_window(ev):
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros("ts"))
+            .rangeBetween(1, 3_600_000_000)
+        )
+        return lambda: (
+            ev.select("event_id", "user_id", "ts", "event_type")
+            .withColumn("n", F.count(F.lit(1)).over(w))
+            .filter(F.col("event_type") == "signup")
+            .select(F.sum("n").alias("x"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    def interval_join(ev):
+        s = ev.filter(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("sid"),
+            F.col("user_id").alias("su"),
+            F.col("ts").alias("sts"),
+        )
+        cond = (
+            (F.col("user_id") == F.col("su"))
+            & (F.col("ts") > F.col("sts"))
+            & (F.col("ts") <= F.col("sts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        return lambda: (
+            s.join(ev, cond, "left")
+            .groupBy("sid")
+            .agg(F.count("event_id").alias("n"))
+            .select(F.sum("n").alias("x"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
     def geo_grid(cu):
         pts = cu.select(
             F.col("c_custkey").alias("id"),
@@ -470,6 +523,11 @@ def main():
             lambda: srp_cand_agg(em100r),
         ),
         ("geo_grid_join", lambda: geo_grid(cu1), lambda: geo_grid(cu10)),
+        (
+            "interval_count_window_100x",
+            lambda: interval_window(ev1),
+            lambda: interval_window(ev100),
+        ),
     ):
         if only and name not in only:
             continue
@@ -495,6 +553,14 @@ def main():
         results["ranged_reduce_100x"]["t_funnel_100x"] = t_funnel
         results["ranged_reduce_100x"]["funnel_over_ranged"] = round(
             t_funnel / results["ranged_reduce_100x"]["t_10x"], 2
+        )
+    if "interval_count_window_100x" in results:
+        # the replaced join form on the SAME 100x stream: the
+        # constant-factor cost of pair fan-out the window removes
+        t_join = timed(interval_join(ev100))
+        results["interval_count_window_100x"]["t_join_100x"] = t_join
+        results["interval_count_window_100x"]["join_over_window"] = round(
+            t_join / results["interval_count_window_100x"]["t_10x"], 2
         )
     if "srp_candidate_join_100x" in results:
         results["srp_candidate_join_100x"].update(srp_out)
