@@ -1002,9 +1002,12 @@ def session_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame broadcast-crossed into the result (single action — no
     driver-side scalar round trip)."""
     e = t(spark, sf_dir, "events")
+    # the session set feeds four consumers (session count, singles,
+    # both self-join sides) — persist so the corpus scan + distinct
+    # run once, not once per reference
     s = e.select(
         "user_id", F.col("ts").cast("date").alias("day"), "event_type"
-    ).distinct()
+    ).distinct().persist()
     n_sessions_df = (
         s.select("user_id", "day")
         .distinct()

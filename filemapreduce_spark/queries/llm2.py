@@ -422,7 +422,8 @@ def ivf_recall_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     truth = similarity_bruteforce_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
+    ).persist()  # 50 rows, but each reference re-runs the brute-force
+    # corpus scoring pass without the cut (two references below)
     approx = similarity_ivf_probe2(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
