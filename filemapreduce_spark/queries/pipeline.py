@@ -640,7 +640,14 @@ def contingency_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     screening over a corpus.
     """
     d = t(spark, sf_dir, "documents")
-    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # obs feeds four consumers (margins base + three marginal aggs) —
+    # persist the lang×source cell table (tiny) so the corpus count
+    # runs once, not once per reference
+    obs = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     row_tot = obs.groupBy("lang").agg(F.sum("n").alias("row_total"))
     col_tot = obs.groupBy("source").agg(F.sum("n").alias("col_total"))
     grand = obs.agg(F.sum("n").alias("grand_total"))
