@@ -283,7 +283,10 @@ def changepoint_sse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # Nelson–Aalen cumulative hazard (counting-process twin of KM).
 # --------------------------------------------------------------------
-_HORIZON = "2024-01-31"  # same censoring horizon as kaplan_meier row
+# Import, not copy: the Spark side censors via the shared
+# _signup_purchase_subjects (survival._HORIZON), so the oracle string
+# below MUST use the same constant or the pair silently desyncs.
+from filemapreduce_spark.queries.survival import _HORIZON  # noqa: E402
 
 
 @register(

@@ -565,7 +565,7 @@ def engine_chunked_large_file(
     /root/reference/filesystem.go:12): a deterministic fixture file is
     built from the documents table (one 33-byte ``md5(text)\\n`` line
     per doc, ordered by doc_id — pure ASCII, so byte offsets equal
-    character offsets), read back as {_CHUNK_BYTES}-byte slices, and
+    character offsets), read back as 1000-byte (_CHUNK_BYTES) slices, and
     each slice reports its byte length and md5. The DuckDB oracle
     reconstructs the identical blob with string_agg + substring: a
     value-hash match proves every task read EXACTLY its

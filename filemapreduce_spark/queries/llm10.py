@@ -446,7 +446,16 @@ def hll_intersection_overlap(
         .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
     )
     exact_u = (
-        pairs.join(F.broadcast(exact_i), ["ta", "tb"])
+        # LEFT join + coalesce(0): an empty intersection produces no
+        # group in the inner self-join above, but the oracle's
+        # correlated COUNT emits exact_inter=0 for that pair — an
+        # inner join here would silently drop the row (latent at SFs
+        # where every pair overlaps; a sparse fixture would diverge)
+        pairs.join(F.broadcast(exact_i), ["ta", "tb"], "left")
+        .withColumn(
+            "exact_inter",
+            F.coalesce(F.col("exact_inter"), F.lit(0).cast("long")),
+        )
         .join(
             F.broadcast(
                 a.select("ta", F.col("n_a"))

@@ -34,11 +34,29 @@ _SUBJECTS_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _signup_purchase_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     cached = _SUBJECTS_CACHE.get(key)
-    if cached is not None and cached.sparkSession is spark:
+    # is_cached guard: harnesses call spark.catalog.clearCache()
+    # between queries, which unpersists the blocks but leaves this
+    # dict entry pointing at a never-re-persisted DataFrame — without
+    # the check the "one corpus pass" cut would silently stop caching
+    # after the first survival query under those protocols. A cleared
+    # entry falls through to a fresh build (fresh persist markers).
+    if (
+        cached is not None
+        and cached.sparkSession is spark
+        and cached.is_cached
+    ):
         return cached
     for k in [
-        k for k, v in _SUBJECTS_CACHE.items() if v.sparkSession is not spark
+        k
+        for k, v in _SUBJECTS_CACHE.items()
+        if v.sparkSession is not spark or k == key
     ]:
+        try:  # release blocks before dropping the last reference —
+            # del alone would orphan persisted partitions in the
+            # executors with no handle left to unpersist them
+            _SUBJECTS_CACHE[k].unpersist()
+        except Exception:
+            pass  # dead session: blocks are already gone
         del _SUBJECTS_CACHE[k]
     e = t(spark, sf_dir, "events")
     s = (

@@ -192,9 +192,12 @@ def main():
     # density constant, so linear time in rows is the pass bar; the
     # join form is timed on the same replicated stream for the
     # constant-factor contrast (join_over_window below).
-    ev1 = spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(32)
-    if dict(ev1.dtypes).get("ts") == "bigint":
-        ev1 = ev1.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # load_table inherits the canonical TIMESTAMP(NANOS)→micros
+    # conversion (tables.py) — a local copy here could silently drift
+    # from the convention the queries actually run under
+    from filemapreduce_spark.sources.tables import load_table
+
+    ev1 = load_table(spark, SF_DIR, "events").repartition(32)
     ev100 = replicate(ev1, ["user_id", "event_id"], 10_000_000, copies=100)
 
     def interval_window(ev):

@@ -116,3 +116,34 @@ def test_hll_intersection_tiny_exact(spark, registry):
     for r in out.values():
         assert r["union_est_within_2pct"]
         assert r["inter_within_5pct_of_union"]
+
+
+def test_hll_intersection_empty_pair_kept(spark, registry):
+    """A pair with ZERO common users must still emit its row with
+    exact_inter=0 (the oracle's correlated COUNT always produces all
+    three pairs; an inner join on the exact-intersection groups used
+    to drop it — round-7 review finding): view={1,2}, purchase={3,4}
+    (disjoint), click={1,3}."""
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for et, uids in (
+        ("view", [1, 2]),
+        ("click", [1, 3]),
+        ("purchase", [3, 4]),
+    ):
+        for u in uids:
+            rows.append((eid, base, u, et, 0.0, "{}"))
+            eid += 1
+    d = tempfile.mkdtemp(prefix="fmr_llm10_hll0_")
+    _write(spark, d, "events", rows, _EV_SCHEMA)
+    out = {
+        r["pair"]: r
+        for r in registry["hll_intersection_overlap"].fn(spark, d).collect()
+    }
+    assert set(out) == {"view^purchase", "click^purchase", "view^click"}
+    assert (out["view^purchase"]["exact_inter"],
+            out["view^purchase"]["exact_union"]) == (0, 4)
+    assert (out["click^purchase"]["exact_inter"],
+            out["click^purchase"]["exact_union"]) == (1, 3)
+    assert (out["view^click"]["exact_inter"],
+            out["view^click"]["exact_union"]) == (1, 3)
