@@ -240,6 +240,12 @@ def main():
 
     best_wall = None
     for _ in range(2):
+        # start each suite rep cache-cold: queries legitimately share
+        # persisted bases WITHIN a concurrent rep (production
+        # semantics), but letting rep 2 read rep 1's materialized
+        # caches — or the suite read the serial loop's — would bias
+        # suite_wall low vs the DuckDB anchor, which re-executes fully
+        spark.catalog.clearCache()
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=8) as ex:
             list(ex.map(run_one, HEADLINE))

@@ -190,6 +190,17 @@ class FileEngine:
                 f"sort_key={job.sort_key!r}, "
                 f"reducer={'set' if job.reducer else None!r}"
             )
+        if job.sort_key is not None and job.reducer is None:
+            # same silent-misconfiguration class: sorting feeds the
+            # reduce input (the reference sorts batches on their way
+            # into the single reducer, mapreduce.go:401-431) — with no
+            # reducer the key is dead and the output would silently be
+            # unordered
+            raise ValueError(
+                "sort_key requires a reducer (it orders the reduce "
+                f"input); got sort_key={job.sort_key!r} with "
+                "reducer=None"
+            )
         files = files if files is not None else self._files()
         flt = as_filter(job.path_filter)
         data = files.filter(F.col("path").rlike(flt.to_regex()))

@@ -168,6 +168,19 @@ def read_files_chunked(
         if glob is not None and glob != "*":
             reader = reader.option("pathGlobFilter", glob)
 
+    # fail fast on the DRIVER for non-local roots: the executor read
+    # path below opens local files, so rejecting hdfs:/s3a: here (from
+    # the root the caller handed us, before any cluster work) beats a
+    # wrapped task-retry PythonException deep inside the job. The
+    # per-row executor check stays as a backstop for mixed listings.
+    m_root = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", str(root))
+    if m_root and m_root.group(1).lower() != "file":
+        raise NotImplementedError(
+            f"read_files_chunked: only local file: roots are supported"
+            f" (got {m_root.group(1)}: in {root!r}); ranged-GET"
+            f" object-store reads are a future extension"
+        )
+
     abs_root = os.path.abspath(root).rstrip("/")
     meta = reader.load(abs_root).select(
         F.col("path").alias("uri"),
@@ -208,7 +221,7 @@ def read_files_chunked(
             contents = []
             for uri, off in zip(pdf["uri"], pdf["offset"]):
                 m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", uri)
-                scheme = m.group(1) if m else "file"
+                scheme = m.group(1).lower() if m else "file"
                 if scheme != "file":
                     raise NotImplementedError(
                         f"read_files_chunked: only local file: URIs are"
@@ -216,7 +229,7 @@ def read_files_chunked(
                         f" ranged-GET object-store reads are a future"
                         f" extension"
                     )
-                local = uri[len("file:"):] if uri.startswith("file:") else uri
+                local = uri[len("file:"):] if m else uri
                 with open(local, "rb") as f:
                     f.seek(int(off))
                     contents.append(f.read(chunk_bytes))

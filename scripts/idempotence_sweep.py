@@ -50,6 +50,14 @@ def main():
         spark.catalog.clearCache()  # bound per-query persist residue
         try:
             a = sort_frame(fn(spark, sf_dir).toPandas())
+            # clear BETWEEN the paired runs too: run A materializes
+            # any persisted subtrees, and Spark's canonical-plan cache
+            # matching would serve them to run B — B would neither
+            # recompute the persisted stages nor expose order-dependent
+            # nondeterminism downstream of them (the thing this sweep
+            # exists to catch), making the A/B vacuous for every query
+            # that persists a shared base
+            spark.catalog.clearCache()
             b = sort_frame(fn(spark, sf_dir).toPandas())
         except Exception:
             print(f"ERR   {name}")

@@ -149,6 +149,11 @@ def main():
         times = {}
         for name in SUBSET:
             spec = registry[name]
+            # start each (variant, query) cell cache-cold: a query
+            # that persists a shared base would otherwise hand later
+            # variants data materialized under an EARLIER variant's
+            # confs, flattening exactly the A/B delta being measured
+            spark.catalog.clearCache()
             best = None
             for _ in range(3):
                 t0 = time.time()

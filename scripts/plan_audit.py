@@ -73,6 +73,18 @@ def main():
             skipped.append(name)
             continue
         try:
+            # clear BEFORE each build: persist() registers plans in
+            # the CacheManager at build time (no execution needed),
+            # and withCachedData substitutes matching subtrees into
+            # EXPLAIN output — an earlier query's registered cache
+            # would replace a later query's identical scan+explode
+            # fragment with InMemoryTableScan, understating its real
+            # exchange/scan counts. Each query is audited with only
+            # ITS OWN persists visible (the per-query runtime view);
+            # deliberately session-shared bases (the survival subject
+            # table) still show as cached inside their own family,
+            # which is the honest runtime shape.
+            spark.catalog.clearCache()
             df = spec.fn(spark, sf_dir)
             rows.append((name, audit_plan(df, spark._jvm)))
         except Exception as e:  # iterative/collect-based plans

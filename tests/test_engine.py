@@ -680,7 +680,10 @@ def test_sort_partitions_requires_sort_key_and_reducer(spark):
         sort_partitions=3,
         reducer=base.reducer,
     )
-    with pytest.raises(ValueError, match="sort_key"):
+    # match on the VALUE renderings, not the bare field names — the
+    # shared message embeds both words, so name-only patterns could
+    # not tell which precondition actually fired
+    with pytest.raises(ValueError, match="sort_key=None"):
         eng.plan(no_key)
     no_reducer = Job(
         name=base.name,
@@ -690,8 +693,26 @@ def test_sort_partitions_requires_sort_key_and_reducer(spark):
         sort_key=["k", "v"],
         sort_partitions=3,
     )
-    with pytest.raises(ValueError, match="reducer"):
+    with pytest.raises(ValueError, match="reducer=None"):
         eng.plan(no_reducer)
+
+
+def test_sort_key_without_reducer_rejected(spark):
+    """sort_key with reducer=None is the adjacent silent trap: the key
+    orders the REDUCE input (the reference sorts batches on their way
+    into the single reducer), so on a map-only job it is dead and the
+    output would silently be unordered. plan() rejects it."""
+    eng = FileEngine.from_memory(spark, NUMBERS_TREE)
+    base = _keyrun_job(1)
+    dead_key = Job(
+        name=base.name,
+        path_filter=base.path_filter,
+        loader=base.loader,
+        mapper=base.mapper,
+        sort_key="v",
+    )
+    with pytest.raises(ValueError, match="sort_key requires a reducer"):
+        eng.plan(dead_key)
 
 
 def test_sort_partitions_randomized_equivalence(spark):
