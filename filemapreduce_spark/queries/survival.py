@@ -34,16 +34,23 @@ _SUBJECTS_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _signup_purchase_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     cached = _SUBJECTS_CACHE.get(key)
-    # is_cached guard: harnesses call spark.catalog.clearCache()
+    # storageLevel guard: harnesses call spark.catalog.clearCache()
     # between queries, which unpersists the blocks but leaves this
     # dict entry pointing at a never-re-persisted DataFrame — without
     # the check the "one corpus pass" cut would silently stop caching
     # after the first survival query under those protocols. A cleared
     # entry falls through to a fresh build (fresh persist markers).
+    # NOTE: df.is_cached is STALE after clearCache (it reads the
+    # analyzed plan's flag, not the CacheManager — measured round 7);
+    # storageLevel re-consults the CacheManager and drops to NONE.
+    def _live(df: DataFrame) -> bool:
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
+
     if (
         cached is not None
         and cached.sparkSession is spark
-        and cached.is_cached
+        and _live(cached)
     ):
         return cached
     for k in [
