@@ -11,6 +11,8 @@ ranking) is trustworthy.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,9 +31,21 @@ _HORIZON = "2024-01-31"
 # scans on rmst alone), and each family member repeated the corpus
 # pass — at 100 TB that is the dominant cost, not the day-grain math.
 _SUBJECTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SUBJECTS_LOCK = threading.Lock()
 
 
 def _signup_purchase_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # serialized: concurrent harnesses (bench's 8-thread suite, any
+    # multi-threaded caller) could otherwise race the eviction loop
+    # against an insert (RuntimeError) or double-build-and-persist the
+    # same base, leaking the loser's cached blocks
+    with _SUBJECTS_LOCK:
+        return _signup_purchase_subjects_locked(spark, sf_dir)
+
+
+def _signup_purchase_subjects_locked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     key = (id(spark), sf_dir)
     cached = _SUBJECTS_CACHE.get(key)
     # storageLevel guard: harnesses call spark.catalog.clearCache()
