@@ -113,6 +113,89 @@ _PRIORITY = (
     # UDx tail (pandas_udf_char_classes is also a bench-floor target)
     "pandas_udf_char_classes",
     "pandas_udaf_weighted_price",
+    # ------------------------------------------------------------------
+    # Round-8 pre-curated tail: the remaining 68 never-verified names
+    # (all strict-green in the round-7 118-name driver_sim sweep).
+    # _rotated() drops verified names automatically, so once the
+    # round-7 window lands in CORRECTNESS_r07 the next driver window
+    # becomes the head of this list — curated by family (experiment
+    # stats, sketch/sampling audits, text/LM, time series, spatial,
+    # ML-prep, pipeline), not alphabetical order.
+    # experiment / causal stats
+    "cuped_adjusted_lift",
+    "did_two_period_lift",
+    "stratified_adjusted_difference",
+    "jackknife_nation_mean_se",
+    "conformal_interval_coverage",
+    "sampled_aggregate_estimate",
+    "neyman_allocation_by_type",
+    "walkforward_purged_folds",
+    "mutual_information_features",
+    "woe_iv_price_deciles",
+    "psi_value_drift",
+    "skew_diagnosis_join_keys",
+    # sketches / sampling / privacy audits
+    "hll_intersection_overlap",
+    "ess_importance_weights",
+    "weighted_sample_without_replacement",
+    "systematic_sample_user_events",
+    "dp_noisy_counts_ledger",
+    "l_diversity_audit",
+    "luhn_checksum_screen",
+    "out_of_order_audit",
+    "orderkey_gap_audit",
+    "sorted_neighborhood_pairs",
+    "fellegi_sunter_entity_match",
+    "rendezvous_shard_move_audit",
+    "shard_stripe_balance",
+    # text / LM statistics
+    "chao1_vocab_richness",
+    "good_turing_smoothed_counts",
+    "kneser_ney_bigram_probs",
+    "stupid_backoff_trigram_score",
+    "keyness_loglik_terms",
+    "fightin_words_terms",
+    "skipgram_pmi_pairs",
+    "term_burstiness_top20",
+    "tfidf_top_term_per_doc",
+    "zipf_exponent_fit",
+    "flesch_reading_ease_by_source",
+    "simpson_diversity_by_source",
+    "langid_precision_recall_f1",
+    "cohens_kappa_langid",
+    "udtf_shared_shingles",
+    # LLM-pipeline prep
+    "mlm_masking_plan",
+    "t5_span_corruption_plan",
+    "sequence_pack_cu_seqlens",
+    "curriculum_interleave_order",
+    "temperature_mixture_weights",
+    "kcenter_coreset_selection",
+    "feature_hashing_classifier_score",
+    "quantile_normalize_scores",
+    "embedding_power_iteration",
+    "ridge_normal_equations",
+    # time series / finance
+    "holt_linear_by_type",
+    "theil_sen_slope_daily",
+    "theil_index_by_nation",
+    "seasonal_decomposition_daily",
+    "seasonal_naive_backtest",
+    "rolling_correlation_series",
+    "trailing_quantile_7day",
+    "twap_daily_by_type",
+    "ohlc_monthly_order_prices",
+    "time_bucket_weekly_monday",
+    "timegrain_rollup_events",
+    "generalized_means_value",
+    # sessions / cohorts / ops analytics
+    "session_cooccurrence_pmi",
+    "session_pattern_top20",
+    "cohort_ltv_curve",
+    "order_to_ship_latency",
+    # spatial
+    "point_in_polygon_assignment",
+    "quadkey_spatial_rollup",
 )
 
 
