@@ -218,6 +218,52 @@ def main():
             .save()
         )
 
+    # --- survival shared base (round-7) ---
+    # The KM/log-rank/RMST/Nelson-Aalen family shares one persisted
+    # per-user subject table. The corpus-sized work is the two
+    # event-type reductions + one keyed join that build it; everything
+    # after runs on the day-grain grid (horizon-bounded). Claim:
+    # end-to-end KM scales linearly in events with the grid cost
+    # invisible. Replication offsets user_id, so subjects (per-user
+    # rows) scale with the corpus while the day grid stays fixed.
+    def km_subjects(ev):
+        s = (
+            ev.where(F.col("event_type") == "signup")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("s_ts"))
+        )
+        p = (
+            ev.where(F.col("event_type") == "purchase")
+            .join(s, "user_id")
+            .where(F.col("ts") >= F.col("s_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("p_ts"))
+        )
+        horizon = F.lit("2024-01-31").cast("date")
+        subjects = s.join(p, "user_id", "left").select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.datediff(
+                    F.col("p_ts").cast("date"), F.col("s_ts").cast("date")
+                ),
+            )
+            .otherwise(F.datediff(horizon, F.col("s_ts").cast("date")))
+            .cast("long")
+            .alias("t_days"),
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+        grid = subjects.groupBy("t_days").agg(
+            F.sum("event").alias("d"), F.count(F.lit(1)).alias("leaving")
+        )
+        return lambda: (
+            grid.agg(
+                F.sum("d").alias("dd"), F.sum("leaving").alias("ll")
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
     def interval_join(ev):
         s = ev.filter(F.col("event_type") == "signup").select(
             F.col("event_id").alias("sid"),
@@ -530,6 +576,11 @@ def main():
             "interval_count_window_100x",
             lambda: interval_window(ev1),
             lambda: interval_window(ev100),
+        ),
+        (
+            "survival_subjects_100x",
+            lambda: km_subjects(ev1),
+            lambda: km_subjects(ev100),
         ),
     ):
         if only and name not in only:
