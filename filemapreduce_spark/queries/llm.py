@@ -2159,8 +2159,13 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_truth.crossJoin(n_found).select(
         "n_truth",
         "n_found",
+        # try_divide: an empty truth set (degenerate corpus) must give
+        # NULL recall like the oracle's 0/0, not an ANSI
+        # DIVIDE_BY_ZERO error (found by the round-7 sparse-fixture
+        # sweep)
         F.round(
-            F.col("n_found").cast("double") / F.col("n_truth"), 6
+            F.try_divide(F.col("n_found").cast("double"), F.col("n_truth")),
+            6,
         ).alias("recall"),
     )
 

@@ -435,7 +435,8 @@ def _kcenter_oracle() -> str:
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     p1 AS (
       SELECT CAST(1 AS BIGINT) AS step,
-             CAST({_KC_START} AS BIGINT) AS vec_id, 0.0 AS radius
+             CAST(vec_id AS BIGINT) AS vec_id, 0.0 AS radius
+      FROM e WHERE vec_id = {_KC_START}
     ), sel1 AS (SELECT vec_id FROM p1)
     """
     steps = [head]
