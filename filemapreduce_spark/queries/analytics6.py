@@ -569,12 +569,17 @@ def fellegi_sunter_entity_match(
         "n_declared",
         "tp",
         "fp",
-        F.expr("CAST((1000 * tp) div n_true AS BIGINT)").alias(
-            "recall_milli"
-        ),
-        F.expr("CAST((1000 * tp) div n_declared AS BIGINT)").alias(
-            "precision_milli"
-        ),
+        # zero-guard: a segment with no true pairs / no declared pairs
+        # gives DuckDB `// 0` → NULL, but Spark ANSI `div 0` → error
+        # (ultra-sparse sweep finding); CASE mirrors the NULL
+        F.expr(
+            "CAST(CASE WHEN n_true = 0 THEN NULL"
+            " ELSE (1000 * tp) div n_true END AS BIGINT)"
+        ).alias("recall_milli"),
+        F.expr(
+            "CAST(CASE WHEN n_declared = 0 THEN NULL"
+            " ELSE (1000 * tp) div n_declared END AS BIGINT)"
+        ).alias("precision_milli"),
     ).orderBy("segment")
 
 

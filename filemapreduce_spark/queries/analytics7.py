@@ -242,14 +242,24 @@ def walkforward_purged_folds(
                 "day",
                 role.alias("role"),
                 "n",
-                start.alias("test_start"),
             )
         )
     assigned = parts[0]
     for p in parts[1:]:
         assigned = assigned.unionAll(p)
+    # the leakage audit measures distance to the first OBSERVED test
+    # day, not the configured fold boundary — if the boundary day has
+    # no data the real gap is larger (the two coincide whenever the
+    # first test day is populated, i.e. at every real SF; ultra-sparse
+    # sweep finding). One tiny per-fold aggregate, broadcast back.
+    fold_t0 = (
+        assigned.where(F.col("role") == "test")
+        .groupBy("fold")
+        .agg(F.min("day").alias("t0"))
+    )
     return (
-        assigned.groupBy("fold", "role")
+        assigned.join(F.broadcast(fold_t0), "fold", "left")
+        .groupBy("fold", "role")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.sum("n").cast("long").alias("n_events"),
@@ -258,7 +268,7 @@ def walkforward_purged_folds(
             F.min(
                 F.when(
                     F.col("role") == "train",
-                    F.datediff(F.col("test_start"), F.col("day")),
+                    F.datediff(F.col("t0"), F.col("day")),
                 )
             )
             .cast("long")

@@ -190,7 +190,12 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("k").cast("long").alias("lag_days"),
         "n",
-        F.round(1000.0 * num / den).cast("long").alias("acf_milli"),
+        # try_divide: a single-pair lag (n=1) or a constant series has
+        # zero variance → den 0; the oracle's x/0 is NULL, ANSI's is
+        # an error (found by the ultra-sparse sweep)
+        F.round(F.try_divide(1000.0 * num, den)).cast("long").alias(
+            "acf_milli"
+        ),
     ).orderBy("event_type", "lag_days")
 
 

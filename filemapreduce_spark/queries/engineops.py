@@ -183,7 +183,8 @@ def engine_vfs_select_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(doc_id AS VARCHAR) AS id_str
       FROM {_SQL_DOC_SUB}
     )
-    SELECT string_agg(id_str, '|' ORDER BY path) AS ordered_ids,
+    SELECT COALESCE(string_agg(id_str, '|' ORDER BY path), '')
+             AS ordered_ids,
            COUNT(*) AS n_files
     FROM f
     """,
@@ -331,8 +332,11 @@ def engine_single_value_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+    # empty input → SUM is NULL on both engines (the oracle's SUM over
+    # zero rows); int(None) would crash (ultra-sparse sweep finding)
+    val = out["total"]
     return spark.createDataFrame(
-        [(int(out["total"]),)], "total_chars BIGINT"
+        [(int(val) if val is not None else None,)], "total_chars BIGINT"
     )
 
 

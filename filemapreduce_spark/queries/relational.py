@@ -2384,6 +2384,13 @@ def pagerank_trade_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n_nodes = nodes.count()  # the only driver-side scalar
+    if n_nodes == 0:
+        # degenerate graph (no cross-nation trades): the oracle's CTE
+        # chain yields zero rows; mirror it instead of dividing by
+        # zero below (ultra-sparse sweep finding)
+        return spark.createDataFrame(
+            [], "nationkey INT, nation STRING, rank_e12 BIGINT"
+        )
     r0_val = 10**12 // n_nodes
     base = 150000000000 // n_nodes
 

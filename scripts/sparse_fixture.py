@@ -14,9 +14,14 @@ is reproducible without a seed store. Referential integrity is NOT
 preserved — joins against dropped keys are part of the point; both
 engines compute over the same holes.
 
-Usage: python scripts/sparse_fixture.py [out_dir] [src_sf_dir]
-       (defaults: /tmp/sfsparse, /root/testdata/sf0.001)
+Usage: python scripts/sparse_fixture.py [out_dir] [src_sf_dir] [pct]
+       (defaults: /tmp/sfsparse, /root/testdata/sf0.001, 10)
 Then:  python scripts/driver_sim.py /tmp/sfsparse
+
+pct=2 builds the ULTRA-degenerate variant (supplier goes fully empty,
+several tables single-digit rows) — the regime that exposed the
+divide-by-zero / fabricated-row / literal-vs-observed-boundary class
+(7 more findings in round 7).
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ KEEP_WHOLE = {"region", "nation"}  # already tiny dimension tables
 def main() -> int:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsparse"
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    pct = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     tmp = os.path.join(out, "_sample_tmp.parquet")
@@ -49,7 +55,7 @@ def main() -> int:
             con.execute(
                 f"COPY (SELECT * FROM (SELECT *, row_number() OVER ()"
                 f" AS _rn FROM '{s}') WHERE (_rn * 2654435761) % 100"
-                f" < 10) TO '{tmp}' (FORMAT PARQUET)"
+                f" < {pct}) TO '{tmp}' (FORMAT PARQUET)"
             )
             con.execute(
                 f"COPY (SELECT * EXCLUDE (_rn) FROM '{tmp}') TO '{d}'"
