@@ -568,20 +568,28 @@ def jackknife_nation_mean_se(
         .select(
             "n_groups",
             "n_all",
+            # try_divide: zero leave-one-out replicates (empty input,
+            # gg=0) → NULL SE like the oracle's /0, not an ANSI error
+            # (all-empty sweep finding)
             F.round(
-                1000.0 * F.col("s_all").cast("double") / F.col("n_all")
+                F.try_divide(
+                    1000.0 * F.col("s_all").cast("double"), F.col("n_all")
+                )
             )
             .cast("long")
             .alias("grand_mean_milli"),
             F.round(
                 F.sqrt(
-                    (F.col("gg").cast("double") - 1)
-                    / F.col("gg")
+                    F.try_divide(
+                        F.col("gg").cast("double") - 1, F.col("gg")
+                    )
                     * (
                         F.col("sm2").cast("double")
-                        - F.col("sm").cast("double")
-                        * F.col("sm").cast("double")
-                        / F.col("gg")
+                        - F.try_divide(
+                            F.col("sm").cast("double")
+                            * F.col("sm").cast("double"),
+                            F.col("gg"),
+                        )
                     )
                 )
             )

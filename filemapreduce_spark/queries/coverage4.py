@@ -531,14 +531,17 @@ def join_cardinality_estimate_audit(
             .alias("actual_rows")
         )
     )
-    est = (F.col("n_a") * F.col("n_b") / F.greatest("d_a", "d_b")).cast(
-        "long"
-    )
+    # try_divide throughout: on an empty table every count/distinct is
+    # 0 (or the SUM is NULL) and the oracle's divisions yield NULL —
+    # ANSI would error (all-empty sweep finding)
+    est = F.try_divide(
+        F.col("n_a") * F.col("n_b"), F.greatest("d_a", "d_b")
+    ).cast("long")
     q_err = F.round(
         1000.0
         * F.greatest(
-            est.cast("double") / F.col("actual_rows"),
-            F.col("actual_rows").cast("double") / est,
+            F.try_divide(est.cast("double"), F.col("actual_rows")),
+            F.try_divide(F.col("actual_rows").cast("double"), est),
         )
     ).cast("long")
     return (
@@ -1046,8 +1049,12 @@ def fk_containment_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(pair).alias("pair"),
                 F.col("child_keys").cast("long"),
                 F.col("contained").cast("long"),
+                # try_divide: zero distinct child keys (empty child
+                # table) → NULL milli like the oracle's x/0
                 F.round(
-                    1000.0 * F.col("contained") / F.col("child_keys")
+                    F.try_divide(
+                        1000.0 * F.col("contained"), F.col("child_keys")
+                    )
                 )
                 .cast("long")
                 .alias("containment_milli"),

@@ -508,10 +508,16 @@ def sink_partition_evolution_roundtrip(
         "overwrite"
     ).partitionBy("o_orderstatus", "o_orderpriority").parquet(gen2)
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    # explicit schema per generation: an all-empty input writes zero
+    # data files and schema inference fails (all-empty sweep finding);
+    # at populated SFs the explicit schema matches inference exactly
     back = (
-        spark.read.parquet(gen1)
+        spark.read.schema(od.schema)
+        .parquet(gen1)
         .select(*cols)
-        .unionAll(spark.read.parquet(gen2).select(*cols))
+        .unionAll(
+            spark.read.schema(od.schema).parquet(gen2).select(*cols)
+        )
     )
     return (
         back.groupBy("o_orderstatus")

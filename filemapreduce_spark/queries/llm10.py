@@ -350,9 +350,18 @@ _HLL_PAIRS = (("view", "purchase"), ("click", "purchase"), ("view", "click"))
     WITH u AS (
       SELECT DISTINCT event_type, user_id FROM events
       WHERE event_type IN ('view', 'click', 'purchase')
-    ), pairs(ta, tb) AS (
+    ), pairs0(ta, tb) AS (
       VALUES ('view', 'purchase'), ('click', 'purchase'),
              ('view', 'click')
+    ), obs AS (SELECT DISTINCT event_type FROM u
+    ), pairs AS (
+      -- overlap is defined over OBSERVED audiences: a pair whose
+      -- type has no users at all has no sketch to merge, and the
+      -- Spark side's per-type sketch table naturally omits it
+      -- (all-empty sweep alignment; every populated SF has all 3)
+      SELECT ta, tb FROM pairs0 p
+      WHERE EXISTS (SELECT 1 FROM obs WHERE event_type = p.ta)
+        AND EXISTS (SELECT 1 FROM obs WHERE event_type = p.tb)
     ), ex AS (
       SELECT p.ta, p.tb,
              CAST((SELECT COUNT(*) FROM u a JOIN u b

@@ -606,6 +606,11 @@ def window_rank_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- observed-groups-only: Spark's rollup/cube emit NO rows over an
+    -- empty input (the SQL-standard () set would emit one zero row);
+    -- the engine contract here is Spark semantics, so the oracle
+    -- drops the phantom grand row. Identity everywhere data exists.
+    HAVING COUNT(*) > 0
     ORDER BY returnflag, linestatus
     """,
     tags=("agg", "rollup"),
@@ -637,6 +642,7 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_value
     FROM events
     GROUP BY CUBE (event_type, CAST(year(ts) AS INT))
+    HAVING COUNT(*) > 0  -- observed-groups-only (see rollup oracle)
     ORDER BY etype, yr
     """,
     tags=("agg", "cube"),
@@ -667,6 +673,7 @@ def cube_events_type_year(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0  -- observed-groups-only (see rollup oracle)
     ORDER BY status, priority
     """,
     tags=("agg", "grouping-sets", "sql"),

@@ -110,7 +110,16 @@ def sink_partitioned_prune_roundtrip(
     write_partitioned(
         base.repartition("l_returnflag"), dest, ["l_returnflag"]
     )
-    back = spark.read.parquet(dest).where(F.col("l_returnflag") == "R")
+    # explicit schema on the read-back: an all-empty input writes ZERO
+    # data files (only _SUCCESS), where schema inference fails with
+    # UNABLE_TO_INFER_SCHEMA; the oracle's aggregate over the empty
+    # table yields 0 rows, so the read must too (all-empty sweep). At
+    # populated SFs the explicit schema is byte-identical to inference.
+    back = (
+        spark.read.schema(base.schema)
+        .parquet(dest)
+        .where(F.col("l_returnflag") == "R")
+    )
     return (
         back.groupBy("l_linestatus")
         .agg(
