@@ -787,11 +787,22 @@ def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiny_sorted(merged, "event_type")
 
 
+# Percentile-BAND assertion floor: below this many rows per group the
+# exact p45/p55 interpolations pinch to (or past) each other while the
+# sketch returns an actual data value, so the band contract is vacuous
+# noise (the ultra-sparse sweep regime). The `band_checked` output
+# column makes the gate VISIBLE to the harness — the oracle asserts
+# the same `COUNT(*) >= floor` expression, so a group silently
+# slipping under the floor (sketch regression hiding ground) flips a
+# hashed value instead of vanishing (round-7 advice item 4).
+_PCTL_BAND_MIN_ROWS = 100
+
 @register(
     "approx_aggregates_events",
-    """
+    f"""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) >= {_PCTL_BAND_MIN_ROWS} AS band_checked,
            TRUE AS users_within_5pct,
            TRUE AS p50_in_band,
            TRUE AS p99_in_band
@@ -821,25 +832,25 @@ def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(
             exact_users.alias("exact_users"),
+            # band contracts are asserted only for groups at/above
+            # _PCTL_BAND_MIN_ROWS (see the constant's comment); this
+            # column tells the harness WHICH groups were asserted so
+            # the vacuous-truth regime is hash-visible, not silent
+            (F.count(F.lit(1)) >= _PCTL_BAND_MIN_ROWS).alias(
+                "band_checked"
+            ),
             (
                 F.abs(approx_users - exact_users) * 20 <= exact_users
             ).alias("users_within_5pct"),
-            # band contracts are asserted only for groups with enough
-            # rows for a percentile BAND to be meaningful: on a
-            # handful of values the exact p45/p55 interpolations pinch
-            # to (or past) each other while the sketch returns an
-            # actual data value, so the assertion is vacuous noise —
-            # the ultra-sparse sweep regime. Every real SF's groups
-            # are far above the floor, where the contract is strict.
             (
-                (F.count(F.lit(1)) < 100)
+                (F.count(F.lit(1)) < _PCTL_BAND_MIN_ROWS)
                 | ap50.between(
                     F.percentile("value", F.lit(0.45)),
                     F.percentile("value", F.lit(0.55)),
                 )
             ).alias("p50_in_band"),
             (
-                (F.count(F.lit(1)) < 100)
+                (F.count(F.lit(1)) < _PCTL_BAND_MIN_ROWS)
                 | ap99.between(
                     F.percentile("value", F.lit(0.94)),
                     F.percentile("value", F.lit(1.0)),

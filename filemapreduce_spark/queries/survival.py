@@ -30,7 +30,12 @@ _HORIZON = "2024-01-31"
 # three times inside its own plan (the static audit showed 8 parquet
 # scans on rmst alone), and each family member repeated the corpus
 # pass — at 100 TB that is the dominant cost, not the day-grain math.
-_SUBJECTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# value = (subjects, signup_base): the intermediate signup table is
+# persisted too (it feeds both the purchase probe and the outer join
+# during the single build pass) and must be evicted WITH the subject
+# table — tracking only `subjects` left `s`'s blocks pinned for the
+# whole session (round-7 advice item 1).
+_SUBJECTS_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 _SUBJECTS_LOCK = threading.Lock()
 
 
@@ -63,21 +68,27 @@ def _signup_purchase_subjects_locked(
 
     if (
         cached is not None
-        and cached.sparkSession is spark
-        and _live(cached)
+        and cached[0].sparkSession is spark
+        and _live(cached[0])
     ):
-        return cached
+        return cached[0]
+    # Evict dead-session entries, the stale entry for this key, AND
+    # same-session entries for OTHER sf_dirs: a long session sweeping
+    # many fixture dirs would otherwise pin one subject table (plus
+    # its signup base) per dir (round-7 advice item 2 — cap the cache
+    # at one entry per live session).
     for k in [
         k
         for k, v in _SUBJECTS_CACHE.items()
-        if v.sparkSession is not spark or k == key
+        if v[0].sparkSession is not spark or k[0] == id(spark)
     ]:
-        try:  # release blocks before dropping the last reference —
-            # del alone would orphan persisted partitions in the
-            # executors with no handle left to unpersist them
-            _SUBJECTS_CACHE[k].unpersist()
-        except Exception:
-            pass  # dead session: blocks are already gone
+        for df in _SUBJECTS_CACHE[k]:
+            try:  # release blocks before dropping the last reference —
+                # del alone would orphan persisted partitions in the
+                # executors with no handle left to unpersist them
+                df.unpersist()
+            except Exception:
+                pass  # dead session: blocks are already gone
         del _SUBJECTS_CACHE[k]
     e = t(spark, sf_dir, "events")
     s = (
@@ -113,7 +124,7 @@ def _signup_purchase_subjects_locked(
         )
         .persist()
     )
-    _SUBJECTS_CACHE[key] = subjects
+    _SUBJECTS_CACHE[key] = (subjects, s)
     return subjects
 
 

@@ -79,6 +79,67 @@ def test_chunked_small_file_is_single_chunk(spark, big_tree):
     assert bytes(r[0]["content"]) == b"tiny payload"
 
 
+def test_chunked_generic_uri_path_reassembles(spark, big_tree):
+    """file:// routes through the generic pyarrow.fs ranged-read path
+    (the object-store code), end-to-end on a >100 MB file."""
+    chunk = 32 << 20
+    df = read_files_chunked(spark, "file://" + big_tree, chunk_bytes=chunk)
+    rows = (
+        df.filter(F.col("path") == "data/big.bin")
+        .select("chunk_idx", "n_chunks", "offset", "content", "file_length")
+        .collect()
+    )
+    size = os.path.getsize(os.path.join(big_tree, "data", "big.bin"))
+    n_expected = -(-size // chunk)
+    assert len(rows) == n_expected
+    assert all(r["offset"] == r["chunk_idx"] * chunk for r in rows)
+    h = hashlib.sha256()
+    for r in sorted(rows, key=lambda r: r["chunk_idx"]):
+        h.update(bytes(r["content"]))
+    with open(os.path.join(big_tree, "data", "big.bin"), "rb") as f:
+        want = hashlib.file_digest(f, "sha256").hexdigest()
+    assert h.hexdigest() == want
+
+
+def test_chunked_generic_uri_respects_path_filter(spark, big_tree):
+    df = read_files_chunked(
+        spark,
+        "file://" + big_tree,
+        path_filter="**/small.bin",
+        chunk_bytes=64 << 20,
+    )
+    rows = df.collect()
+    assert [r["path"] for r in rows] == ["data/small.bin"]
+    assert bytes(rows[0]["content"]) == b"tiny payload"
+
+
+def test_chunked_single_slash_file_uri_is_local(spark, big_tree):
+    """'file:/abs' (hostless single-slash URI) must not be mangled by
+    abspath — round-7 advice regression case."""
+    df = read_files_chunked(spark, "file:" + big_tree, chunk_bytes=64 << 20)
+    assert (
+        df.filter(F.col("path") == "data/small.bin").count() == 1
+    )
+
+
+def test_chunked_colon_segment_root_is_local(spark, tmp_path):
+    """A root whose segment contains a colon (e.g. 'data:v2') is a
+    directory, not a 'data:' scheme — round-7 advice regression case."""
+    d = tmp_path / "data:v2" / "files"
+    d.mkdir(parents=True)
+    (d / "a.txt").write_bytes(b"payload-a")
+    df = read_files_chunked(spark, str(tmp_path / "data:v2"))
+    rows = df.collect()
+    assert [r["path"] for r in rows] == ["files/a.txt"]
+    assert bytes(rows[0]["content"]) == b"payload-a"
+
+
+def test_chunked_unknown_scheme_fails_at_plan_time(spark):
+    with pytest.raises(NotImplementedError) as ei:
+        read_files_chunked(spark, "foobar://bucket/prefix")
+    assert "foobar://" in str(ei.value)
+
+
 def test_chunked_respects_path_filter(spark, big_tree):
     df = read_files_chunked(
         spark, big_tree, path_filter="**/*.bin", chunk_bytes=64 << 20

@@ -45,6 +45,33 @@ def test_km_first_step_matches_hand_computation(spark, registry):
     assert abs(first["survival"] - expect) <= 2e-6
 
 
+def test_subjects_cache_caps_one_entry_and_releases_base(spark, registry):
+    """The shared subjects cache must (a) track the persisted signup
+    base so eviction releases it, and (b) keep at most one entry per
+    live session even when sweeping multiple sf_dirs (round-7 advice
+    items 1+2)."""
+    from filemapreduce_spark.queries import survival as sv
+
+    sv._signup_purchase_subjects(spark, SF_SMALL).count()
+    assert len(sv._SUBJECTS_CACHE) == 1
+    subj1, base1 = sv._SUBJECTS_CACHE[(id(spark), SF_SMALL)]
+    assert base1.storageLevel.useMemory or base1.storageLevel.useDisk
+
+    other = "/root/testdata/sf0.01"
+    sv._signup_purchase_subjects(spark, other).count()
+    # same session, different sf_dir: the old entry must be GONE and
+    # BOTH of its persisted frames released
+    assert list(sv._SUBJECTS_CACHE) == [(id(spark), other)]
+    for df in (subj1, base1):
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+    # cleanup so later tests rebuild fresh
+    for dfs in list(sv._SUBJECTS_CACHE.values()):
+        for df in dfs:
+            df.unpersist()
+    sv._SUBJECTS_CACHE.clear()
+
+
 def test_calibration_buckets_cover_all_events(spark, registry):
     rows = registry["calibration_curve_deciles"].fn(
         spark, SF_SMALL
