@@ -774,7 +774,11 @@ def setsim_prefix_filter_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # persisted: consumed by THREE branches (the prefix build and the
+    # n_a/n_b verify joins) — without the cache each branch re-runs
+    # the groupBy over the full token stream; the cache is one row
+    # per DOCUMENT (not per token), so it stays tiny at corpus scale
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n")).persist()
     with_n = ordered.join(sizes, "doc_id")
     # prefix length for Jaccard t=3/5: n - ceil(t*n) + 1
     # persisted: the candidate self-join reads it as BOTH sides, and
