@@ -179,6 +179,16 @@ def main():
         # SFs the data-sized default stands.
         minpart = os.environ.get("SPARK_GRAFT_BENCH_MINPART", "2")
         spark.conf.set("spark.sql.files.minPartitionNum", minpart)
+        # Arrow transfer in ONE batch instead of 10k-row slices: the
+        # pandas-path queries pay per-batch python round-trip overhead
+        # that dominates at toy scale (round-8 paired A/B, warm
+        # min-of-5 both orders: pandas_udf -6/-9%, applyInPandas
+        # -19/-30%, audio -9/-17%). Toy-scale only: at real SFs with
+        # KB-wide binary rows a 128k-row batch could be GBs, so the
+        # conservative default stands there.
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "131072"
+        )
 
     # JVM/codegen warmup on a trivial action (not measured)
     spark.range(1000).count()

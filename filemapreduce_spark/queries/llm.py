@@ -758,29 +758,38 @@ def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them makes Catalyst expand every row for the distinct rewrite
     # and drag the percentile buffers through the expanded stream —
     # two lean aggs are faster (re-measured round 5: combined single
-    # agg 0.55 s vs the split form 0.32 s at sf0.1, paired min-of-4).
-    # The branches meet by UNION + first(ignorenulls) re-agg rather
-    # than a broadcast join: same values, but no broadcast-
-    # materialization job per action (round-7 paired min-of-5 at
-    # sf0.1: join 0.42-0.52 s, union 0.35-0.42 s)
+    # agg 0.55 s vs the split form 0.32 s at sf0.1, paired min-of-4;
+    # re-confirmed round 8: 0.34-0.36 s combined). The branches meet
+    # by UNION + first(ignorenulls) re-agg rather than a broadcast
+    # join: same values, but no broadcast-materialization job per
+    # action (round-7 paired min-of-5 at sf0.1: join 0.42-0.52 s,
+    # union 0.35-0.42 s). The three percentiles are ONE array-form
+    # percentile (shared sort buffer, one pass) instead of three
+    # scalar calls with three buffers over the same rows — round-8
+    # paired min-of-5, both orders: array 0.217 s vs scalar 0.30-0.35.
     nd = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
-        *(F.lit(None).cast("double").alias(c) for c in ("p50", "p90", "p99")),
+        F.lit(None).cast("array<double>").alias("ps"),
     )
     pct = e.groupBy("event_type").agg(
         F.lit(None).cast("long").alias("n_users"),
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.percentile(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        ).alias("ps"),
     )
     merged = (
         nd.unionByName(pct)
         .groupBy("event_type")
         .agg(
-            *(
-                F.first(c, ignorenulls=True).alias(c)
-                for c in ("n_users", "p50", "p90", "p99")
-            )
+            F.first("n_users", ignorenulls=True).alias("n_users"),
+            F.first("ps", ignorenulls=True).alias("ps"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            F.round(F.element_at("ps", 1), 6).alias("p50"),
+            F.round(F.element_at("ps", 2), 6).alias("p90"),
+            F.round(F.element_at("ps", 3), 6).alias("p99"),
         )
     )
     # result bounded by the event-type domain -> local tiny sort

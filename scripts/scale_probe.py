@@ -285,7 +285,7 @@ def main():
             .save()
         )
 
-    def geo_grid(cu):
+    def geo_pairs(cu):
         pts = cu.select(
             F.col("c_custkey").alias("id"),
             _coord_col("lat", F.col("c_custkey")).alias("lat"),
@@ -298,13 +298,105 @@ def main():
         )
         a = cells.select(F.col("id").alias("id_a"), "cx", "cy")
         b = cells.select(F.col("id").alias("id_b"), "cx", "cy")
+        return a.join(b, ["cx", "cy"]).where(F.col("id_a") < F.col("id_b"))
+
+    def geo_grid(cu):
         return lambda: (
-            a.join(b, ["cx", "cy"])
-            .where(F.col("id_a") < F.col("id_b"))
+            geo_pairs(cu)
             .agg(F.count("*").alias("n"))
             .write.mode("overwrite")
             .format("noop")
             .save()
+        )
+
+    # --- geo radius cell join at 100x (round-8 probe) ---
+    # The cell equi-join's candidate set is data-intrinsic: a fixed
+    # grid over 100x denser points holds ~density^2 pairs per cell,
+    # so raw time ratio alone would read as a plan failure. The claim
+    # to prove is OUTPUT-linearity (like srp_candidate_join_100x):
+    # time_ratio <~ pair_count_ratio, i.e. the join costs what its
+    # candidate set costs — never corpus x corpus.
+    cu100 = replicate(cu1, ["c_custkey"], 10_000_000, copies=100)
+    _geo_wanted = not sys.argv[1:] or "geo_cell_join_100x" in sys.argv[1:]
+    geo_out = (
+        {
+            "pairs_1x": geo_pairs(cu1).count(),
+            "pairs_100x": geo_pairs(cu100).count(),
+        }
+        if _geo_wanted
+        else {}
+    )
+    if _geo_wanted:
+        geo_out["pair_ratio"] = round(
+            geo_out["pairs_100x"] / max(geo_out["pairs_1x"], 1), 1
+        )
+
+    # --- proration full-output materialization at 100x (round-8) ---
+    # proration_largest_remainder's cost is the output itself: one
+    # orderkey shuffle, partition-local windows, then EVERY row is
+    # materialized (billing allocations are a full-output product).
+    # Probe the exact shape including the final global order — at
+    # 100x rows a linear-ish ratio proves the windows stay partition-
+    # local and the range-partitioned sort doesn't go super-linear.
+    def proration(li, od):
+        from pyspark.sql import Window
+
+        raw = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
+        w_seq = Window.partitionBy("l_orderkey").orderBy(
+            "l_linenumber", "qty"
+        )
+        li_seq = raw.select(
+            "l_orderkey",
+            F.row_number().over(w_seq).cast("long").alias("line_seq"),
+            "qty",
+        )
+        tot = (
+            raw.groupBy("l_orderkey")
+            .agg(F.sum("qty").alias("total_qty"))
+            .join(
+                od.select(
+                    F.col("o_orderkey").alias("l_orderkey"),
+                    cents("o_totalprice").alias("total_cents"),
+                ),
+                "l_orderkey",
+            )
+        )
+        base = li_seq.join(tot, "l_orderkey").select(
+            "l_orderkey",
+            "line_seq",
+            "total_cents",
+            F.expr("(total_cents * qty) div total_qty").alias("base_cents"),
+            (
+                (F.col("total_cents") * F.col("qty")) % F.col("total_qty")
+            ).alias("rem"),
+        )
+        w_order = Window.partitionBy("l_orderkey")
+        w_rank = Window.partitionBy("l_orderkey").orderBy(
+            F.col("rem").desc(), "line_seq"
+        )
+        ranked = base.select(
+            "l_orderkey",
+            "line_seq",
+            "base_cents",
+            (
+                F.col("total_cents") - F.sum("base_cents").over(w_order)
+            ).alias("short"),
+            F.row_number().over(w_rank).cast("long").alias("rk"),
+        )
+        out = ranked.select(
+            "l_orderkey",
+            "line_seq",
+            (
+                F.col("base_cents")
+                + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+            ).alias("alloc_cents"),
+        ).orderBy("l_orderkey", "line_seq")
+        return lambda: (
+            out.write.mode("overwrite").format("noop").save()
         )
 
     # --- banded-similarity CANDIDATE JOIN at 100x (round-5 probe) ---
@@ -573,6 +665,16 @@ def main():
         ),
         ("geo_grid_join", lambda: geo_grid(cu1), lambda: geo_grid(cu10)),
         (
+            "geo_cell_join_100x",
+            lambda: geo_grid(cu1),
+            lambda: geo_grid(cu100),
+        ),
+        (
+            "proration_full_output_100x",
+            lambda: proration(li1, od1),
+            lambda: proration(li100, od100),
+        ),
+        (
             "interval_count_window_100x",
             lambda: interval_window(ev1),
             lambda: interval_window(ev100),
@@ -615,6 +717,11 @@ def main():
         results["interval_count_window_100x"]["t_join_100x"] = t_join
         results["interval_count_window_100x"]["join_over_window"] = round(
             t_join / results["interval_count_window_100x"]["t_10x"], 2
+        )
+    if "geo_cell_join_100x" in results:
+        results["geo_cell_join_100x"].update(geo_out)
+        results["geo_cell_join_100x"]["output_normalized_ratio"] = round(
+            results["geo_cell_join_100x"]["ratio"] / geo_out["pair_ratio"], 4
         )
     if "srp_candidate_join_100x" in results:
         results["srp_candidate_join_100x"].update(srp_out)
