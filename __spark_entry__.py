@@ -52,6 +52,9 @@ def _driver_verified() -> set[str]:
 # never-sampled sink round-trips — the highest-traffic of the 117
 # names still without a CORRECTNESS row after rounds 1-6 (258/375).
 _PRIORITY = (
+    # round-8 new gate (FAILFAST abort surfaced as data — r7 verdict
+    # item 5's suggested add)
+    "engine_strict_abort_gate",
     # round-7 new operator gate (chunked large-binary reassembly)
     "engine_chunked_large_file",
     # graph family (incl. the round-6 verdict's rescan-heavy fix set)

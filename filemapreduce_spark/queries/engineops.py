@@ -614,3 +614,74 @@ def engine_chunked_large_file(
         )
         .orderBy("chunk_idx")
     )
+
+
+# --------------------------------------------------------------------
+# Strict parse: FAILFAST abort is the CONTRACT, surfaced as data.
+# --------------------------------------------------------------------
+@register(
+    "engine_strict_abort_gate",
+    f"""
+    WITH src AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey < {_ORD_CAP}
+    )
+    SELECT 'permissive' AS mode, FALSE AS aborted,
+           (SELECT COUNT(*) FROM src WHERE k % 7 <> 0) AS rows_parsed
+    UNION ALL
+    SELECT 'strict',
+           EXISTS (SELECT 1 FROM src WHERE k % 7 = 0),
+           CASE WHEN EXISTS (SELECT 1 FROM src WHERE k % 7 = 0)
+                THEN NULL
+                ELSE (SELECT COUNT(*) FROM src) END
+    ORDER BY mode
+    """,
+    tags=("engine", "loader", "errors"),
+)
+def engine_strict_abort_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-vs-permissive loader semantics, STRICT half: the
+    reference returns the loader's error and cancels the whole run
+    (filesystem.go:49-65, mapreduce.go:25-31); here strict_parse=True
+    is Spark FAILFAST, and the abort itself is the behavior under
+    test — previously asserted only in tests/test_engine.py because
+    "an oracle can't hash an exception". This gate makes it
+    driver-verifiable by surfacing the outcome AS DATA: the strict
+    row carries aborted=TRUE + NULL rows_parsed exactly when the
+    fixture contains a malformed file (every 7th JSON is truncated),
+    and the permissive row proves the same corpus still completes
+    with the malformed files nulled out. Only a FAILFAST/
+    MALFORMED_RECORD error is folded into the boolean — any OTHER
+    exception (VFS failure, plan bug) re-raises, so a false
+    "aborted" can't mask a real defect; the degenerate all-empty
+    fixtures pin the opposite arm (no malformed files -> no abort,
+    rows_parsed = file count)."""
+    eng = FileEngine.from_memory(spark, _vfs_orders_json(spark, sf_dir))
+
+    def count_rows(strict: bool) -> int:
+        df = eng.plan(
+            Job(
+                name="gate",
+                path_filter="orders/*.json",
+                loader="json:k BIGINT, p STRING",
+                strict_parse=strict,
+                mapper=lambda d: d.where(
+                    F.col("data.k").isNotNull()
+                ).select(F.col("data.k").alias("k")),
+                reducer=lambda d: d.agg(F.count("*").alias("n")),
+            )
+        )
+        row = df.collect()
+        return int(row[0]["n"]) if row else 0
+
+    n_ok = count_rows(strict=False)
+    aborted, n_strict = False, None
+    try:
+        n_strict = count_rows(strict=True)
+    except Exception as exc:  # noqa: BLE001 — filtered below
+        msg = str(exc)
+        if "MALFORMED_RECORD" not in msg and "FAILFAST" not in msg:
+            raise  # a real failure must fail the gate, not pass it
+        aborted = True
+    return spark.createDataFrame(
+        [("permissive", False, n_ok), ("strict", aborted, n_strict)],
+        "mode STRING, aborted BOOLEAN, rows_parsed BIGINT",
+    ).orderBy("mode")

@@ -148,6 +148,28 @@ def main():
         f" whole-stage-codegen spans: {tot('codegen')};"
         f" Python-eval nodes: {tot('python_eval')}",
         "",
+        "## Standing per-query notes (intrinsic shapes — do NOT 'fix')",
+        "",
+        "- `setsim_prefix_filter_top1` (12 exch): intrinsic to exact"
+        " AllPairs — tokenize+distinct, df ordering window, prefix"
+        " candidate self-join, two verify joins back to the token"
+        " table, size qualification, and the per-doc top-1 window are"
+        " each a keyed repartition on CACHED bases (toks/sizes/prefix"
+        " all persisted, corpus scanned ONCE). Collapsing further"
+        " would mean skipping exact verification (that's the minhash"
+        " operators' trade, offered separately).",
+        "- `ccnet_perplexity_buckets` / `heaps_law_curve` (10 exch):"
+        " two-pass over the corpus BY CHOICE — the shared intermediate"
+        " is the exploded token stream, and caching tokens×corpus"
+        " exceeds the input; a re-scan is the better 100 TB trade"
+        " (BASELINE.md round-7). Do not persist the token explode.",
+        "- `embedding_power_iteration` (19 exch) / `kcore_peeling_rounds`"
+        " (14): unrolled iterations over summary-bounded state (d²-row"
+        " gram table; persisted edge base) — exchanges scale with"
+        " iteration count, not corpus size.",
+        "- `fk_integrity_violations` (12 scans): 6 FK edges × 2 sides,"
+        " each a DIFFERENT table scanned once — not a re-scan.",
+        "",
     ]
 
     out = "/root/repo/PLAN_AUDIT.md"

@@ -749,3 +749,19 @@ def test_sort_partitions_randomized_equivalence(spark):
                 for r in eng.plan(_keyrun_job(n)).collect()
             }
             assert ranged == single, (seed, n, ranged, single)
+
+
+def test_strict_abort_gate_arms(spark):
+    """engine_strict_abort_gate surfaces the FAILFAST contract as
+    data: with malformed files present the strict row is
+    (aborted=True, rows_parsed=NULL); the permissive row counts the
+    clean files. The no-malformed arm is pinned by the all-empty
+    fixture sweep (oracle EXISTS flips to FALSE there)."""
+    from filemapreduce_spark.queries import load_all
+
+    fn = load_all()["engine_strict_abort_gate"].fn
+    rows = {r["mode"]: r for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    assert rows["strict"]["aborted"] is True
+    assert rows["strict"]["rows_parsed"] is None
+    assert rows["permissive"]["aborted"] is False
+    assert rows["permissive"]["rows_parsed"] > 0
