@@ -274,6 +274,22 @@ def read_files_chunked(
         F.lit(1).cast("long"),
         F.ceil(F.col("length") / F.lit(chunk_bytes)).cast("long"),
     )
+    # One task per chunk, like Spark's own maxPartitionBytes file
+    # splits — and the count must be EXPLICIT: the chunk-plan rows
+    # are a few KB of metadata, so a column-only repartition is
+    # AQE-coalescible (REPARTITION_BY_COL) and adaptive execution
+    # would merge the whole plan into ~one partition, serializing
+    # every 128 MiB ranged read behind a single task. The count is a
+    # metadata-only aggregate (uri mode already holds the listing on
+    # the driver; local mode sums over the binaryFile index, no file
+    # bytes), clamped to 65536 so a 100 TB corpus still plans
+    # instantly — above the clamp each task reads a handful of
+    # contiguous chunks, which is fine.
+    total_chunks = int(
+        meta.select(
+            F.coalesce(F.sum(n_chunks), F.lit(0)).alias("c")
+        ).collect()[0]["c"]
+    )
     plan = (
         meta.withColumn("n_chunks", n_chunks)
         .select(
@@ -289,7 +305,9 @@ def read_files_chunked(
         .withColumn("offset", F.col("chunk_idx") * F.lit(chunk_bytes))
         # spread chunks across tasks — without this every chunk of a
         # file sits in the listing's partition and serializes again
-        .repartition("path", "chunk_idx")
+        .repartition(
+            max(1, min(total_chunks, 65536)), "path", "chunk_idx"
+        )
     )
 
     def _read_slices(batches):

@@ -148,3 +148,26 @@ def test_chunked_respects_path_filter(spark, big_tree):
         "data/big.bin",
         "data/small.bin",
     }
+
+
+def test_chunked_plan_not_aqe_coalesced(spark, tmp_path):
+    """The chunk plan must repartition with an EXPLICIT count: the
+    plan rows are KB-scale metadata, so a column-only repartition is
+    AQE-coalescible and adaptive execution merges every 128 MiB
+    ranged read behind ONE task (measured: 24 chunks -> 1 partition
+    under coalescePartitions). One task per chunk is the same
+    contract as Spark's own maxPartitionBytes file splits."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        for i in range(3):
+            (tmp_path / f"f{i}.bin").write_bytes(bytes([i]) * (1 << 20))
+        df = read_files_chunked(spark, str(tmp_path), chunk_bytes=128 << 10)
+        parts = (
+            df.select(F.spark_partition_id().alias("p")).distinct().count()
+        )
+        assert df.count() == 24
+        assert parts >= 8, f"chunk reads collapsed to {parts} task(s)"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
