@@ -128,6 +128,12 @@ def langid_precision_recall_f1(
         d.select(F.col("lang").alias("actual"), pred.alias("predicted"))
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # persisted: FIVE branches read the confusion matrix (the
+        # class-union twice, diagonal, both marginals) — without the
+        # cache each branch re-runs the corpus scan + scoring (the
+        # static audit showed 5 parquet scans); the cache is <=
+        # classes² rows (~36), constant at any corpus size
+        .persist()
     )
     classes = (
         cm.select(F.col("actual").alias("k"))

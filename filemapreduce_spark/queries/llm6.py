@@ -1053,16 +1053,40 @@ def skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token); pair counts are one map-side-combined groupBy on the
     pair key with a HAVING that prunes the long tail map-side; the
     PMI join touches only surviving pairs × the unigram table.
-    TakeOrdered top-{K} finishes — no global sort.
+    TakeOrdered top-{K} finishes — no global sort. The two
+    normalizer scalars never touch the explodes: n_tok folds the
+    vocab-bounded unigram table (sum of counts == token total) and
+    n_pairs is the CLOSED FORM of the window fan-out — a doc of L
+    tokens emits sum_(k=1..min(W,L-1)) (L-k) ordered pairs, so one
+    cheap size() pass replaces a second full pair materialization
+    (this query previously exploded the corpus four times: unigrams
+    and pairs twice each, once per normalizer).
     """
     d = t(spark, sf_dir, "documents")
     doc = d.select("doc_id", words("text").alias("ws"))
     ws = F.col("ws")
     uni = doc.select(F.explode(ws).alias("w"))
-    n_tok = uni.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    c1 = uni.groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # persisted: THREE branches read the unigram table (both PMI
+    # join sides and the token-total fold) — without the cache each
+    # re-runs the corpus scan + token explode; the cache is one row
+    # per VOCAB TERM, tiny at any corpus size
+    c1 = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
     )
+    n_tok = c1.agg(F.sum("cnt").cast("long").alias("n"))
+    # pairs-per-doc closed form: m = clamp(min(W, L-1), >=0) offsets
+    # contribute m*L - m(m+1)/2 ordered pairs — exact twin of the
+    # explode below for every L including 0 and L <= W
+    L = F.size(ws).cast("long")
+    m = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(_SG_WINDOW).cast("long"), L - 1),
+    )
+    n_pairs = doc.select(
+        (m * L - (m * (m + 1)) / F.lit(2)).cast("long").alias("d_pairs")
+    ).agg(F.coalesce(F.sum("d_pairs"), F.lit(0)).cast("long").alias("np"))
     pair_struct = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(ws)),
@@ -1084,7 +1108,6 @@ def skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = doc.select(F.explode(pair_struct).alias("p")).select(
         "p.a", "p.b"
     )
-    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("np"))
     pc = (
         pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))

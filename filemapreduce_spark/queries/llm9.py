@@ -80,11 +80,16 @@ def kneser_ney_bigram_probs(
     probability is one row-local double chain rounded to micro.
 
     Scale shape: the corpus collapses to the bigram-TYPE table in one
-    map-side-combined agg; context stats (per v), continuation stats
-    (per w) and the 1-row type total are aggregates OF that table
-    joined back by vocabulary-bounded equi-joins (Catalyst broadcasts
-    the bounded sides); the top-k is a TakeOrderedAndProject. The
-    corpus itself is scanned once.
+    map-side-combined agg, and that table is PERSISTED — four
+    branches consume it (the scored join plus the v/w/total stats),
+    and without the cache each one re-ran the corpus scan + bigram
+    explode (the static audit showed 4 parquet scans). The type
+    table is sub-linear in the corpus (Heaps-law distinct bigrams)
+    and spillable, so caching it is the right 100 TB trade — unlike
+    the token-stream intermediates left two-pass by choice. Context
+    stats (per v), continuation stats (per w) and the 1-row type
+    total are aggregates OF that cache joined back by
+    vocabulary-bounded equi-joins; top-k is a TakeOrderedAndProject.
     """
     d = t(spark, sf_dir, "documents").select(words("text").alias("ws"))
     idx = F.when(
@@ -96,8 +101,10 @@ def kneser_ney_bigram_probs(
         F.element_at("ws", F.col("i")).alias("v"),
         F.element_at("ws", F.col("i") + 1).alias("w"),
     )
-    c = bg.groupBy("v", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c_vw")
+    c = (
+        bg.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_vw"))
+        .persist()
     )
     vstat = c.groupBy("v").agg(
         F.sum("c_vw").cast("long").alias("c_v"),

@@ -150,7 +150,7 @@ def main():
         "",
         "## Standing per-query notes (intrinsic shapes — do NOT 'fix')",
         "",
-        "- `setsim_prefix_filter_top1` (12 exch): intrinsic to exact"
+        "- `setsim_prefix_filter_top1` (12-13 exch): intrinsic to exact"
         " AllPairs — tokenize+distinct, df ordering window, prefix"
         " candidate self-join, two verify joins back to the token"
         " table, size qualification, and the per-doc top-1 window are"
