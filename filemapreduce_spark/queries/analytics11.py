@@ -306,9 +306,16 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline); the raw table is touched once by the daily agg.
     """
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(cents("value")).alias("v"))
+    # persisted: the calendar-bounded daily series feeds FOUR plan
+    # branches (both sides of the pairwise sign join, the tie
+    # counts, and n per type) — without the cache each branch
+    # re-ran the events scan + day-grain agg (static audit: 4 scans
+    # -> 1); the cache is one row per (type, day), horizon-bounded
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents("value")).alias("v"))
+        .persist()
+    )
     a, b = daily.alias("a"), daily.alias("b")
     sgn = (
         F.when(F.col("b.v") > F.col("a.v"), 1)

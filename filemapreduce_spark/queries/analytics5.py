@@ -601,8 +601,7 @@ def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("price_cents", "discount_cents", "spd", "sp", "sd"),
         ("discount_cents", "discount_cents", "sdd", "sd", "sd"),
     ]
-    out = None
-    for va, vb, ab, a, b in cells:
+    def cov_cell(va, vb, ab, a, b):
         # numerator exact in DECIMAL(38,0) (n*s_ab ~ 1e25, s_a*s_b ~
         # 1e28 both fit), converted to double ONCE — mirrors the
         # oracle's HUGEINT numerator so the single division point
@@ -615,13 +614,25 @@ def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             numer / (F.col("n").cast("double") * (F.col("n") - 1)),
             6,
         )
-        row = m.select(
+        return F.struct(
             F.lit(va).alias("var_a"),
             F.lit(vb).alias("var_b"),
             cov.alias("cov"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("var_a", "var_b")
+
+    # all 6 cells explode out of the ONE aggregate row — a per-cell
+    # union re-read the unpersisted 1-row aggregate and re-ran the
+    # full lineitem scan for every cell (static audit: 6 scans); the
+    # explode keeps the claimed one-pass shape with no cache at all
+    return (
+        m.select(
+            F.explode(F.array(*[cov_cell(*c) for c in cells])).alias(
+                "cell"
+            )
+        )
+        .select("cell.var_a", "cell.var_b", "cell.cov")
+        .orderBy("var_a", "var_b")
+    )
 
 
 # --------------------------------------------------------------------

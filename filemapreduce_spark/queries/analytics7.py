@@ -514,6 +514,10 @@ def woe_iv_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c") > F.col(f"e{i}"), 1).otherwise(0)
         for i in range(1, 10)
     ).alias("bin")
+    # persisted: the 10-row decile counts feed the marginal totals
+    # AND the WOE projection — without the cache each consumer
+    # re-ran the decile-edge percentile scan + binning pass over the
+    # full orders table (static audit: 4 scans -> 2)
     cnt = (
         x.crossJoin(F.broadcast(edges))
         .select(bin_col, "y")
@@ -522,6 +526,7 @@ def woe_iv_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("y").cast("long").alias("n_pos"),
         )
+        .persist()
     )
     tot = cnt.agg(
         F.sum("n_pos").cast("long").alias("tp"),

@@ -205,8 +205,16 @@ def copurchase_lift_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join); item counts broadcast back onto the pair table; the
     order-count scalar is a 1-row broadcast. Top-50 by raw pair count
     with a deterministic (n12, p1, p2) tiebreak."""
+    # persisted: the distinct (order, part) basket feeds FOUR plan
+    # branches (order-count scalar, item counts, both self-join
+    # sides) — without the cache each branch re-ran the lineitem
+    # scan + distinct (static audit: 5 scans -> 1); the cache is the
+    # 2-column deduped basket, the table the whole mine runs on
     basket = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
     )
     n_orders = basket.select(
         F.count_distinct("l_orderkey").alias("n_orders")

@@ -181,10 +181,19 @@ def point_in_polygon_assignment(
             F.lit(0),
         ).alias("zone")
     )
-    tot = assigned.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
-    return (
+    # persisted: the per-zone counts (one row per polygon + the
+    # outside bucket) feed both the share denominator and the final
+    # projection — deriving the total from THIS summary instead of a
+    # second assigned.agg() halves the point×edge crossing passes
+    # (static audit: 4 scans -> 2)
+    per_zone = (
         assigned.groupBy("zone")
         .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .persist()
+    )
+    tot = per_zone.agg(F.sum("n_points").cast("long").alias("n_all"))
+    return (
+        per_zone
         .crossJoin(F.broadcast(tot))
         .select(
             F.col("zone").cast("long").alias("zone"),
