@@ -250,24 +250,37 @@ def column_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .cast("string"),
     }
-    parts = []
+    # ONE aggregation row carries every column's (count, xor) pair,
+    # then explodes to the per-column output — the previous
+    # agg-per-column union scanned orders once PER COLUMN (static
+    # audit: 4 scans; d scans for a d-column profile), which is the
+    # wrong shape for a drift audit whose whole point is one cheap
+    # pass over each snapshot
+    aggs = []
     for name, _ in _FP_COLS:
         sval = spark_exprs[name]
-        parts.append(
-            o.agg(
-                F.lit(name).alias("column_name"),
-                F.count(sval).alias("n_nonnull"),
-                F.expr(
-                    "bit_xor(CAST(conv(substring(md5("
-                    f"concat('{name}:', {_spark_sql_expr(name)})"
-                    "), 1, 15), 16, 10) AS BIGINT))"
-                ).alias("fingerprint"),
-            )
+        aggs.append(F.count(sval).alias(f"n_{name}"))
+        aggs.append(
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5("
+                f"concat('{name}:', {_spark_sql_expr(name)})"
+                "), 1, 15), 16, 10) AS BIGINT))"
+            ).alias(f"f_{name}")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("column_name")
+    cells = [
+        F.struct(
+            F.lit(name).alias("column_name"),
+            F.col(f"n_{name}").alias("n_nonnull"),
+            F.col(f"f_{name}").alias("fingerprint"),
+        )
+        for name, _ in _FP_COLS
+    ]
+    return (
+        o.agg(*aggs)
+        .select(F.explode(F.array(*cells)).alias("cell"))
+        .select("cell.column_name", "cell.n_nonnull", "cell.fingerprint")
+        .orderBy("column_name")
+    )
 
 
 def _spark_sql_expr(name: str) -> str:
@@ -505,19 +518,29 @@ def join_cardinality_estimate_audit(
     """
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    a = o.agg(
-        F.count("*").alias("n_a"),
-        F.countDistinct("o_custkey").cast("long").alias("d_a"),
+    # persisted: the per-key count tables serve BOTH the truth join
+    # and the ANALYZE-style stats (row count = Σ per-key counts,
+    # NDV = table length) — the separate agg-per-table stats passes
+    # scanned each base twice (static audit: 4 scans -> 2); the
+    # cache is one row per join key, exactly the state a stats
+    # collector materializes anyway
+    oc = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_o"))
+        .persist()
     )
-    b = c.agg(
-        F.count("*").alias("n_b"),
-        F.countDistinct("c_custkey").cast("long").alias("d_b"),
+    cc = (
+        c.groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count("*").alias("n_c"))
+        .persist()
     )
-    oc = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count("*").alias("n_o")
+    a = oc.agg(
+        F.coalesce(F.sum("n_o"), F.lit(0)).cast("long").alias("n_a"),
+        F.count("*").cast("long").alias("d_a"),
     )
-    cc = c.groupBy(F.col("c_custkey").alias("k")).agg(
-        F.count("*").alias("n_c")
+    b = cc.agg(
+        F.coalesce(F.sum("n_c"), F.lit(0)).cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("d_b"),
     )
     actual = (
         oc.join(cc, "k")
