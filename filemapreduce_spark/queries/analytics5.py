@@ -1056,7 +1056,12 @@ def dispersion_index_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 9.2e18 — same class as the covariance/Gini overflows the sf0.1
     # sweep caught live
     skk = F.sum(F.col("k").cast("decimal(38,0)") * F.col("k"))
-    var = (skk.cast("double") - sk.cast("double") * sk / n) / (n - 1)
+    # try_divide: a single-user type has n-1 = 0 — the oracle's
+    # double/0 yields NULL in DuckDB while ANSI Spark raises
+    # (pct=1 degenerate-fixture sweep finding, round 8)
+    var = F.try_divide(
+        skk.cast("double") - sk.cast("double") * sk / n, n - 1
+    )
     mean = sk.cast("double") / n
     return (
         counts.groupBy("event_type")

@@ -98,19 +98,27 @@ def neyman_allocation_by_type(
         F.sum(c).cast("long").alias("s"),
         F.sum(c.cast("decimal(38,0)") * c).alias("ss"),
     )
+    # try_divide twice: a single-row stratum has n_h-1 = 0 (oracle's
+    # double/0 is NULL in DuckDB, ANSI Spark raises — pct=1
+    # degenerate-fixture sweep finding, round 8), and if EVERY
+    # stratum SD is NULL-or-zero the allocation denominator is
+    # NULL/0 too. NULL strata then fall out of the window sums and
+    # sort NULLS LAST in the remainder rank on both engines.
     s_h = F.sqrt(
-        (
+        F.try_divide(
             F.col("ss").cast("double")
-            - F.col("s").cast("double") * F.col("s") / F.col("n_h")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_h"),
+            F.col("n_h") - 1,
         )
-        / (F.col("n_h") - 1)
     )
     sd = g.select("event_type", "n_h", s_h.alias("s_h"))
     wall = Window.partitionBy()
     w = sd.withColumn(
         "w_h",
-        F.col("n_h") * F.col("s_h")
-        / F.sum(F.col("n_h") * F.col("s_h")).over(wall),
+        F.try_divide(
+            F.col("n_h") * F.col("s_h"),
+            F.sum(F.col("n_h") * F.col("s_h")).over(wall),
+        ),
     )
     fl = w.select(
         "event_type",

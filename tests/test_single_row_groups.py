@@ -1,0 +1,62 @@
+"""Single-row-group boundary: groups with exactly one member hit
+n-1 = 0 denominators in sample-variance math. The oracle side
+(DuckDB) yields NULL for double/0 while ANSI Spark raises — the
+pct=1 degenerate-fixture sweep (round 8) caught two queries doing
+the raising. These tests pin the NULL arm with a constructed
+fixture so the ephemeral /tmp sweep fixtures aren't the only guard.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from filemapreduce_spark.queries import load_all
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(spark, tmp_path_factory):
+    """events.parquet where 'click' has many rows but 'signup' has
+    exactly ONE user with ONE row (n_users=1 → n-1 = 0)."""
+    d = tmp_path_factory.mktemp("single_row")
+    rows = [("click", i % 3 + 1, 10.0 + i, f"2024-01-{(i % 5) + 1:02d}")
+            for i in range(12)]
+    rows.append(("signup", 99, 42.0, "2024-01-03"))
+    df = spark.createDataFrame(
+        [(et, u, v) for et, u, v, _ in rows],
+        "event_type STRING, user_id BIGINT, value DOUBLE",
+    )
+    from pyspark.sql import functions as F
+
+    df = df.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-03 10:00:00")),
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+def test_dispersion_single_user_type_is_null(spark, tiny_dir):
+    reg = load_all()
+    out = {
+        r["event_type"]: r
+        for r in reg["dispersion_index_by_type"].fn(spark, tiny_dir).collect()
+    }
+    # 'signup' has one user: variance undefined -> NULL, not an error
+    assert out["signup"]["n_users"] == 1
+    assert out["signup"]["dispersion_milli"] is None
+    assert out["click"]["dispersion_milli"] is not None
+
+
+def test_neyman_single_row_stratum_is_null(spark, tiny_dir):
+    reg = load_all()
+    out = {
+        r["event_type"]: r
+        for r in reg["neyman_allocation_by_type"].fn(spark, tiny_dir).collect()
+    }
+    # the 1-row stratum has undefined SD -> NULL sd/share/alloc; the
+    # other stratum still gets a real allocation
+    assert out["signup"]["sd_milli"] is None
+    assert out["signup"]["n_alloc"] is None
+    assert out["click"]["n_alloc"] is not None
