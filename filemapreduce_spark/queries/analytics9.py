@@ -385,26 +385,43 @@ def degree_assortativity_copurchase(
         F.sum(yd * F.col("y")).alias("syy"),
         F.sum(xd * F.col("y")).alias("sxy"),
     )
+    # try_divide at every division the oracle NULLs: an EMPTY pair
+    # set (n=0 — the 3%-of-sf0.01 degenerate fixture produced a
+    # co-purchase graph with no qualifying pairs) hits the /n terms,
+    # and a zero-variance degree sequence (all endpoints equal
+    # degree) zeroes the sqrt-product denominator — DuckDB double/0
+    # is NULL while ANSI Spark raises (round-8 sweep finding)
     return m.select(
         F.col("n").alias("n_endpoints"),
-        F.round(1000.0 * F.col("sx").cast("double") / F.col("n"))
+        F.round(
+            F.try_divide(1000.0 * F.col("sx").cast("double"), F.col("n"))
+        )
         .cast("long")
         .alias("mean_deg_milli"),
         F.round(
-            1000.0
-            * (
-                F.col("sxy").cast("double")
-                - F.col("sx").cast("double") * F.col("sy") / F.col("n")
-            )
-            / (
+            F.try_divide(
+                1000.0
+                * (
+                    F.col("sxy").cast("double")
+                    - F.try_divide(
+                        F.col("sx").cast("double") * F.col("sy"),
+                        F.col("n"),
+                    )
+                ),
                 F.sqrt(
                     F.col("sxx").cast("double")
-                    - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                    - F.try_divide(
+                        F.col("sx").cast("double") * F.col("sx"),
+                        F.col("n"),
+                    )
                 )
                 * F.sqrt(
                     F.col("syy").cast("double")
-                    - F.col("sy").cast("double") * F.col("sy") / F.col("n")
-                )
+                    - F.try_divide(
+                        F.col("sy").cast("double") * F.col("sy"),
+                        F.col("n"),
+                    )
+                ),
             )
         )
         .cast("long")

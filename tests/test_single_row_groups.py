@@ -60,3 +60,28 @@ def test_neyman_single_row_stratum_is_null(spark, tiny_dir):
     assert out["signup"]["sd_milli"] is None
     assert out["signup"]["n_alloc"] is None
     assert out["click"]["n_alloc"] is not None
+
+
+def test_assortativity_zero_variance_graph_is_null(spark, tmp_path):
+    """A co-purchase graph where every node has the same degree has
+    zero degree variance: the correlation denominator is 0 and the
+    oracle's double/0 is NULL — ANSI Spark raised instead (3%-of-
+    sf0.01 fixture finding, round 8). Orders of exactly two unique
+    parts, parts never shared across orders -> all degrees 1."""
+    import pyspark.sql.functions as F  # noqa: F401 (schema literals)
+
+    rows = []
+    for o in range(1, 4):
+        rows.append((o, o * 8))        # l_partkey % 4 == 0 passes
+        rows.append((o, o * 8 + 4))    # second unique part, also % 4
+    df = spark.createDataFrame(rows, "l_orderkey BIGINT, l_partkey BIGINT")
+    df.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    reg = load_all()
+    out = reg["degree_assortativity_copurchase"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_endpoints"] > 0       # pairs DO exist
+    assert out[0]["assortativity_milli"] is None  # zero variance -> NULL
