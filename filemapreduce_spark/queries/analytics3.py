@@ -189,16 +189,18 @@ def welch_ttest_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # on the product still evaluates c*c in int64 first
         F.sum(c.cast("decimal(38,0)") * c).alias("s2"),
     )
+    # try_divide on n-1: a single-row arm has undefined variance —
+    # the oracle's double/0 is NULL in DuckDB while ANSI Spark raises
+    # (pct=1 degenerate-fixture sweep finding, round 8); the NULL then
+    # propagates through t/df exactly as in the oracle
     stat = m.select(
         "event_type",
         "n",
         (F.col("s1").cast("double") / F.col("n")).alias("mean"),
-        (
-            (
-                F.col("s2").cast("double")
-                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
-            )
-            / (F.col("n") - 1)
+        F.try_divide(
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n"),
+            F.col("n") - 1,
         ).alias("var"),
     )
     base = stat.where(F.col("event_type") == "view").select(
@@ -210,9 +212,16 @@ def welch_ttest_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.crossJoin(F.broadcast(base))
     se_a = F.col("var") / F.col("n")
     se_b = F.col("var_b") / F.col("n_view")
-    t_stat = (F.col("mean") - F.col("mean_b")) / F.sqrt(se_a + se_b)
-    df = ((se_a + se_b) * (se_a + se_b)) / (
-        se_a * se_a / (F.col("n") - 1) + se_b * se_b / (F.col("n_view") - 1)
+    # try_divide: identical-constant arms make sqrt(se_a+se_b) = 0
+    # and single-row arms make the df denominator NULL/0 — DuckDB
+    # NULLs both
+    t_stat = F.try_divide(
+        F.col("mean") - F.col("mean_b"), F.sqrt(se_a + se_b)
+    )
+    df = F.try_divide(
+        (se_a + se_b) * (se_a + se_b),
+        F.try_divide(se_a * se_a, F.col("n") - 1)
+        + F.try_divide(se_b * se_b, F.col("n_view") - 1),
     )
     return j.select(
         "event_type",

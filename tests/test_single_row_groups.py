@@ -85,3 +85,28 @@ def test_assortativity_zero_variance_graph_is_null(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["n_endpoints"] > 0       # pairs DO exist
     assert out[0]["assortativity_milli"] is None  # zero variance -> NULL
+
+
+def test_welch_single_row_arm_is_null(spark, tiny_dir):
+    """Welch vs-'view' t-test with a single-row arm: undefined
+    variance -> NULL t/df like the oracle's double/0 (the tiny_dir
+    fixture has no 'view' rows, so build one inline instead)."""
+    import pyspark.sql.functions as F
+
+    rows = [("view", i % 3 + 1, 10.0 + i) for i in range(9)]
+    rows.append(("signup", 99, 42.0))  # single-row arm
+    df = spark.createDataFrame(
+        rows, "event_type STRING, user_id BIGINT, value DOUBLE"
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-03 10:00:00")))
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    reg = load_all()
+    out = {
+        r["event_type"]: r
+        for r in reg["welch_ttest_vs_view"].fn(spark, d).collect()
+    }
+    assert out["signup"]["n_a"] == 1
+    assert out["signup"]["t_milli"] is None
+    assert out["signup"]["df_milli"] is None
