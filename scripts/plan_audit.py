@@ -169,6 +169,19 @@ def main():
         " iteration count, not corpus size.",
         "- `fk_integrity_violations` (12 scans): 6 FK edges × 2 sides,"
         " each a DIFFERENT table scanned once — not a re-scan.",
+        "- `kcenter_coreset_selection` / `mmr_diversified_topk`"
+        " (5 scans) and `bfs_3hop_parts` (4): scans equal the UNROLLED"
+        " ITERATION count (k coreset picks / MMR rounds / BFS"
+        " frontiers) — iterative algorithms re-reading their input"
+        " per round by definition, not plan redundancy.",
+        "- `histogram_sketch_percentiles` (5 scans): 2 are the sketch"
+        " path; the other 3 are the exact-twin audit (one"
+        " percentile_disc per quantile — Spark's disc form takes no"
+        " fraction array). The exact twin IS the operator's point;"
+        " at scale you run only the 2-scan sketch half.",
+        "- `conformal_interval_coverage` (4 scans): train/cal/test"
+        " day-window splits each scanned once + the calibration"
+        " mean — disjoint subsets, not re-scans.",
         "",
     ]
 
