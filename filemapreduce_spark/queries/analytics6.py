@@ -965,7 +965,14 @@ def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = F.col("s").cast("double")
     ssb = sbd - sd * F.col("s") / F.col("n")
     ssw = F.col("ss").cast("double") - sbd
-    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    # try_divide: one row per group makes n = k (zero within-group
+    # df) and a single group makes k-1 = 0 — the oracle's double/0
+    # is NULL in DuckDB while ANSI Spark raises (n=1-per-group
+    # fixture finding, round 8)
+    f_stat = F.try_divide(
+        F.try_divide(ssb, F.col("k") - 1),
+        F.try_divide(ssw, F.col("n") - F.col("k")),
+    )
     return tot.select(
         "k",
         "n",

@@ -122,12 +122,16 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd * F.col("x")).alias("sxx"),
         F.sum(xd * F.col("y")).alias("sxy"),
     )
+    # try_divide: a constant (or all-zero) pre-period metric zeroes
+    # the covariate variance in theta's denominator — the oracle's
+    # double/0 is NULL in DuckDB while ANSI Spark raises
+    # (n=1-per-group fixture finding, round 8)
     th = g.select(
-        (
-            (F.col("sxy").cast("double")
-             - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
-            / (F.col("sxx").cast("double")
-               - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        F.try_divide(
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy") / F.col("n"),
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n"),
         ).alias("theta"),
         (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
     )
@@ -173,12 +177,15 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             10000.0
             * (
                 F.lit(1.0)
-                - (
+                # try_divide: a zero post-period variance (single
+                # user per arm / constant outcome) zeroes the
+                # variance-reduction denominator — oracle NULLs it
+                - F.try_divide(
                     F.col("vya")
                     - 2.0 * theta * F.col("cva")
-                    + theta * theta * F.col("vxa")
+                    + theta * theta * F.col("vxa"),
+                    F.col("vya"),
                 )
-                / F.col("vya")
             )
         )
         .cast("long")
@@ -248,8 +255,13 @@ def did_two_period_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_post"),
     )
-    pre_mean = F.col("s_pre").cast("double") / F.col("n_pre")
-    post_mean = F.col("s_post").cast("double") / F.col("n_post")
+    # try_divide: an arm with no rows in one period (n=1-per-group
+    # fixture: every event lands in a single period) has a 0-count
+    # mean — the oracle's double/0 is NULL in DuckDB
+    pre_mean = F.try_divide(F.col("s_pre").cast("double"), F.col("n_pre"))
+    post_mean = F.try_divide(
+        F.col("s_post").cast("double"), F.col("n_post")
+    )
     d = a.select(
         F.col("arm").cast("long").alias("arm"),
         "n_pre",

@@ -443,8 +443,15 @@ def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_subjects")
     )
     totals = bygrp.groupBy().pivot("grp", [0, 1]).sum("n_subjects")
+    # coalesce: an ARM WITH NO SUBJECTS pivots to NULL here while
+    # the oracle's scalar COUNT(*) is 0 — the NULL then poisoned the
+    # whole at-risk chain (n1 -> nt -> e1 NaN via float 0/0, which
+    # ANSI does NOT guard for doubles) and expected_milli came back
+    # NULL vs the oracle's real number (n=1-per-group fixture
+    # finding, round 8)
     totals = totals.select(
-        F.col("0").alias("tot0"), F.col("1").alias("tot1")
+        F.coalesce(F.col("0"), F.lit(0)).cast("long").alias("tot0"),
+        F.coalesce(F.col("1"), F.lit(0)).cast("long").alias("tot1"),
     )
     wprev = Window.orderBy("t_days").rowsBetween(
         Window.unboundedPreceding, -1

@@ -110,3 +110,38 @@ def test_welch_single_row_arm_is_null(spark, tiny_dir):
     assert out["signup"]["n_a"] == 1
     assert out["signup"]["t_milli"] is None
     assert out["signup"]["df_milli"] is None
+
+
+def test_logrank_missing_arm_totals_are_zero(spark, tmp_path):
+    """An arm with NO subjects must enter the at-risk math as 0, not
+    NULL: the pivot gave NULL for the absent arm and the NULL
+    poisoned n1 -> nt -> e1 (float 0/0 NaN — ANSI does not guard
+    double division), while the oracle's scalar COUNT(*) is 0
+    (n=1-per-group fixture finding). One even-user subject -> arm 1
+    is empty; expected deaths for arm 0 must equal observed (1)."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("signup", 2, 1.0, "2024-01-01 00:00:00"),
+        ("purchase", 2, 5.0, "2024-01-04 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(et, u, v) for et, u, v, _ in rows],
+        "event_type STRING, user_id BIGINT, value DOUBLE",
+    ).withColumn(
+        "ts",
+        F.to_timestamp(
+            F.lit("2024-01-01 00:00:00")
+        )
+        + F.when(F.col("event_type") == "purchase", F.expr("INTERVAL 3 DAYS"))
+        .otherwise(F.expr("INTERVAL 0 DAYS")),
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    reg = load_all()
+    out = reg["logrank_test_arms"].fn(spark, d).collect()
+    assert len(out) == 1 and out[0]["grp"] == 0
+    assert out[0]["observed"] == 1
+    assert out[0]["expected_milli"] == 1000  # was NULL before the fix
