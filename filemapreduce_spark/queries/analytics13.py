@@ -257,10 +257,12 @@ def cohens_d_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss1 = F.col("q1").cast("double") - F.col("a1").cast("double") * F.col(
         "a1"
     ).cast("double") / F.col("n1")
-    d_val = (
-        1000000.0
-        * (m1 - m0)
-        / F.sqrt((ss0 + ss1) / (F.col("n0") + F.col("n1") - 2))
+    # try_divide: identical values in both arms give a pooled SD of
+    # exactly 0 — the oracle's double/0 is NULL in DuckDB while ANSI
+    # Spark raises (constant-value fixture finding, round 8)
+    d_val = F.try_divide(
+        1000000.0 * (m1 - m0),
+        F.sqrt((ss0 + ss1) / (F.col("n0") + F.col("n1") - 2)),
     )
     return (
         w.filter((F.col("n0") > 1) & (F.col("n1") > 1))

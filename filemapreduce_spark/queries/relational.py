@@ -2023,11 +2023,19 @@ def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n_d * sxy_d - sx_d * sy_d
     var_x_n = n_d * sxx_d - sx_d * sx_d
     var_y_n = n_d * F.col("syy") - sy_d * sy_d
+    # try_divide: a constant quantity or price column zeroes the
+    # variance denominators with n >= 2 — the oracle's double/0 is
+    # NULL in DuckDB while ANSI Spark raises (constant-value fixture
+    # finding, round 8)
     return a.select(
         "l_returnflag",
         "n",
-        F.round(cov_n / F.sqrt(var_x_n * var_y_n), 6).alias("corr_qty_price"),
-        F.round(cov_n / var_x_n, 6).alias("slope_cents_per_qty"),
+        F.round(
+            F.try_divide(cov_n, F.sqrt(var_x_n * var_y_n)), 6
+        ).alias("corr_qty_price"),
+        F.round(F.try_divide(cov_n, var_x_n), 6).alias(
+            "slope_cents_per_qty"
+        ),
     ).orderBy("l_returnflag")
 
 

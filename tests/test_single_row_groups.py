@@ -145,3 +145,25 @@ def test_logrank_missing_arm_totals_are_zero(spark, tmp_path):
     assert len(out) == 1 and out[0]["grp"] == 0
     assert out[0]["observed"] == 1
     assert out[0]["expected_milli"] == 1000  # was NULL before the fix
+
+
+def test_constant_values_null_correlation_and_d(spark, tmp_path):
+    """Zero-spread with n >= 2: constant measures give well-defined
+    means but 0 variance — correlation/slope and Cohen's d
+    denominators are 0, which the oracle NULLs (constant-value
+    fixture finding, round 8)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    li = spark.createDataFrame(
+        [(int(i), "A", 10, 100.0) for i in range(8)],
+        "l_orderkey BIGINT, l_returnflag STRING, l_quantity BIGINT,"
+        " l_extendedprice DOUBLE",
+    )
+    li.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    reg = load_all()
+    out = reg["stats_corr_regression"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["corr_qty_price"] is None
+    assert out[0]["slope_cents_per_qty"] is None
