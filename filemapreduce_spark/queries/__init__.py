@@ -9,6 +9,15 @@ match bit-for-bit.
 
 Queries whose semantics aren't SQL-expressible (streaming state,
 binary decode stubs) set ``oracle=None`` → rows-only check.
+
+Cache contract: query functions may ``persist()`` bounded
+intermediates (per-key count tables, shared scan bases) that the
+returned DataFrame references lazily — they cannot be unpersisted
+inside the function without re-executing the branch. Callers running
+MANY queries against one session (the driver, bench.py, the sweeps
+all do this) should call ``spark.catalog.clearCache()`` between
+queries; a caller running one query can leave eviction to Spark's
+LRU (storage-memory pressure evicts MEMORY_AND_DISK blocks safely).
 """
 
 from __future__ import annotations

@@ -534,13 +534,18 @@ def join_cardinality_estimate_audit(
         .agg(F.count("*").alias("n_c"))
         .persist()
     )
+    # NDV via count("k"), not count("*"): the per-key table has one
+    # row per group INCLUDING a NULL-key group when the join key is
+    # nullable, while the oracle's COUNT(DISTINCT key) excludes NULLs
+    # — count("k") skips the NULL-key row so d_a/d_b (and est_rows via
+    # greatest(d_a,d_b)) agree on NULL-bearing fixtures (r8 advice)
     a = oc.agg(
         F.coalesce(F.sum("n_o"), F.lit(0)).cast("long").alias("n_a"),
-        F.count("*").cast("long").alias("d_a"),
+        F.count("k").cast("long").alias("d_a"),
     )
     b = cc.agg(
         F.coalesce(F.sum("n_c"), F.lit(0)).cast("long").alias("n_b"),
-        F.count("*").cast("long").alias("d_b"),
+        F.count("k").cast("long").alias("d_b"),
     )
     actual = (
         oc.join(cc, "k")

@@ -48,10 +48,20 @@ def main() -> int:
     for t, repl in CONST.items():
         s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
         if repl:
+            # column types from the parquet SCHEMA (DESCRIBE), not a
+            # typeof() over row 1 — an empty source table has no row 1
+            # (fetchone() -> None -> TypeError), and parameterized
+            # read_parquet avoids quote-fragile path interpolation
+            # (r8 advice)
+            types = dict(
+                con.execute(
+                    "SELECT column_name, column_type FROM "
+                    "(DESCRIBE SELECT * FROM read_parquet(?))",
+                    [s],
+                ).fetchall()
+            )
             sets = ", ".join(
-                f"CAST({lit} AS "
-                f"{con.execute(f'SELECT typeof({c}) FROM %r LIMIT 1' % s).fetchone()[0]}"
-                f") AS {c}"
+                f"CAST({lit} AS {types[c]}) AS {c}"
                 for c, lit in repl.items()
             )
             con.execute(

@@ -158,6 +158,9 @@ def test_chunked_plan_not_aqe_coalesced(spark, tmp_path):
     under coalescePartitions). One task per chunk is the same
     contract as Spark's own maxPartitionBytes file splits."""
     prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     try:
@@ -170,4 +173,9 @@ def test_chunked_plan_not_aqe_coalesced(spark, tmp_path):
         assert df.count() == 24
         assert parts >= 8, f"chunk reads collapsed to {parts} task(s)"
     finally:
+        # restore BOTH confs: leaving coalescePartitions set would leak
+        # into later tests on the shared session (r8 advice)
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+        )
