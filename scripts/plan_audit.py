@@ -64,6 +64,14 @@ def audit_plan(df, jvm):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="plan_audit")
+    # AQE OFF for the audit: an un-executed AdaptiveSparkPlan renders
+    # its INITIAL plan without CollapseCodegenStages display, so
+    # `[codegen id : N]` never appears and the wscg column read 0 for
+    # plans that demonstrably codegen (r8 verdict). The initial
+    # physical plan is otherwise identical with AQE on/off (AQE
+    # re-plans exchanges at RUNTIME; this audit never executes), so
+    # the exchange/join/scan columns are unaffected.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     reg = load_all()
 
     rows, skipped, failed = [], [], []
@@ -124,6 +132,13 @@ def main():
         for nm, a in rows
         if a["cartesian"] or a["bnlj"]
     ]
+    # Codegen coverage guard: nearly every batch plan should carry at
+    # least one whole-stage-codegen span (scan→filter→partial-agg
+    # fuses by default); a plan with ZERO spans means something broke
+    # fusion end-to-end (e.g. an accidental row-at-a-time UDF in the
+    # hot path). <90% coverage fails the run loudly.
+    no_codegen = [nm for nm, a in rows if a["codegen"] == 0]
+    codegen_pct = 100.0 * (n - len(no_codegen)) / max(n, 1)
     lines += [
         "",
         "## Summary",
@@ -147,6 +162,13 @@ def main():
         f"- top-k via TakeOrderedAndProject: {tot('topk')};"
         f" whole-stage-codegen spans: {tot('codegen')};"
         f" Python-eval nodes: {tot('python_eval')}",
+        f"- codegen coverage: {n - len(no_codegen)}/{n} plans"
+        f" ({codegen_pct:.1f}%) have >=1 whole-stage-codegen span"
+        + (
+            f"; zero-span plans: {', '.join(no_codegen)}"
+            if no_codegen
+            else ""
+        ),
         "",
         "## Standing per-query notes (intrinsic shapes — do NOT 'fix')",
         "",
@@ -192,7 +214,20 @@ def main():
           f" {len(failed)} unplannable")
     for nm, err in failed:
         print(f"  unplannable {nm}: {err}")
+    print(
+        f"codegen coverage: {codegen_pct:.1f}%"
+        f" ({len(no_codegen)} zero-span plans)"
+    )
+    if codegen_pct < 90.0:
+        print(
+            "CODEGEN GUARD FAILED: <90% of batch plans carry a"
+            " whole-stage-codegen span — a UDF or interpreted"
+            " expression likely broke fusion. Zero-span plans:"
+            f" {', '.join(no_codegen)}"
+        )
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

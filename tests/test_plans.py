@@ -468,3 +468,50 @@ def test_no_narrow_product_accumulators(spark, registry):
         "to DECIMAL(38,0) (sum(col('a').cast('decimal(38,0)') * "
         "col('b'))) or document the value-domain bound and allowlist"
     )
+
+
+def test_headline_plans_have_codegen_spans(spark, registry):
+    """Every bench HEADLINE query's plan must carry at least one
+    whole-stage-codegen span (scan→filter→partial-agg fuses by
+    default). A zero-span plan means something broke fusion end to
+    end — the classic regression is an accidental row-at-a-time
+    Python UDF in the hot path (r8 verdict item 5).
+
+    AQE is disabled for the probe only: an un-executed
+    AdaptiveSparkPlan renders its initial plan WITHOUT the
+    CollapseCodegenStages display pass, so `[codegen id : N]`
+    markers never appear in it regardless of whether the plan
+    codegens (the exact blind spot the old plan_audit wscg column
+    had). The initial physical plan is otherwise identical.
+    """
+    import re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import HEADLINE
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        offenders = []
+        for name in HEADLINE:
+            if name.startswith("streaming_"):
+                continue  # streaming machinery, no batch explain
+            spark.catalog.clearCache()
+            df = registry[name].fn(spark, SF_DIR)
+            mode = (
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            plan = df._jdf.queryExecution().explainString(mode)
+            spans = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+            if not spans:
+                offenders.append(name)
+        assert not offenders, (
+            f"zero whole-stage-codegen spans in {offenders} — an "
+            "interpreted expression or Python UDF broke fusion"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.catalog.clearCache()
