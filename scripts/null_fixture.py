@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Build the NULL-SATURATION adversarial fixtures (round-9 sweep
+axes 15a/15b): the constructed-boundary regime the r8 verdict named
+next — NULL group/join keys everywhere nullable, and all-NULL
+measure columns.
+
+Two variants (both written from sf0.001 so both engines see
+byte-identical files; NULL choice is row-order hash-based —
+row_number * Knuth constant mod 100 — so the fixture is reproducible
+with no seed store):
+
+  keys      — 25% of rows get NULL in every FK / grouping / dimension
+              column, 10% in every timestamp column. Measures are
+              untouched. Exercises: NULL-group rows (GROUP BY makes a
+              NULL group in BOTH engines but downstream joins drop
+              it asymmetrically), join-key NULL semantics (equi joins
+              drop NULL=NULL, null-safe <=> keeps it), window ORDER
+              BY over NULL ordering keys (RANGE frames put NULLs in
+              their own frame), NULL date bucketing.
+  measures  — every additive measure column is 100% NULL, keys are
+              untouched. Groups EXIST but every SUM/AVG/STDDEV/CORR/
+              PERCENTILE over them is NULL: the regime where ANSI
+              Spark raises (divide by a NULL-propagated 0), returns
+              NaN where DuckDB returns NULL, or where a
+              COALESCE(x, 0) on one side only silently fabricates a
+              zero the other side doesn't have.
+
+Usage: python scripts/null_fixture.py keys     [out] [src]
+       python scripts/null_fixture.py measures [out] [src]
+       (defaults: /tmp/sfnullkeys | /tmp/sfnullmeas, sf0.001)
+Then:  python scripts/driver_sim.py <out>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# Knuth multiplicative constant — same family as sparse_fixture.py
+KNUTH = 2654435761
+
+# variant "keys": column -> null percentage, applied per table
+NULL_KEYS: dict[str, dict[str, int]] = {
+    "region": {},
+    "nation": {},
+    "customer": {"c_nationkey": 25, "c_mktsegment": 25},
+    "supplier": {"s_nationkey": 25},
+    "part": {"p_brand": 25, "p_type": 25},
+    "orders": {
+        "o_custkey": 25,
+        "o_orderstatus": 25,
+        "o_orderpriority": 25,
+        "o_orderdate": 10,
+    },
+    "lineitem": {
+        "l_partkey": 25,
+        "l_suppkey": 25,
+        "l_returnflag": 25,
+        "l_linestatus": 25,
+        "l_shipdate": 10,
+        # l_orderkey at a LOWER rate: it's the spine of most TPC-H
+        # joins — 10% NULL exercises the join-drop asymmetry without
+        # hollowing out every downstream fixture
+        "l_orderkey": 10,
+    },
+    "events": {
+        "user_id": 25,
+        "event_type": 25,
+        "ts": 10,
+    },
+    "documents": {"lang": 25, "source": 25},
+    "embeddings": {"label": 25},
+}
+
+# variant "measures": columns set 100% NULL
+NULL_MEASURES: dict[str, tuple[str, ...]] = {
+    "region": (),
+    "nation": (),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice", "p_size"),
+    "orders": ("o_totalprice",),
+    "lineitem": (
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ),
+    "events": ("value",),
+    "documents": ("n_chars",),
+    "embeddings": (),
+}
+
+
+def main() -> int:
+    variant = sys.argv[1] if len(sys.argv) > 1 else "keys"
+    if variant not in ("keys", "measures"):
+        print(f"unknown variant {variant!r}: use keys|measures")
+        return 2
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else ("/tmp/sfnullkeys" if variant == "keys" else "/tmp/sfnullmeas")
+    )
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    spec = NULL_KEYS if variant == "keys" else None
+    for t in NULL_KEYS:
+        s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
+        if variant == "keys":
+            repl = spec[t]
+            if not repl:
+                con.execute(
+                    f"COPY (SELECT * FROM '{s}') TO '{d}'"
+                    " (FORMAT PARQUET)"
+                )
+            else:
+                # per-column DIFFERENT hash stream (salt by ordinal)
+                # so the NULL masks don't coincide row-for-row
+                sets = ", ".join(
+                    f"CASE WHEN (_rn * {KNUTH} + {i * 7919})"
+                    f" % 100 < {pct} THEN NULL ELSE {c} END AS {c}"
+                    for i, (c, pct) in enumerate(sorted(repl.items()))
+                )
+                con.execute(
+                    f"COPY (SELECT * EXCLUDE (_rn) REPLACE ({sets})"
+                    f" FROM (SELECT *, row_number() OVER () AS _rn"
+                    f" FROM '{s}')) TO '{d}' (FORMAT PARQUET)"
+                )
+        else:
+            cols = NULL_MEASURES[t]
+            if not cols:
+                con.execute(
+                    f"COPY (SELECT * FROM '{s}') TO '{d}'"
+                    " (FORMAT PARQUET)"
+                )
+            else:
+                types = dict(
+                    con.execute(
+                        "SELECT column_name, column_type FROM "
+                        "(DESCRIBE SELECT * FROM read_parquet(?))",
+                        [s],
+                    ).fetchall()
+                )
+                sets = ", ".join(
+                    f"CAST(NULL AS {types[c]}) AS {c}" for c in cols
+                )
+                con.execute(
+                    f"COPY (SELECT * REPLACE ({sets}) FROM '{s}')"
+                    f" TO '{d}' (FORMAT PARQUET)"
+                )
+        n = con.execute(f"SELECT COUNT(*) FROM '{d}'").fetchone()[0]
+        print(f"{t}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
