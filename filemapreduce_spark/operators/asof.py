@@ -47,6 +47,15 @@ def asof_join(
       ``left_time - tolerance`` is nulled out (pandas
       ``merge_asof(tolerance=...)`` semantics). Applied AFTER the
       window, so it adds zero shuffles.
+
+    NULL semantics (declared; r9 null-saturation sweep): a right row
+    with a NULL key or NULL time NEVER matches (SQL equi-join never
+    matches NULL=NULL, and ``right.time <= left.time`` is never true
+    for NULL — without the filter Spark's NULLS-FIRST sort made a
+    NULL-time right row the "latest before" everything); a left row
+    with a NULL key or NULL time is KEPT with a NULL match (left-join
+    semantics), enforced by masking the window result rather than by
+    dropping the row.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
@@ -62,7 +71,9 @@ def asof_join(
     ).withColumn("_payload", F.lit(None).cast("string"))
     # carry the right payload through the union as one struct column
     r_tagged = (
-        right.select(
+        right.where(
+            F.col(on).isNotNull() & F.col(right_time).isNotNull()
+        ).select(
             F.col(on),
             F.col(right_time).alias("_time"),
             # backward: right sorts BEFORE left at equal time (side 0<1)
@@ -101,9 +112,17 @@ def asof_join(
     else:
         w = base.rowsBetween(0, Window.unboundedFollowing)
         match = F.first("_rp", ignorenulls=True).over(w)
+    # mask, don't drop: NULL-key/NULL-time LEFT rows survive with a
+    # NULL match (left-join contract)
     joined = (
         l_u.unionByName(r_u)
-        .withColumn("_match", match)
+        .withColumn(
+            "_match",
+            F.when(
+                F.col("_key").isNotNull() & F.col("_time").isNotNull(),
+                match,
+            ),
+        )
         .filter(F.col("_side") == 1)
     )
     if tolerance is not None:

@@ -44,7 +44,10 @@ from filemapreduce_spark.sources.tables import load_table as t
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
                AS v
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
     ), ser AS (
       SELECT event_type, v,
              row_number() OVER (PARTITION BY event_type
@@ -93,7 +96,18 @@ def holt_linear_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fold itself is whole-stage-codegen JVM work, parallel across
     keys, no Python, no driver loop, no window-into-one-partition.
     """
-    e = t(spark, sf_dir, "events")
+    # a NULL event_type is no series and a NULL ts is on no day (the
+    # oracle's recursive equi-join walks only non-NULL series anyway;
+    # r9 null sweep: Spark's groupBy emitted a 6th NULL-type row)
+    # ...and the recurrence runs over OBSERVED values only: an
+    # all-NULL series left Spark's fold half-alive (init b=0.0
+    # survived the NULL chain) while the oracle's recursion nulled
+    # out — no value, no series point (r9 null-measures sweep)
+    e = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(cents("value")).cast("double").alias("v"))
@@ -355,10 +369,12 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_stat") < 0, -1)
         .otherwise(0)
     )
-    z = (
-        1000000.0
-        * (F.col("s_stat") - cc)
-        / F.sqrt(
+    # try_divide: a fully-tied series (e.g. every daily value NULL or
+    # constant) has zero variance — the oracle's x/0 is NULL where
+    # ANSI raises DIVIDE_BY_ZERO (r9 null-measures sweep)
+    z = F.try_divide(
+        1000000.0 * (F.col("s_stat") - cc),
+        F.sqrt(
             (
                 F.col("n_days").cast("double")
                 * (F.col("n_days") - 1)
@@ -366,7 +382,7 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("tie_term")
             )
             / 18.0
-        )
+        ),
     )
     return (
         nn.join(s, "event_type")

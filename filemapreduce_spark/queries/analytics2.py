@@ -40,6 +40,7 @@ _MONDAY_OFFSET_US = 4 * 24 * 3600 * 1_000_000  # 1970-01-05 is a Monday
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
+      WHERE ts IS NOT NULL
     ),
     trans AS (
       SELECT prev_type, event_type AS next_type, COUNT(*) AS n
@@ -59,7 +60,11 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's time-ordered event stream. One shuffle on user_id for the
     lag, one grouped count; the per-row normalization reuses the
     (prev_type) partitioning — no extra scan."""
-    e = t(spark, sf_dir, "events")
+    # a transition is an ordered pair ON the time axis — NULL-time
+    # events are excluded on both sides (Spark NULLS FIRST vs DuckDB
+    # NULLS LAST would otherwise place them at opposite stream ends;
+    # r9 null sweep)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
         e.select(
@@ -172,6 +177,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS sum_value_cents,
            COUNT(DISTINCT user_id) AS users
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1
     ORDER BY week_start
     """,
@@ -181,8 +187,12 @@ def time_bucket_weekly_monday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monday-aligned weekly buckets via `F.window(..., startTime)` —
     the hypertable `time_bucket(interval, ts, origin)` shape. The
     bucket is a row-local expression, so this stays one scan + one
-    grouped agg with map-side partials; no window function needed."""
-    e = t(spark, sf_dir, "events")
+    grouped agg with map-side partials; no window function needed.
+
+    NULL event-times are on no week: F.window() drops them (its
+    generator emits no row) — declared with an explicit filter on
+    both sides (r9 null sweep: the oracle had a NULL bucket row)."""
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         e.groupBy(
             F.window("ts", "7 days", "7 days", "4 days")
@@ -383,14 +393,29 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "spearman_qty_price",
     """
-    WITH r AS (
+    WITH b AS (
+      -- canonical per-row id: (orderkey, linenumber) is NOT unique in
+      -- this data (11.8k duplicate pairs at sf0.01), so tied rows got
+      -- engine-arbitrary rank PAIRINGS and d2 diverged in the 7th
+      -- digit (r9 skew sweep). Both ranked values join the rid key so
+      -- fully-identical rows stay interchangeable (swapping them
+      -- swaps r1 AND r2 consistently); nullable tiebreaks pin NULLS
+      -- FIRST to match Spark's ASC default.
+      SELECT l_returnflag, l_quantity,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity NULLS FIRST, cents NULLS FIRST,
+                        l_orderkey NULLS FIRST, l_linenumber,
+                        l_partkey NULLS FIRST, l_suppkey NULLS FIRST)
+               AS rid
+      FROM lineitem
+    ), r AS (
       SELECT l_returnflag,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag
-               ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS r1,
+               ORDER BY l_quantity NULLS FIRST, rid) AS r1,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag
-               ORDER BY CAST(round(l_extendedprice*100) AS BIGINT),
-                        l_orderkey, l_linenumber, l_partkey, l_suppkey) AS r2
-      FROM lineitem
+               ORDER BY cents NULLS FIRST, rid) AS r2
+      FROM b
     )
     SELECT l_returnflag, COUNT(*) AS n,
            1.0 - 6.0 * SUM((r1 - r2) * (r1 - r2))
@@ -409,13 +434,19 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two window sorts + one grouped agg, all partitioned by flag."""
     li = t(spark, sf_dir, "lineitem")
     cents_col = F.round(F.col("l_extendedprice") * 100).cast("long")
-    w1 = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    # canonical rid first (see the oracle's b CTE): the natural
+    # tiebreak (orderkey, linenumber) is not unique in this data, so
+    # without a shared per-row id the two rankings paired tied rows
+    # engine-arbitrarily (r9 skew sweep, 7th-digit rho drift)
+    wrid = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity",
+        "cents",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
     )
-    w2 = Window.partitionBy("l_returnflag").orderBy(
-        "cents", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
-    )
-    ranked = li.select(
+    base = li.select(
         "l_returnflag",
         "l_quantity",
         "l_orderkey",
@@ -424,6 +455,14 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         cents_col.alias("cents"),
     ).select(
+        "l_returnflag",
+        "l_quantity",
+        "cents",
+        F.row_number().over(wrid).alias("rid"),
+    )
+    w1 = Window.partitionBy("l_returnflag").orderBy("l_quantity", "rid")
+    w2 = Window.partitionBy("l_returnflag").orderBy("cents", "rid")
+    ranked = base.select(
         "l_returnflag",
         F.row_number().over(w1).alias("r1"),
         F.row_number().over(w2).alias("r2"),
@@ -578,7 +617,7 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), w AS (
       SELECT event_type, day, cents,
              CAST(SUM(cents) OVER tw AS BIGINT) AS s1,
@@ -611,7 +650,11 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to milli-units. Degenerate windows (n<2 or zero variance)
     yield NULL. One shuffle on the series key; the window is
     partitioned per series — no global sort."""
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are on no day — and a NULL day group would sit
+    # at OPPOSITE ends of the trailing window ordering in the two
+    # engines (Spark NULLS FIRST / DuckDB NULLS LAST), shifting the
+    # first real days' trailing stats (r9 null sweep)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = (
         e.groupBy(
             "event_type", F.col("ts").cast("date").alias("day")
@@ -814,7 +857,7 @@ def skew_diagnosis_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN event_type = 'click'
                            THEN CAST(round(value*100) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS y
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ), w AS (
       SELECT day, x, y,
              COUNT(*) OVER tw AS n,
@@ -854,7 +897,9 @@ def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-event shuffle happens in the day aggregation, which is
     key-partitioned; the tiny series itself is safe to sort globally.
     Degenerate windows (constant series) yield NULL."""
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are on no day (the NULL day group would sit at
+    # opposite window ends across engines; r9 null sweep)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(
             F.when(F.col("event_type") == "purchase", cents("value"))

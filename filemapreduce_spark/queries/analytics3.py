@@ -34,7 +34,7 @@ from filemapreduce_spark.sources.tables import load_table as t
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), cum AS (
       SELECT event_type, day,
              CAST(SUM(cents) OVER w AS BIGINT) AS cum_cents,
@@ -77,7 +77,9 @@ def max_drawdown_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per key below the exchange. Series count bounds the state, not
     row count — the plan is unchanged at 100 TB.
     """
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are on no day (r9 null sweep: the NULL day
+    # group led Spark's cumulative ordering and trailed DuckDB's)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(cents("value")).cast("long").alias("cents"))

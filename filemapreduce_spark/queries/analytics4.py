@@ -32,6 +32,7 @@ from filemapreduce_spark.sources.tables import load_table as t
              epoch_us(ts) + CAST(round(value*100) AS BIGINT) * 10000 AS e,
              event_id
       FROM events
+      WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, s, e,
              CASE WHEN s > COALESCE(MAX(e) OVER (
@@ -80,7 +81,9 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-max-of-predecessors trick is O(n log n) per key vs the
     O(n²) naive pairwise overlap join.
     """
-    e = t(spark, sf_dir, "events")
+    # an event with no timestamp opens no interval (r9 null sweep:
+    # NULL endpoints sort at opposite ends across engines)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     iv = e.select(
         "user_id",
         F.unix_micros("ts").alias("s"),
@@ -290,7 +293,8 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_active_new_returning",
     """
     WITH seen AS (
-      SELECT user_id, CAST(ts AS DATE) AS day FROM events GROUP BY 1, 2
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL GROUP BY 1, 2
     ), first_seen AS (
       SELECT user_id, MIN(day) AS first_day FROM seen GROUP BY user_id
     ), daily AS (
@@ -325,7 +329,9 @@ def daily_active_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DAY GRID (horizon-bounded — 36.5k rows per century), never
     user-level data.
     """
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are on no day (r9 null sweep: the NULL day
+    # group rode the cumulative window at opposite ends per engine)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     seen = e.select(
         "user_id", F.col("ts").cast("date").alias("day")
     ).distinct()
@@ -364,6 +370,7 @@ def daily_active_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS ep, event_id FROM events
+      WHERE ts IS NOT NULL
     ), winct AS (
       SELECT user_id, ep, event_id,
              COUNT(*) OVER (PARTITION BY user_id ORDER BY ep
@@ -401,8 +408,11 @@ def burst_busiest_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-user frame state is bounded by the busiest hour's event
     count.
     """
-    e = t(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("ep"), "event_id"
+    # an undated event sits in no trailing hour (r9 null sweep)
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("ep"), "event_id")
     )
     wr = (
         Window.partitionBy("user_id")

@@ -397,7 +397,7 @@ def theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), trend AS (
       SELECT event_type, day, cents,
              CASE WHEN COUNT(*) OVER w = 7
@@ -452,7 +452,8 @@ def seasonal_decomposition_daily(
     weekday aggregation both run on the per-series partitioning;
     the seasonal table is #series×7 rows broadcast back.
     """
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are on no day (r9 null sweep)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(cents("value")).cast("long").alias("cents"))
@@ -644,17 +645,22 @@ def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), w AS (
+      -- quantile over OBSERVED values: filter NULL daily totals out
+      -- of the window list and size the index by the filtered length
+      -- (Spark's collect_list skips NULLs; counting rows instead of
+      -- observations indexed past the short array — r9 null-measures
+      -- crash)
       SELECT event_type, day, cents,
-             list_sort(list(cents) OVER tw) AS win,
-             COUNT(*) OVER tw AS n
+             list_sort(list_filter(list(cents) OVER tw,
+                                   x -> x IS NOT NULL)) AS win
       FROM daily
       WINDOW tw AS (PARTITION BY event_type ORDER BY day
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
-           CAST(win[CAST(ceil(0.9 * n) AS BIGINT)] AS BIGINT)
+           CAST(win[CAST(ceil(0.9 * len(win)) AS BIGINT)] AS BIGINT)
              AS p90_trailing
     FROM w
     ORDER BY event_type, day
@@ -675,7 +681,13 @@ def trailing_quantile_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning — collect-sort-index inside a 7-element window is
     O(1) per row.
     """
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are on no day; the trailing p90 is defined over
+    # OBSERVED daily totals — collect_list already skips NULLs, so the
+    # index must come from the collected length, not the row count
+    # (counting rows indexed past the short array and ANSI element_at
+    # raised; r9 null-measures crash). try_element_at returns NULL for
+    # the empty all-NULL window.
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(cents("value")).cast("long").alias("cents"))
@@ -689,14 +701,18 @@ def trailing_quantile_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "cents",
         F.sort_array(F.collect_list("cents").over(tw)).alias("win"),
-        F.count(F.lit(1)).over(tw).alias("n"),
     )
-    idx = F.ceil(0.9 * F.col("n")).cast("int")
+    idx = F.ceil(0.9 * F.size("win")).cast("int")
+    # the empty-window guard must be explicit: try_element_at
+    # tolerates OUT-OF-RANGE indexes but still raises on index 0
+    # (INVALID_INDEX_OF_ZERO), which is exactly what ceil(0.9*0)
+    # produces for an all-NULL window (r9 null-measures sweep)
+    p90 = F.when(F.size("win") > 0, F.try_element_at("win", idx))
     return w.select(
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "cents",
-        F.element_at("win", idx).cast("long").alias("p90_trailing"),
+        p90.cast("long").alias("p90_trailing"),
     ).orderBy("event_type", "day")
 
 
@@ -790,7 +806,7 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), th AS (
       SELECT event_type,
              CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
@@ -830,7 +846,9 @@ def hysteresis_alert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle to daily grain; thresholds are a #series-row
     broadcast; the navigation window is per-series.
     """
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are on no day (r9 null sweep: a NULL day group
+    # rode the state-machine window at opposite ends per engine)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(cents("value")).cast("long").alias("cents"))
@@ -1003,7 +1021,11 @@ def paired_diff_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_users"),
         sd.cast("long").alias("sum_diff_cents"),
         F.round(1000.0 * sd / n).cast("long").alias("mean_diff_milli"),
-        F.round(1000.0 * mean / F.sqrt(var / n))
+        # try_divide: a zero-variance diff set (constant — e.g. every
+        # value NULL, so every per-user diff is 0) makes the standard
+        # error 0; the oracle's x/0 is NULL where ANSI raises (r9
+        # null-measures sweep)
+        F.round(F.try_divide(1000.0 * mean, F.sqrt(var / n)))
         .cast("long")
         .alias("t_milli"),
     )

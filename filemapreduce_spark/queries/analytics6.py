@@ -186,7 +186,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS y
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), pre AS (
       SELECT event_type, day, y,
              ROW_NUMBER() OVER w AS k,
@@ -238,7 +238,9 @@ def changepoint_sse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     never by event volume — and is PARTITIONED BY event_type (no
     global window). One shuffle on event_type.
     """
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are on no day (r9 null sweep: the NULL day
+    # group shifted every cumulative prefix sl)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("y"))

@@ -347,14 +347,25 @@ def xml_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARSED fields — proving schema-directed extraction round-trips.
     Row-local; the oracle aggregates the original columns."""
     o = t(spark, sf_dir, "orders")
+
+    # a NULL field must become an OMITTED tag (parses back to NULL),
+    # not poison the whole fragment: plain concat() null-propagates,
+    # so one NULL field nulled the entire XML and every OTHER field's
+    # value vanished from the aggregates with it (r9 null sweep)
+    def tag(name: str, col):
+        return F.when(
+            col.isNotNull(),
+            F.concat(
+                F.lit(f"<{name}>"), col.cast("string"), F.lit(f"</{name}>")
+            ),
+        ).otherwise(F.lit(""))
+
     xml = F.concat(
-        F.lit("<o><k>"),
-        F.col("o_orderkey").cast("string"),
-        F.lit("</k><p>"),
-        F.col("o_orderpriority"),
-        F.lit("</p><t>"),
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-        F.lit("</t></o>"),
+        F.lit("<o>"),
+        tag("k", F.col("o_orderkey")),
+        tag("p", F.col("o_orderpriority")),
+        tag("t", F.round(F.col("o_totalprice") * 100).cast("long")),
+        F.lit("</o>"),
     )
     parsed = o.select(
         F.from_xml(xml, "k BIGINT, p STRING, t BIGINT").alias("x")
@@ -489,6 +500,7 @@ def masked_rls_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       JOIN customer ON c_custkey = o_custkey
       JOIN nation ON n_nationkey = c_nationkey
+      WHERE o_orderpriority IS NOT NULL
       GROUP BY n_name, o_orderpriority
     )
     SELECT n_name, pri, n_old, n_new, n_new - n_old AS delta
@@ -510,8 +522,11 @@ def map_algebra_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     cut = F.lit("1997-01-01").cast("timestamp")
+    # a map key cannot be NULL (Spark raises NULL_MAP_KEY; r9 null
+    # sweep) — unprioritized orders carry no map entry, both sides
     base = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.where(F.col("o_orderpriority").isNotNull())
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.col("o_orderpriority").alias("pri"))
         .agg(
@@ -650,9 +665,10 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'root' ELSE 'leaf' END AS level,
            COUNT(*) AS n,
            BIT_XOR(('0x' || substring(md5(
-             CAST(l_orderkey AS VARCHAR) || '|' ||
-             CAST(l_linenumber AS VARCHAR) || '|' ||
-             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+             COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>') || '|' ||
+             COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>') || '|' ||
+             COALESCE(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+               AS VARCHAR), '<NULL>')
            ), 1, 15))::BIGINT) AS checksum
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag),
@@ -672,16 +688,28 @@ def merkle_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB."""
     li = t(spark, sf_dir, "lineitem")
     month = F.date_format("l_shipdate", "yyyy-MM")
+    # explicit <NULL> sentinel per field: concat_ws silently SKIPS
+    # null operands, making (NULL, x) and (x) hash identically — a
+    # checksum must encode NULL distinctly (r9 null sweep; same fix
+    # as table_checksum_by_flag)
     row_hash = F.conv(
         F.substring(
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.col("l_orderkey").cast("string"),
-                    F.col("l_linenumber").cast("string"),
-                    F.round(F.col("l_extendedprice") * 100)
-                    .cast("long")
-                    .cast("string"),
+                    F.coalesce(
+                        F.col("l_orderkey").cast("string"), F.lit("<NULL>")
+                    ),
+                    F.coalesce(
+                        F.col("l_linenumber").cast("string"),
+                        F.lit("<NULL>"),
+                    ),
+                    F.coalesce(
+                        F.round(F.col("l_extendedprice") * 100)
+                        .cast("long")
+                        .cast("string"),
+                        F.lit("<NULL>"),
+                    ),
                 )
             ),
             1,

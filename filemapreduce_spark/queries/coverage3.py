@@ -436,7 +436,7 @@ def bfs_3hop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), tot AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(v) AS BIGINT) AS s
@@ -474,7 +474,9 @@ def cusum_top_deviations(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle over daily rows, which are already ~5 orders of magnitude
     smaller than the event scan at any SF.
     """
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are on no day (r9 null sweep: NULL day group
+    # sits at opposite cumulative-window ends across engines)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(cents("value")).alias("v"))

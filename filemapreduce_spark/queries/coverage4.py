@@ -29,15 +29,28 @@ from filemapreduce_spark.sources.tables import load_table as t
                      THEN 1 ELSE 0 END AS BIGINT) AS is_key
     FROM lineitem
     UNION ALL
+    -- the FILTER mirrors SQL multi-column COUNT(DISTINCT a, b)
+    -- semantics (rows with ANY NULL component are not countable key
+    -- values); DuckDB's (a, b) struct would count NULL-bearing rows.
+    -- is_key still compares against ALL rows, so a nullable column
+    -- can never certify as a key — the correct audit outcome.
     SELECT 'l_orderkey,l_linenumber', COUNT(*),
-           CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) FILTER (
+             l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+           ) AS BIGINT),
            CAST(CASE WHEN COUNT(DISTINCT (l_orderkey, l_linenumber))
+                          FILTER (l_orderkey IS NOT NULL
+                                  AND l_linenumber IS NOT NULL)
                           = COUNT(*) THEN 1 ELSE 0 END AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'l_partkey,l_suppkey', COUNT(*),
-           CAST(COUNT(DISTINCT (l_partkey, l_suppkey)) AS BIGINT),
+           CAST(COUNT(DISTINCT (l_partkey, l_suppkey)) FILTER (
+             l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+           ) AS BIGINT),
            CAST(CASE WHEN COUNT(DISTINCT (l_partkey, l_suppkey))
+                          FILTER (l_partkey IS NOT NULL
+                                  AND l_suppkey IS NOT NULL)
                           = COUNT(*) THEN 1 ELSE 0 END AS BIGINT)
     FROM lineitem
     ORDER BY combo
@@ -93,7 +106,9 @@ def candidate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
     ), pairs AS (
       SELECT a.event_type, k.k, a.cents AS x, b.cents AS y
       FROM daily a
@@ -138,7 +153,13 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     the day+k partner (if present) sits at some row offset j ≤ k, so
     scanning all 7 offsets reproduces the lag-join pairing exactly.
     """
-    e = t(spark, sf_dir, "events")
+    # a NULL event_type is no series (the oracle's equi self-join
+    # never matches NULL=NULL, while partitionBy would happily group
+    # it — r9 null sweep: 7 phantom lag rows) and a NULL ts is on no
+    # day; declared on both sides
+    e = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(cents("value")).cast("long").alias("cents"))
@@ -665,7 +686,8 @@ def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "banded_dense_row_ids",
     """
     SELECT doc_id, n_chars,
-           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY n_chars NULLS FIRST, doc_id) - 1 AS BIGINT)
              AS global_id
     FROM documents
     ORDER BY global_id
@@ -690,14 +712,22 @@ def banded_dense_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by band and the data shuffles once on the band key.
     """
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    band = (F.col("n_chars") / 64).cast("long")
+    # NULL n_chars gets its own FIRST band (-1): a NULL band key
+    # would vanish at the offsets equi-join (NULL never joins — the
+    # all-NULL fixture returned 0 rows) and NULLS FIRST matches
+    # Spark's ASC default, pinned in the oracle (r9 null sweep)
+    band = F.when(F.col("n_chars").isNull(), F.lit(-1)).otherwise(
+        (F.col("n_chars") / 64).cast("long")
+    )
     ranked = d.select(
         "doc_id",
         "n_chars",
         band.alias("band"),
         F.row_number()
         .over(
-            Window.partitionBy(band).orderBy("n_chars", "doc_id")
+            Window.partitionBy(band).orderBy(
+                F.asc_nulls_first("n_chars"), "doc_id"
+            )
         )
         .alias("rnk"),
     )
@@ -903,7 +933,12 @@ def _runs(df):
     "scd2_incremental_merge",
     """
     WITH e AS (
+      -- dimension history needs a KEY: a NULL user_id is no entity
+      -- (Kimball unknown-member routing happens upstream) — without
+      -- this the incremental path's equi-joins on user_id can never
+      -- merge the NULL entity's base and delta runs (r9 null sweep)
       SELECT user_id, event_type, ts, event_id FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ), marked AS (
       SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                      THEN 1 ELSE 0 END AS chg
@@ -937,7 +972,12 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     data — the point of incrementality); the merge is a per-user
     join of run summaries, shuffled on user_id only.
     """
-    e = t(spark, sf_dir, "events")
+    # NULL observation times are off the history axis (they would
+    # also fall through BOTH the <cut and >=cut slices, silently
+    # vanishing from the incremental build only; r9 null sweep)
+    e = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     cut = F.lit(_SCD2_CUT).cast("timestamp")
     base = _runs(e.where(F.col("ts") < cut))
     delta = _runs(e.where(F.col("ts") >= cut))
@@ -949,23 +989,40 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lv.version").alias("last_v"),
         F.col("lv.event_type").alias("last_type"),
     )
-    # _runs numbers the first run 1 (lag NULL -> chg=1), so the
-    # delta's opening run is version == 1
-    first_delta = delta.where(F.col("version") == 1).select(
-        "user_id",
-        F.col("event_type").alias("first_type"),
-        F.col("n_events").alias("first_n"),
+    # the delta's opening run is its MINIMUM version — NOT literally
+    # 1: the run detector cannot mark a first row whose type is NULL
+    # (lag NULL <=> NULL type is a continuation, so numbering starts
+    # at 0 — the full rebuild shares the same convention, which is
+    # why versions stay consistent as long as the stitch is RELATIVE
+    # to the actual minimum; r9 null sweep)
+    dmin = delta.groupBy("user_id").agg(F.min("version").alias("dmin"))
+    first_delta = (
+        delta.join(dmin, "user_id")
+        .where(F.col("version") == F.col("dmin"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_type"),
+            F.col("n_events").alias("first_n"),
+            "dmin",
+        )
     )
+    # NULL-SAFE run stitching: the run detector (`IS DISTINCT FROM`)
+    # continues a run of NULL attribute values, so the cross-cut merge
+    # test must too — existence comes from the run markers (last_v /
+    # first_n), equality from <=>. Requiring non-null TYPES split
+    # every NULL run at the cut and shifted all later versions by one
+    # vs the full rebuild (r9 null sweep).
     info = last.join(first_delta, "user_id", "full").select(
         "user_id",
         "last_v",
         "last_type",
         "first_type",
         "first_n",
+        "dmin",
         (
-            F.col("last_type").isNotNull()
-            & F.col("first_type").isNotNull()
-            & (F.col("last_type") == F.col("first_type"))
+            F.col("last_v").isNotNull()
+            & F.col("first_n").isNotNull()
+            & F.col("last_type").eqNullSafe(F.col("first_type"))
         ).alias("merges"),
     )
 
@@ -983,13 +1040,16 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from_us",
     )
     d = delta.join(info, "user_id", "left")
+    # rel = the run's 0-based position within the delta — versioning
+    # math anchored to dmin, not a literal 1 (see first_delta note)
+    rel = F.col("version") - F.col("dmin")
     delta_out = d.where(
-        ~(F.coalesce(F.col("merges"), F.lit(False)) & (F.col("version") == 1))
+        ~(F.coalesce(F.col("merges"), F.lit(False)) & (rel == 0))
     ).select(
         "user_id",
         F.when(F.col("last_v").isNull(), F.col("version"))
-        .when(F.col("merges"), F.col("last_v") + F.col("version") - 1)
-        .otherwise(F.col("last_v") + F.col("version"))
+        .when(F.col("merges"), F.col("last_v") + rel)
+        .otherwise(F.col("last_v") + rel + 1)
         .cast("long")
         .alias("version"),
         "event_type",
@@ -1065,8 +1125,13 @@ def fk_containment_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     def edge(pair: str, child, ckey: str, parent, pkey: str):
         ck = child.select(F.col(ckey).alias("k")).distinct()
         pk = parent.select(F.col(pkey).alias("k"))
+        # count("k") not count("*"): the distinct table keeps a NULL
+        # row when the FK is nullable, but COUNT(DISTINCT key) — and
+        # FK containment itself — is defined over non-NULL keys (a
+        # NULL FK violates nothing; r9 null sweep, same class as the
+        # r8-advice NDV fix)
         n = ck.agg(
-            F.count("*").alias("child_keys"),
+            F.count("k").alias("child_keys"),
         )
         inn = ck.join(pk.distinct(), "k", "semi").agg(
             F.count("*").alias("contained")

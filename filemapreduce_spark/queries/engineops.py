@@ -55,7 +55,11 @@ def _vfs_docs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     def build() -> dict[str, str]:
         rows = (
             t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < _DOC_CAP)
+            .filter(
+                (F.col("doc_id") < _DOC_CAP)
+                & F.col("source").isNotNull()
+                & F.col("lang").isNotNull()
+            )
             .select("doc_id", "source", "lang", "text")
             .collect()
         )
@@ -89,7 +93,14 @@ def _vfs_orders_json(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return _vfs_cached(spark, (id(spark), sf_dir, "orders_json"), build)
 
 
-_SQL_DOC_SUB = f"(SELECT * FROM documents WHERE doc_id < {_DOC_CAP})"
+# source/lang are path SEGMENTS in the VFS layout: a document with a
+# NULL segment has no path and is not a file (the Python f-string
+# would render a literal "None/" segment while SQL || nulls the whole
+# path — r9 null sweep); declared identically in the VFS builder below
+_SQL_DOC_SUB = (
+    f"(SELECT * FROM documents WHERE doc_id < {_DOC_CAP}"
+    " AND source IS NOT NULL AND lang IS NOT NULL)"
+)
 
 
 # --------------------------------------------------------------------

@@ -83,6 +83,7 @@ def glob_multifilter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source || '/' || lang AS dir,
              source, lang, n_chars
       FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
     )
     SELECT dir, COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM f GROUP BY dir, source, lang
@@ -93,7 +94,13 @@ def glob_multifilter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hierarchical_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-level rollup over a synthesized source/lang hierarchy
     (the 'aggregate per folder' file-engine pattern, relationally)."""
-    d = t(spark, sf_dir, "documents")
+    # a NULL source/lang is no directory segment: concat_ws would
+    # silently COLLAPSE the missing segment ('src3' instead of
+    # 'src3/<lang>'), merging a NULL-lang file into its parent dir,
+    # while the oracle's || nulls the whole dir (r9 null sweep)
+    d = t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
     return (
         d.select(
             F.concat_ws("/", "source", "lang").alias("dir"),
@@ -111,17 +118,20 @@ def hierarchical_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "parents_prefix_inheritance",
     """
-    WITH data AS (
+    WITH docs AS (
+      SELECT * FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+    ), data AS (
       SELECT source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.txt'
                AS path,
              source || '/' || lang AS fdir, n_chars
-      FROM documents
+      FROM docs
     ), metas AS (
       SELECT '' AS mdir, 3 AS w
       UNION ALL
-      SELECT DISTINCT source, length(source) % 5 + 2 FROM documents
+      SELECT DISTINCT source, length(source) % 5 + 2 FROM docs
       UNION ALL
-      SELECT DISTINCT source || '/' || lang, 100 FROM documents
+      SELECT DISTINCT source || '/' || lang, 100 FROM docs
     ), j AS (
       SELECT d.path, d.n_chars, m.w
       FROM data d JOIN metas m
@@ -150,7 +160,12 @@ def parents_prefix_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filemapreduce_spark.core.parents import attach_parents
     from filemapreduce_spark.globs import MultiFilter
 
-    d = t(spark, sf_dir, "documents")
+    # NULL source/lang is no path segment (concat_ws would collapse
+    # the segment and reparent the file; r9 null sweep — same
+    # declared layout semantics as hierarchical_rollup_paths)
+    d = t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
     data = d.select(
         F.concat_ws(
             "/",

@@ -811,7 +811,7 @@ _PCTL_BAND_MIN_ROWS = 100
     f"""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
-           COUNT(*) >= {_PCTL_BAND_MIN_ROWS} AS band_checked,
+           COUNT(value) >= {_PCTL_BAND_MIN_ROWS} AS band_checked,
            TRUE AS users_within_5pct,
            TRUE AS p50_in_band,
            TRUE AS p99_in_band
@@ -841,25 +841,28 @@ def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(
             exact_users.alias("exact_users"),
-            # band contracts are asserted only for groups at/above
-            # _PCTL_BAND_MIN_ROWS (see the constant's comment); this
-            # column tells the harness WHICH groups were asserted so
-            # the vacuous-truth regime is hash-visible, not silent
-            (F.count(F.lit(1)) >= _PCTL_BAND_MIN_ROWS).alias(
+            # band contracts are asserted only for groups with at
+            # least _PCTL_BAND_MIN_ROWS OBSERVED values — count the
+            # value column, not rows, so an all-NULL group is the
+            # vacuous regime (TRUE) instead of NULL-poisoning the
+            # boolean into a pandas object column (r9 null-measures
+            # sweep); this column tells the harness WHICH groups were
+            # asserted so vacuous truth is hash-visible, not silent
+            (F.count("value") >= _PCTL_BAND_MIN_ROWS).alias(
                 "band_checked"
             ),
             (
                 F.abs(approx_users - exact_users) * 20 <= exact_users
             ).alias("users_within_5pct"),
             (
-                (F.count(F.lit(1)) < _PCTL_BAND_MIN_ROWS)
+                (F.count("value") < _PCTL_BAND_MIN_ROWS)
                 | ap50.between(
                     F.percentile("value", F.lit(0.45)),
                     F.percentile("value", F.lit(0.55)),
                 )
             ).alias("p50_in_band"),
             (
-                (F.count(F.lit(1)) < _PCTL_BAND_MIN_ROWS)
+                (F.count("value") < _PCTL_BAND_MIN_ROWS)
                 | ap99.between(
                     F.percentile("value", F.lit(0.94)),
                     F.percentile("value", F.lit(1.0)),

@@ -817,12 +817,14 @@ _CUR_TOP = 100
       SELECT source,
              ROW_NUMBER() OVER (ORDER BY source) AS sidx,
              (SELECT COUNT(DISTINCT source) FROM documents) AS n_src
-      FROM (SELECT DISTINCT source FROM documents)
+      FROM (SELECT DISTINCT source FROM documents
+            WHERE source IS NOT NULL)
     ), rk AS (
       SELECT doc_id, source, n_chars,
              ROW_NUMBER() OVER (PARTITION BY source
                                 ORDER BY n_chars, doc_id) AS r
       FROM documents
+      WHERE source IS NOT NULL
     )
     SELECT CAST((rk.r - 1) * si.n_src + si.sidx AS BIGINT) AS position,
            rk.doc_id, rk.source, rk.n_chars
@@ -850,7 +852,11 @@ def curriculum_interleave_order(
     is returned. The full ordered write would partition by
     position ranges with the same arithmetic.
     """
-    d = t(spark, sf_dir, "documents")
+    # a NULL source is no interleave stream: it would shift every
+    # real source's round-robin index by one — at OPPOSITE ends in
+    # the two engines (NULLS FIRST vs LAST in the sidx ordering) —
+    # while the equi-join dropped its own rows anyway (r9 null sweep)
+    d = t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
     from pyspark.sql import Window
 
     srcs = d.select("source").distinct()

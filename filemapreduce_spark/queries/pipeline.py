@@ -347,9 +347,12 @@ def mixture_resample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
              - 0.1  * CAST(n_long AS DOUBLE)
              + 0.002 * CAST(n_chars AS DOUBLE)
            ))), 6) AS quality_prob,
-           (0.05 * CAST(n_words AS DOUBLE)
+           -- unscorable docs (NULL feature) are declared keep=FALSE:
+           -- a bare >= returns NULL and the two engines render the
+           -- NULL boolean differently (r9 null-measures sweep)
+           COALESCE((0.05 * CAST(n_words AS DOUBLE)
              - 0.1 * CAST(n_long AS DOUBLE)
-             + 0.002 * CAST(n_chars AS DOUBLE)) >= 2.0 AS keep
+             + 0.002 * CAST(n_chars AS DOUBLE)) >= 2.0, FALSE) AS keep
     FROM f ORDER BY doc_id
     """,
     tags=("llm", "scoring"),
@@ -395,7 +398,7 @@ def classifier_score_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
             "quality_prob"
         ),
-        (margin >= 2.0).alias("keep"),
+        F.coalesce(margin >= 2.0, F.lit(False)).alias("keep"),
     ).orderBy("doc_id")
 
 
@@ -459,8 +462,11 @@ def bpe_pair_counts_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skyline_parts_price_size",
     """
     WITH pairs AS (
+      -- a part with unknown price or size has no dominance position
+      -- and cannot sit on the front (r9 null-measures sweep)
       SELECT DISTINCT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
              p_size FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     )
     SELECT a.price_cents, a.p_size AS size,
            (SELECT COUNT(*) FROM part p
@@ -490,8 +496,13 @@ def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle's NOT EXISTS formulation independently proves the
     algebra.
     """
-    p = t(spark, sf_dir, "part").select(
-        cents("p_retailprice").alias("price_cents"), "p_size"
+    # unknown price/size has no dominance position (see oracle note)
+    p = (
+        t(spark, sf_dir, "part")
+        .where(
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        )
+        .select(cents("p_retailprice").alias("price_cents"), "p_size")
     )
     bucket = (F.col("price_cents") / 100000).cast("long")
     per_price = (
@@ -605,7 +616,9 @@ def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contingency_chi2_cells",
     """
     WITH obs AS (
-      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+      SELECT lang, source, COUNT(*) AS n FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY lang, source
     ),
     margins AS (
       SELECT o.lang, o.source, o.n,
@@ -639,7 +652,13 @@ def contingency_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the standard pattern for feature×label dependence
     screening over a corpus.
     """
-    d = t(spark, sf_dir, "documents")
+    # a chi-square contingency table is over OBSERVED categories: a
+    # NULL lang/source is no category, declared on both sides (r9
+    # null sweep: the oracle's window margins kept NULL cells that
+    # Spark's equi-join margins dropped)
+    d = t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     # obs feeds four consumers (margins base + three marginal aggs) —
     # persist the lang×source cell table (tiny) so the corpus count
     # runs once, not once per reference
@@ -768,6 +787,7 @@ def sequence_pack_cu_seqlens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) AS ep, ts, event_type
       FROM events
+      WHERE ts IS NOT NULL
     ), l AS (
       SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   AS prev
@@ -781,9 +801,12 @@ def sequence_pack_cu_seqlens(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM f
     ), pat AS (
+      -- COALESCE: a session whose every event is untyped aggregates
+      -- NULL in string_agg but '' in Spark's array_join — declare
+      -- the empty pattern (r9 null sweep)
       SELECT user_id, sid,
-             string_agg(upper(substring(event_type, 1, 1)), ''
-                        ORDER BY ts, event_id) AS pattern
+             COALESCE(string_agg(upper(substring(event_type, 1, 1)), ''
+                        ORDER BY ts, event_id), '') AS pattern
       FROM s GROUP BY user_id, sid
     )
     SELECT pattern, COUNT(*) AS n_sessions,
@@ -803,7 +826,9 @@ def session_pattern_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation datasets. Sessionization and the ordered
     string_agg reuse ONE user_id shuffle; the pattern count is a
     second small agg."""
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are off the session axis (same declared
+    # semantics as sessionize_events; r9 null sweep)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     s = (
@@ -852,7 +877,9 @@ def session_pattern_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS n_blobs,
-           COUNT(*) AS n_valid_magic,
+           -- a NULL n_chars synthesizes no blob, hence no magic:
+           -- COUNT(n_chars), not COUNT(*) (r9 null-measures sweep)
+           COUNT(n_chars) AS n_valid_magic,
            CAST(SUM(16 + n_chars % 4080) AS BIGINT) AS sum_width,
            CAST(SUM(16 + (n_chars * 7) % 4080) AS BIGINT) AS sum_height
     FROM documents

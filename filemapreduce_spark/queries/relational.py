@@ -487,20 +487,29 @@ def window_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+                        l_linenumber
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
     FROM lineitem
     WHERE l_suppkey < 10
-    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    ORDER BY l_suppkey, l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+             l_linenumber
     """,
     tags=("window",),
 )
 def window_running_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per key — frame-based window aggregation."""
+    """Running total per key — frame-based window aggregation.
+
+    Declared NULL ordering: undated rows run FIRST (explicit NULLS
+    FIRST on both sides — Spark's ASC default, DuckDB defaults to
+    NULLS LAST, so an implicit ordering diverges the running prefix
+    on NULL-bearing shipdates; r9 null sweep)."""
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            F.asc_nulls_first("l_shipdate"), "l_orderkey", "l_linenumber"
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -826,7 +835,12 @@ def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("n_words"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # concat (NULL-propagating, SQL-standard ||), NOT concat_ws:
+        # concat_ws silently SKIPS null operands, so a NULL brand
+        # produced ':TYPE' here while the oracle's || produced NULL
+        # (r9 null sweep) — an unknown component makes the composite
+        # unknown
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
     ).orderBy("p_partkey")
 
@@ -1010,8 +1024,19 @@ def range_join_signup_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(1, 3_600_000_000)  # (+1us, +1h] in microseconds
     )
+    # NULL semantics, declared: a NULL-key or NULL-time signup has no
+    # follow window — the oracle's join predicates are never true for
+    # NULL — but stays in the output with n_follow=0 (LEFT join). The
+    # window itself would otherwise count fellow NULL-ordered rows
+    # (Spark groups NULL order values into one frame) or fellow
+    # NULL-user rows (partitionBy groups NULLs), which the SQL
+    # equi+theta predicates never match (r9 null sweep).
+    valid = F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     return (
-        e.withColumn("n_follow", F.count(F.lit(1)).over(w))
+        e.withColumn(
+            "n_follow",
+            F.when(valid, F.count(F.lit(1)).over(w)).otherwise(F.lit(0)),
+        )
         .filter(F.col("event_type") == "signup")
         .select(F.col("event_id").alias("signup_id"), "n_follow")
         .orderBy("signup_id")
@@ -1158,7 +1183,8 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT user_id, event_id, ts,
              row_number() OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               PARTITION BY user_id
+               ORDER BY ts NULLS FIRST, event_id) AS rn
       FROM events
     )
     SELECT user_id, event_id,
@@ -1179,7 +1205,12 @@ def systematic_sample_user_events(spark: SparkSession, sf_dir: str) -> DataFrame
     partitioned (parallel) and the modulo filter is row-local.
     """
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # explicit NULLS FIRST: Spark's ASC default — pinned on both sides
+    # so undated rows take the same stream positions in the oracle
+    # (DuckDB defaults NULLS LAST; r9 null sweep)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), "event_id"
+    )
     return (
         e.select(
             "user_id", "event_id", "ts", F.row_number().over(w).alias("rn")
@@ -1315,7 +1346,11 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(o_totalprice * 0.1 * 100) AS BIGINT) AS tax_est,
                CAST(round(o_totalprice * 0.9 * 100) AS BIGINT) AS net_est
         FROM orders WHERE o_orderkey <= 1000
-      ) UNPIVOT (amount_cents FOR kind IN (total, tax_est, net_est))
+      ) -- INCLUDE NULLS: melt KEEPS missing measures as NULL rows
+        -- (Spark's unpivot does; bare DuckDB UNPIVOT silently drops
+        -- them — the all-NULL fixture returned 0 rows; r9 sweep)
+        UNPIVOT INCLUDE NULLS
+        (amount_cents FOR kind IN (total, tax_est, net_est))
     )
     ORDER BY o_orderkey, kind
     """,
@@ -1398,9 +1433,13 @@ def window_range_30day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_order_parts",
     """
     SELECT l_orderkey,
-           array_to_string(list_sort(list(l_partkey)), ',') AS parts,
-           CAST(len(list(l_partkey)) AS INT) AS n_parts,
-           CAST(list_sort(list(l_partkey))[1] AS BIGINT) AS first_part
+           COALESCE(array_to_string(list_sort(
+             list(l_partkey) FILTER (l_partkey IS NOT NULL)), ','), '')
+             AS parts,
+           CAST(COALESCE(len(list(l_partkey)
+             FILTER (l_partkey IS NOT NULL)), 0) AS INT) AS n_parts,
+           CAST(list_sort(list(l_partkey)
+             FILTER (l_partkey IS NOT NULL))[1] AS BIGINT) AS first_part
     FROM lineitem
     WHERE l_orderkey <= 500
     GROUP BY l_orderkey
@@ -1413,6 +1452,13 @@ def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SORTED array (collect_list order is nondeterministic across
     partitions — sort_array makes it hash-verifiable), plus array
     accessors.
+
+    NULL semantics, declared: collected arrays hold NON-NULL part
+    keys (Spark's collect_list drops NULLs; the oracle's list()
+    KEEPS them, so it carries an explicit FILTER), and the first
+    element of an all-NULL group's EMPTY array is NULL via
+    try_element_at — plain element_at raises INVALID_ARRAY_INDEX
+    under ANSI (r9 null-sweep crash).
     """
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
     parts = F.sort_array(F.collect_list("l_partkey"))
@@ -1421,7 +1467,7 @@ def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.array_join(parts.cast("array<string>"), ",").alias("parts"),
             F.size(F.collect_list("l_partkey")).alias("n_parts"),
-            F.element_at(parts, 1).alias("first_part"),
+            F.try_element_at(parts, F.lit(1)).alias("first_part"),
         )
         .orderBy("l_orderkey")
     )
@@ -1511,8 +1557,17 @@ def incremental_reduce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     keys = ["l_returnflag", "l_linestatus"]
     qty = F.col("l_quantity").cast("long")
+    # the history/delta split must PARTITION the table: a NULL
+    # shipdate fails both `< D` and `>= D`, so undated rows silently
+    # vanished from the merged state while the one-pass oracle counted
+    # them (r9 null sweep) — undated rows are declared history
     history = partial_state(
-        li.filter(F.col("l_shipdate") < "1997-01-01"), keys, qty
+        li.filter(
+            (F.col("l_shipdate") < "1997-01-01")
+            | F.col("l_shipdate").isNull()
+        ),
+        keys,
+        qty,
     )
     delta = partial_state(
         li.filter(F.col("l_shipdate") >= "1997-01-01"), keys, qty
@@ -1700,7 +1755,9 @@ def join_null_safe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT user_id) AS n_users_exact,
            TRUE AS merge_within_2pct,
            TRUE AS est_within_5pct
-    FROM events GROUP BY 1 ORDER BY day
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1 ORDER BY day
     """,
     tags=("agg", "sketch", "incremental"),
 )
@@ -1728,10 +1785,19 @@ def hll_sketch_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, week, global) merges those sketches — constant-size state,
     no re-shuffle of raw rows.
     """
-    e = t(spark, sf_dir, "events").select(
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        "event_type",
-        "user_id",
+    # NULL event-times are on no day (the per-day equi self-join of
+    # direct vs merged estimates would silently drop a NULL day group
+    # anyway — declare the exclusion instead; r9 null sweep)
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+            "user_id",
+        )
     )
     per_type = e.groupBy("day", "event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -1771,6 +1837,7 @@ def hll_sketch_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT user_id, event_type, ts, event_id FROM events
+      WHERE ts IS NOT NULL
     ), marked AS (
       SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                      THEN 1 ELSE 0 END AS chg
@@ -1800,8 +1867,12 @@ def scd2_user_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NULL observation times carry no validity interval — off the
+    # history axis on both sides (r9 null sweep: NULLS FIRST vs LAST
+    # produced different version runs)
     runs = (
         t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
         .select("user_id", "event_type", "ts", "event_id")
         .withColumn(
             "chg",
@@ -1831,7 +1902,8 @@ def scd2_user_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_user AS (
       SELECT user_id, event_type,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events WHERE user_id < 20 GROUP BY user_id, event_type
+      FROM events WHERE user_id < 20 AND event_type IS NOT NULL
+      GROUP BY user_id, event_type
     )
     SELECT user_id, event_type,
            CAST(cents / 100.0 AS DOUBLE) AS type_value,
@@ -1851,9 +1923,12 @@ def map_ops_type_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one grouped agg builds the map per user; explode is
     row-local; nothing leaves the user_id partitioning.
     """
+    # a map cannot hold a NULL key (Spark raises NULL_MAP_KEY at
+    # map_from_entries; r9 null-sweep crash) — declared: untyped
+    # events carry no map entry, on both sides
     per_user = (
         t(spark, sf_dir, "events")
-        .filter(F.col("user_id") < 20)
+        .filter((F.col("user_id") < 20) & F.col("event_type").isNotNull())
         .groupBy("user_id", "event_type")
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
@@ -2573,9 +2648,10 @@ def window_nav_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n,
            BIT_XOR(('0x' || substring(md5(
-             CAST(l_orderkey AS VARCHAR) || '|' ||
-             CAST(l_linenumber AS VARCHAR) || '|' ||
-             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+             COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>') || '|' ||
+             COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>') || '|' ||
+             COALESCE(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+               AS VARCHAR), '<NULL>')
            ), 1, 15))::BIGINT) AS checksum
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -2587,13 +2663,19 @@ def table_checksum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative with no overflow, so the checksum is identical for any
     row order, partitioning, or engine — the cheap way to certify two
     100 TB copies (or a migration) match without sorting anything.
+
+    NULL encoding is EXPLICIT (`<NULL>` sentinel per field): concat_ws
+    silently skips null operands, so (NULL, 2, x) and (2, x) hashed
+    identically — a checksum that cannot distinguish NULL from absent
+    is not a checksum (r9 null sweep; the oracle's || chain instead
+    nulled the whole row hash, dropping the row from the XOR).
     """
     li = t(spark, sf_dir, "lineitem")
     row_str = F.concat_ws(
         "|",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-        cents("l_extendedprice").cast("string"),
+        F.coalesce(F.col("l_orderkey").cast("string"), F.lit("<NULL>")),
+        F.coalesce(F.col("l_linenumber").cast("string"), F.lit("<NULL>")),
+        F.coalesce(cents("l_extendedprice").cast("string"), F.lit("<NULL>")),
     )
     row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
     return (
@@ -2985,8 +3067,17 @@ def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
     ), p AS (
+      -- undated purchases never match (operator semantics): without
+      -- the filter the three independent FIRST_VALUE(x IGNORE NULLS)
+      -- picks mixed FIELDS FROM DIFFERENT ROWS — a NULL-ts purchase
+      -- donated next_id/next_cents while a later row donated next_ts
+      -- (r9 null sweep)
+      -- ...and neither do keyless ones (SQL equi-join semantics:
+      -- NULL user never equals NULL user; the window's PARTITION BY
+      -- would happily group them)
       SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
+        AND ts IS NOT NULL AND user_id IS NOT NULL
     ), u AS (
       SELECT user_id, ts, 1 AS side, event_id AS click_id,
              NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts,

@@ -58,6 +58,7 @@ atexit.register(_cleanup_pending)
            COUNT(*) AS n,
            CAST(SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY day, event_type
     """,
@@ -69,7 +70,12 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     to completion with availableNow). The oracle is the batch
     equivalent — identical by the replayability of bounded streams."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    stream = _events_stream(spark, sf_dir)
+    # Declared NULL-time semantics: an event without a timestamp is
+    # off the time axis. F.window() already drops NULL event-times
+    # (the window generator emits no row); the explicit filter makes
+    # the contract visible and keeps the DuckDB oracle (WHERE ts IS
+    # NOT NULL) aligned on NULL-saturated inputs (r9 null sweep).
+    stream = _events_stream(spark, sf_dir).where(F.col("ts").isNotNull())
     agg = (
         stream
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -102,6 +108,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) AS ep, ts FROM events
+      WHERE ts IS NOT NULL
     ), l AS (
       SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM e
@@ -125,8 +132,14 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative
     session index — one shuffle by user, fully distributed."""
-    e = t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", F.unix_micros("ts").alias("ep")
+    # NULL event-times are off the time axis: a session is a gap
+    # structure ON time, and Spark NULLS FIRST vs DuckDB NULLS LAST
+    # would otherwise place the undated rows at opposite ends of every
+    # user's ordering (r9 null sweep: 977 vs 961 sessions)
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", F.unix_micros("ts").alias("ep"))
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -261,6 +274,7 @@ def _run_to_memory(
       SELECT to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200)
                AS w1, ts, event_type, value
       FROM events
+      WHERE ts IS NOT NULL
     ), expanded AS (
       SELECT w1 AS ws, event_type, value FROM w
       UNION ALL
@@ -284,7 +298,12 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped and their windows evicted); the agg itself is the standard
     partial/final shuffle keyed by (window, event_type).
     """
-    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    # NULL event-times are off the time axis (see tumbling_counts)
+    stream = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 day")
+    )
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     agg = (
         stream.groupBy(
@@ -345,14 +364,25 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         types = set(types)
         for pdf in pdfs:
             n += len(pdf)
-            mx = max(mx, pdf["value"].max())
-            types |= set(pdf["event_type"])
+            # skipna max, then guard: an all-NULL batch yields NaN and
+            # max(-inf, NaN) is order-dependent garbage; COUNT(DISTINCT
+            # event_type) excludes NULLs, so drop None before the set
+            # union (sorted() over mixed None/str raises — r9 null
+            # sweep crash)
+            v = pdf["value"].max()
+            if pd.notna(v):
+                mx = max(mx, float(v))
+            types |= {x for x in pdf["event_type"] if x is not None}
         state.update((n, float(mx), sorted(types)))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "max_value": [round(mx, 6)],
+                # never-observed value (all NULL) reports NULL, matching
+                # the oracle's MAX over an all-NULL group
+                "max_value": [
+                    round(mx, 6) if mx != float("-inf") else None
+                ],
                 "n_types": [len(types)],
             }
         )
@@ -513,6 +543,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) AS ep, ts FROM events
+      WHERE ts IS NOT NULL
     ), l AS (
       SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM e
@@ -545,7 +576,13 @@ def streaming_session_window_native(
     not history — the property that makes gap sessionization feasible
     on an unbounded 100 TB/day stream.
     """
-    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    # NULL event-times are off the time axis (session_window drops
+    # them; the filter makes the declared semantics explicit)
+    stream = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 day")
+    )
     agg = stream.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -570,6 +607,7 @@ def streaming_session_window_native(
     """
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) AS ep, ts FROM events
+      WHERE ts IS NOT NULL
     ), l AS (
       SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM e
@@ -604,7 +642,8 @@ def session_window_batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions + linear merge), the same single-shuffle cost as the
     manual formulation.
     """
-    e = t(spark, sf_dir, "events")
+    # NULL event-times are off the time axis (see the streaming twin)
+    e = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     sw = F.session_window("ts", "30 minutes")
     return (
         e.groupBy("user_id", sw)
@@ -638,8 +677,12 @@ def session_window_batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
-             AS total_cents
+           -- COALESCE 0: the upsert sink's additive state starts at
+           -- the monoid identity, so a user whose every value is
+           -- NULL accumulates 0 (SUM alone would be NULL; r9
+           -- null-measures sweep)
+           COALESCE(CAST(SUM(CAST(round(value*100) AS BIGINT))
+             AS BIGINT), 0) AS total_cents
     FROM events
     GROUP BY user_id
     ORDER BY user_id
@@ -689,15 +732,37 @@ def streaming_foreachbatch_upsert(
             .alias("total_cents"),
         )
         if state["path"] is None:
-            merged = agg
+            # monoid identity from the FIRST generation too: an
+            # all-NULL batch sum enters the state as 0, same as the
+            # merge path's coalesce (see the oracle note)
+            merged = agg.select(
+                "user_id",
+                "n_events",
+                F.coalesce(F.col("total_cents"), F.lit(0)).alias(
+                    "total_cents"
+                ),
+            )
         else:
             cur = batch_df.sparkSession.read.parquet(state["path"])
+            # MERGE key must be NULL-SAFE: a plain equi full-outer
+            # join never matches NULL=NULL, so a NULL-keyed partial
+            # would land as a NEW row every micro-batch instead of
+            # merging — the r9 null sweep caught 4 duplicate NULL-user
+            # rows (one per batch) in the final state. <=> is the
+            # MERGE semantics every table format uses on nullable keys.
             merged = (
                 cur.withColumnRenamed("n_events", "n0")
                 .withColumnRenamed("total_cents", "c0")
-                .join(agg, "user_id", "full")
+                .withColumnRenamed("user_id", "u0")
+                .join(
+                    agg,
+                    F.col("u0").eqNullSafe(F.col("user_id")),
+                    "full",
+                )
                 .select(
-                    "user_id",
+                    F.coalesce(F.col("u0"), F.col("user_id")).alias(
+                        "user_id"
+                    ),
                     (
                         F.coalesce(F.col("n0"), F.lit(0))
                         + F.coalesce(F.col("n_events"), F.lit(0))

@@ -829,18 +829,26 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q21_waiting_suppliers",
     """
+    WITH li AS (
+      -- declared: only dated shipments by known suppliers
+      -- participate — a NULL shipdate cannot be 'the last shipment'
+      -- (the bare NOT EXISTS would vacuously qualify it) and a NULL
+      -- suppkey is not 'another supplier' (r9 null sweep)
+      SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+      WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+    )
     SELECT s_name, COUNT(*) AS numwait
     FROM supplier
-    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN li l1 ON s_suppkey = l1.l_suppkey
     JOIN orders ON o_orderkey = l1.l_orderkey
     WHERE o_orderstatus = 'F'
       AND EXISTS (
-        SELECT 1 FROM lineitem l2
+        SELECT 1 FROM li l2
         WHERE l2.l_orderkey = l1.l_orderkey
           AND l2.l_suppkey <> l1.l_suppkey
       )
       AND NOT EXISTS (
-        SELECT 1 FROM lineitem l3
+        SELECT 1 FROM li l3
         WHERE l3.l_orderkey = l1.l_orderkey
           AND l3.l_suppkey <> l1.l_suppkey
           AND l3.l_shipdate >= l1.l_shipdate
@@ -874,9 +882,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    ).join(od, F.col("o_orderkey") == F.col("l_orderkey")).drop("o_orderkey")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        # only dated shipments by known suppliers participate (see
+        # the oracle's li CTE; r9 null sweep)
+        .where(
+            F.col("l_suppkey").isNotNull() & F.col("l_shipdate").isNotNull()
+        )
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .drop("o_orderkey")
+    )
 
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("sm")

@@ -125,7 +125,13 @@ def apply_in_pandas_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf.sort_values(
                     ["cents", "event_id"], ascending=[False, True]
                 )
-                .groupby("event_type", sort=False)
+                # dropna=False: pandas groupby DROPS null keys by
+                # default, so the local combiner silently discarded
+                # the NULL-type group that Spark's groupBy (and the
+                # oracle's window) keep — the combiner must preserve
+                # exactly the final stage's key semantics (r9 null
+                # sweep)
+                .groupby("event_type", sort=False, dropna=False)
                 .head(3)
             )
 
@@ -299,17 +305,30 @@ def pandas_udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # SQL aggregate NULL semantics, hand-rolled (a custom UDAF sees
+    # the raw rows, NULLs included, as NaN — int(NaN) raised on the
+    # all-NULL measures fixture): the numerator sums rows where BOTH
+    # operands are observed, the denominator where qty is observed,
+    # and a group with nothing observed returns NULL like SUM does.
     @pandas_udf("double")
     def wavg(price_cents: pd.Series, qty: pd.Series) -> float:
-        num = (price_cents.to_numpy() * qty.to_numpy()).sum()
-        den = qty.to_numpy().sum()
-        return float(num) / float(den)
+        # annotation marks the GROUPED_AGG eval type; returning None
+        # for a nothing-observed group is still valid at runtime
+        both = price_cents.notna() & qty.notna()
+        if not both.any():
+            return None
+        num = (
+            price_cents[both].to_numpy() * qty[both].to_numpy()
+        ).sum()
+        den = qty[qty.notna()].to_numpy().sum()
+        return float(num) / float(den) if den else None
 
     # Spark forbids mixing GROUPED_AGG pandas UDFs with JVM
     # aggregates in one agg() — so the companion sum is a UDAF too.
     @pandas_udf("long")
     def qty_sum(qty: pd.Series) -> int:
-        return int(qty.to_numpy().sum())
+        obs = qty[qty.notna()]
+        return int(obs.to_numpy().sum()) if len(obs) else None
 
     l = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -343,6 +362,7 @@ _CLAMP_CAP = 100_000  # cents
                   THEN CAST(round(value*100) AS BIGINT)
                   ELSE -CAST(round(value*100) AS BIGINT) END AS delta
       FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
     )
     SELECT user_id,
            COUNT(*) AS n_ops,
@@ -382,7 +402,13 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    e = t(spark, sf_dir, "events")
+    # an undated or valueless event is no balance operation: a NULL
+    # ts has no fold position (engines order NULLs at opposite ends)
+    # and a NULL value has no delta (the Python int(NaN) raised; the
+    # oracle's list_reduce NULL-poisoned instead — r9 null sweeps)
+    e = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     deltas = e.select(
         "user_id",
         "ts",
@@ -438,6 +464,7 @@ _BAND_DAYS = 5
                   THEN CAST(round(value*100) AS BIGINT)
                   ELSE -CAST(round(value*100) AS BIGINT) END AS delta
       FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
     )
     SELECT user_id,
            CAST(COUNT(DISTINCT band) AS BIGINT) AS n_bands,
@@ -477,7 +504,13 @@ def clamped_balance_parallel_scan(
     cluster. At 100 TB pick band width so each band's array fits a
     task — the carry composition stays a few integers per band.
     """
-    e = t(spark, sf_dir, "events")
+    # same declared exclusions as clamped_running_balance (shared
+    # oracle semantics): no fold position without ts, no delta
+    # without value (r9 null sweeps; the NULL band also made Spark's
+    # n_bands count a band the oracle's COUNT(DISTINCT) excluded)
+    e = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     deltas = e.select(
         "user_id",
         "ts",

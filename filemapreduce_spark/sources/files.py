@@ -133,7 +133,10 @@ CHUNKED_FILES_SCHEMA = T.StructType(
 
 
 def _list_via_pyarrow(
-    spark: SparkSession, root_uri: str, glob: str | None
+    spark: SparkSession,
+    root_uri: str,
+    glob: str | None,
+    filesystem=None,
 ) -> DataFrame:
     """Metadata-only recursive listing of a ``<scheme>://`` root via
     ``pyarrow.fs`` → (path, uri, length, mod_time) DataFrame.
@@ -151,13 +154,18 @@ def _list_via_pyarrow(
 
     import pyarrow.fs as pafs
 
-    try:
-        fs, base = pafs.FileSystem.from_uri(root_uri)
-    except Exception as e:
-        raise NotImplementedError(
-            f"read_files_chunked: unsupported or unreachable filesystem"
-            f" root {root_uri!r}: {e}"
-        ) from e
+    if filesystem is not None:
+        # injected handle (a configured S3FileSystem, a SubTree, an
+        # FSSpecHandler wrapper, ...): the root is a path WITHIN it
+        fs, base = filesystem, root_uri
+    else:
+        try:
+            fs, base = pafs.FileSystem.from_uri(root_uri)
+        except Exception as e:
+            raise NotImplementedError(
+                f"read_files_chunked: unsupported or unreachable"
+                f" filesystem root {root_uri!r}: {e}"
+            ) from e
     base = base.rstrip("/")
     infos = fs.get_file_info(pafs.FileSelector(base, recursive=True))
     rows = []
@@ -211,6 +219,7 @@ def read_files_chunked(
     root: str,
     path_filter: Filter | str | None = None,
     chunk_bytes: int = 128 << 20,
+    filesystem=None,
 ) -> DataFrame:
     """Chunked binary scan: one row per ``chunk_bytes`` slice of each
     file — the scale path for inputs beyond the whole-file row
@@ -235,19 +244,31 @@ def read_files_chunked(
     this generic path on purpose so the object-store code is
     exercised by local tests end-to-end. Unsupported schemes fail
     fast at plan time on the driver.
+
+    ``filesystem``: an explicit ``pyarrow.fs.FileSystem`` handle
+    (a credentialed ``S3FileSystem``, a ``SubTreeFileSystem``, a
+    ``PyFileSystem(FSSpecHandler(...))`` over any fsspec store).
+    When given, ``root`` is a path WITHIN that filesystem, the same
+    generic listing + positioned-read code runs against it, and the
+    handle itself is shipped to executors (pyarrow filesystems
+    pickle) instead of being re-resolved per task from a URI.
     """
     import pandas as pd
 
     flt = as_filter(path_filter)
-    mode, loc = _classify_root(root)
     glob = None
     if flt is not None:
         g = getattr(flt, "filename_glob", lambda: None)()
         if g is not None and g != "*":
             glob = g
 
+    if filesystem is not None:
+        mode, loc = "uri", str(root)
+    else:
+        mode, loc = _classify_root(root)
+
     if mode == "uri":
-        meta = _list_via_pyarrow(spark, loc, glob)
+        meta = _list_via_pyarrow(spark, loc, glob, filesystem=filesystem)
         root_uri = loc
     else:
         reader = (
@@ -318,9 +339,15 @@ def read_files_chunked(
 
         def _fs():
             if not fs_cache:
-                import pyarrow.fs as pafs
+                if filesystem is not None:
+                    # injected handle, shipped via the task closure
+                    fs_cache.append(filesystem)
+                else:
+                    import pyarrow.fs as pafs
 
-                fs_cache.append(pafs.FileSystem.from_uri(root_uri)[0])
+                    fs_cache.append(
+                        pafs.FileSystem.from_uri(root_uri)[0]
+                    )
             return fs_cache[0]
 
         for pdf in batches:

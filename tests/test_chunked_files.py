@@ -179,3 +179,45 @@ def test_chunked_plan_not_aqe_coalesced(spark, tmp_path):
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
         )
+
+
+def test_chunked_injected_filesystem_ranged_reads(spark, tmp_path):
+    """The non-local branch END-TO-END with an injected
+    pyarrow.fs.FileSystem (r8 verdict 'what's missing' #4): a
+    SubTreeFileSystem stands in for a configured object-store handle
+    — the exact code path (get_file_info listing, closure-shipped
+    handle, open_input_file + positioned read_at per chunk) that
+    s3://... roots take, which `from_uri` alone can only exercise up
+    to the resolver without a live endpoint."""
+    import pyarrow.fs as pafs
+
+    (tmp_path / "bucket").mkdir()
+    big = bytes(range(256)) * 1024  # 256 KiB, content position-coded
+    (tmp_path / "bucket" / "big.bin").write_bytes(big)
+    (tmp_path / "bucket" / "small.bin").write_bytes(b"tiny")
+    (tmp_path / "bucket" / "skip.txt").write_bytes(b"x")
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    df = read_files_chunked(
+        spark,
+        "bucket",
+        path_filter="*.bin",
+        chunk_bytes=64 << 10,
+        filesystem=fs,
+    )
+    rows = {(r["path"], r["chunk_idx"]): r for r in df.collect()}
+
+    # 256 KiB / 64 KiB = 4 chunks + 1 for the small file
+    assert len(rows) == 5
+    assert {p for p, _ in rows} == {"big.bin", "small.bin"}
+    r2 = rows[("big.bin", 2)]
+    assert r2["offset"] == 2 * (64 << 10)
+    assert r2["n_chunks"] == 4
+    assert bytes(r2["content"]) == big[r2["offset"] : r2["offset"] + (64 << 10)]
+    assert bytes(rows[("small.bin", 0)]["content"]) == b"tiny"
+    assert rows[("small.bin", 0)]["file_length"] == 4
+    # reassembly across all chunks reproduces the file byte-exactly
+    joined = b"".join(
+        bytes(rows[("big.bin", i)]["content"]) for i in range(4)
+    )
+    assert joined == big
