@@ -394,93 +394,113 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spearman_qty_price",
     """
     WITH b AS (
-      -- canonical per-row id: (orderkey, linenumber) is NOT unique in
-      -- this data (11.8k duplicate pairs at sf0.01), so tied rows got
-      -- engine-arbitrary rank PAIRINGS and d2 diverged in the 7th
-      -- digit (r9 skew sweep). Both ranked values join the rid key so
-      -- fully-identical rows stay interchangeable (swapping them
-      -- swaps r1 AND r2 consistently); nullable tiebreaks pin NULLS
-      -- FIRST to match Spark's ASC default.
-      SELECT l_returnflag, l_quantity,
-             CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
-             ROW_NUMBER() OVER (PARTITION BY l_returnflag
-               ORDER BY l_quantity NULLS FIRST, cents NULLS FIRST,
-                        l_orderkey NULLS FIRST, l_linenumber,
-                        l_partkey NULLS FIRST, l_suppkey NULLS FIRST)
-               AS rid
+      -- observed pairs only (pairwise deletion, the standard
+      -- correlation treatment of missing data)
+      SELECT l_returnflag, l_quantity AS q,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS c
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ), r AS (
+      -- MIDRANKS (2x, to stay integer): 2*min_rank + tie_count - 1.
+      -- Tie-averaged ranks are the DEFINED Spearman treatment of
+      -- ties — an arbitrary-tiebreak ranking is tie-ORDER dependent
+      -- (quantity has ~50 distinct values over thousands of rows;
+      -- changing the tiebreak moved rho by 0.02, r9 skew sweep)
       SELECT l_returnflag,
-             ROW_NUMBER() OVER (PARTITION BY l_returnflag
-               ORDER BY l_quantity NULLS FIRST, rid) AS r1,
-             ROW_NUMBER() OVER (PARTITION BY l_returnflag
-               ORDER BY cents NULLS FIRST, rid) AS r2
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY q)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, q) - 1 AS x,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY c)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, c) - 1 AS y
       FROM b
+    ), m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM r GROUP BY l_returnflag
     )
-    SELECT l_returnflag, COUNT(*) AS n,
-           1.0 - 6.0 * SUM((r1 - r2) * (r1 - r2))
-                 / (COUNT(*) * (CAST(COUNT(*) AS BIGINT) * COUNT(*) - 1))
+    SELECT l_returnflag, n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+           / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
              AS spearman_rho
-    FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+    FROM m ORDER BY l_returnflag
     """,
     tags=("stats", "window"),
 )
 def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between quantity and price per return
-    flag: two row_number rankings with a unique composite tiebreak
-    (deterministic cross-engine), Σd² as an exact BIGINT, one double
-    division at the end. Complements Pearson (stats_corr_regression) —
-    rank correlation is robust to monotone transforms/outliers.
-    Two window sorts + one grouped agg, all partitioned by flag."""
-    li = t(spark, sf_dir, "lineitem")
-    cents_col = F.round(F.col("l_extendedprice") * 100).cast("long")
-    # canonical rid first (see the oracle's b CTE): the natural
-    # tiebreak (orderkey, linenumber) is not unique in this data, so
-    # without a shared per-row id the two rankings paired tied rows
-    # engine-arbitrarily (r9 skew sweep, 7th-digit rho drift)
-    wrid = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity",
-        "cents",
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        "l_suppkey",
+    flag, computed as the Pearson correlation of MIDRANKS (the
+    tie-correct definition): quantity takes ~50 distinct values over
+    thousands of rows, so tie handling IS the statistic — an
+    arbitrary-tiebreak row_number ranking is a function of the tie
+    order (two valid tiebreaks moved rho by 0.02) and the classic
+    1 − 6Σd²/(n(n²−1)) identity only holds without ties. Midranks are
+    carried as exact integers (2·minrank + ties − 1 = twice the
+    midrank), co-moments as exact wide integers, and rho is one
+    derived double chain, op-for-op identical to the oracle.
+    Complements Pearson (stats_corr_regression) — rank correlation is
+    robust to monotone transforms/outliers.
+
+    Scale: two rank windows + one tie-count window per variable, all
+    partitioned by flag; one grouped agg. Pairs with a NULL on either
+    side are excluded (pairwise deletion) on both sides.
+    """
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
     )
     base = li.select(
         "l_returnflag",
-        "l_quantity",
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        "l_suppkey",
-        cents_col.alias("cents"),
-    ).select(
-        "l_returnflag",
-        "l_quantity",
-        "cents",
-        F.row_number().over(wrid).alias("rid"),
+        F.col("l_quantity").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
     )
-    w1 = Window.partitionBy("l_returnflag").orderBy("l_quantity", "rid")
-    w2 = Window.partitionBy("l_returnflag").orderBy("cents", "rid")
-    ranked = base.select(
-        "l_returnflag",
-        F.row_number().over(w1).alias("r1"),
-        F.row_number().over(w2).alias("r2"),
-    )
-    n = F.count(F.lit(1))
-    d = (F.col("r1") - F.col("r2")).cast("long")
-    d2 = F.sum(d * d)
-    return (
-        ranked.groupBy("l_returnflag")
-        .agg(
-            n.alias("n"),
-            (
-                F.lit(1.0)
-                - F.lit(6.0) * d2 / (n * (n.cast("long") * n - F.lit(1)))
-            ).alias("spearman_rho"),
+    x = (
+        2 * F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("q")
         )
-        .orderBy("l_returnflag")
+        + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "q"))
+        - 1
+    ).cast("long")
+    y = (
+        2 * F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("c")
+        )
+        + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "c"))
+        - 1
+    ).cast("long")
+    ranked = base.select("l_returnflag", x.alias("x"), y.alias("y"))
+    dec = "decimal(38,0)"
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
     )
+    n = F.col("n")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (
+            n * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            n * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        # try_divide: a zero-variance side (constant column) has no
+        # rank spread — the oracle's x/0 is NULL where ANSI raises
+        F.try_divide(num, den).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
 
 
 # --------------------------------------------------------------------

@@ -100,26 +100,20 @@ def test_robust_stats_mad_third_voice(spark, sf):
 
 
 def test_spearman_qty_price_third_voice(spark, sf):
+    """Midrank Spearman = Pearson of tie-averaged ranks — pandas
+    rank(method='average') is exactly the midrank the query carries
+    as 2·minrank+ties−1 (r9: the old arbitrary-tiebreak ranking was
+    tie-order dependent and moved rho by 0.02 between two valid
+    tiebreaks)."""
     li = _tbl("lineitem", sf).copy()
+    li = li[li["l_quantity"].notna() & li["l_extendedprice"].notna()]
     li["cents"] = _cents(li["l_extendedprice"])
-    tie = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
     rows = []
     for flag, g in li.groupby("l_returnflag"):
-        r1 = (
-            g.sort_values(["l_quantity"] + tie)
-            .reset_index()
-            .assign(r1=lambda d: np.arange(1, len(d) + 1))
-            .set_index("index")["r1"]
-        )
-        r2 = (
-            g.sort_values(["cents"] + tie)
-            .reset_index()
-            .assign(r2=lambda d: np.arange(1, len(d) + 1))
-            .set_index("index")["r2"]
-        )
+        r1 = g["l_quantity"].rank(method="average").to_numpy()
+        r2 = g["cents"].rank(method="average").to_numpy()
         n = len(g)
-        d2 = int(((r1 - r2) ** 2).sum())
-        rho = 1.0 - 6.0 * d2 / (n * (n * n - 1))
+        rho = float(np.corrcoef(r1, r2)[0, 1])
         rows.append({"l_returnflag": flag, "n": n, "spearman_rho": rho})
     want = pd.DataFrame(rows)
     _compare(_run(spark, "spearman_qty_price", sf), want, ["l_returnflag"])
