@@ -46,11 +46,14 @@ def _driver_verified() -> set[str]:
 
 
 # Names the driver window should reach before the alphabetical rest
-# (already-driver-verified names are dropped automatically). Round-7
-# priorities per the round-6 verdict (next-round item 1): the graph
-# family, experiment stats, retrieval audits, survival, and the two
-# never-sampled sink round-trips — the highest-traffic of the 117
-# names still without a CORRECTNESS row after rounds 1-6 (258/375).
+# (already-driver-verified names are dropped automatically). Round-9
+# state: after CORRECTNESS_r08 exactly NINETEEN names remain
+# never-driver-verified — the tail of the round-8 list below (time
+# series, sessions/cohorts, spatial, ridge/generalized means).
+# _rotated() puts precisely those 19 at the head of queries(), so the
+# round-9 driver window closes the ledger at 377/377 with ~31 slots
+# to spare (r8 verdict item 1). All 19 re-passed the strict
+# driver_sim pre-sweep at round-9 start (19/19 OK, sf0.01).
 _PRIORITY = (
     # round-8 new gate (FAILFAST abort surfaced as data — r7 verdict
     # item 5's suggested add)
