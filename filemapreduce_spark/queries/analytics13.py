@@ -185,9 +185,13 @@ mcnemar_langid_vs_baseline.__doc__ = (
     "cohens_d_arms",
     """
     WITH v AS (
+      -- effect sizes are over OBSERVED values (r9 mixed-null sweep:
+      -- the NULL histogram row joined into every Spark cumulative
+      -- prefix via NULLS FIRST; and n must count observations, not
+      -- rows, for the moment algebra to be the statistic it claims)
       SELECT user_id % 2 AS arm,
              CAST(round(value * 100) AS BIGINT) AS x
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ), g AS (
       SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
@@ -232,7 +236,9 @@ def cohens_d_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot, algebra — a single scan, no joins, no windows.
     """
     e = t(spark, sf_dir, "events")
-    v = e.filter(F.col("event_type") == "purchase").select(
+    v = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
         (F.col("user_id") % 2).alias("arm"),
         cents("value").alias("x"),
     )
@@ -283,9 +289,13 @@ def cohens_d_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cliffs_delta_arms",
     """
     WITH v AS (
+      -- effect sizes are over OBSERVED values (r9 mixed-null sweep:
+      -- the NULL histogram row joined into every Spark cumulative
+      -- prefix via NULLS FIRST; and n must count observations, not
+      -- rows, for the moment algebra to be the statistic it claims)
       SELECT user_id % 2 AS arm,
              CAST(round(value * 100) AS BIGINT) AS x
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ), g AS (
       SELECT arm, x, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM v GROUP BY arm, x
@@ -338,7 +348,9 @@ def cliffs_delta_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     no pair enumeration anywhere.
     """
     e = t(spark, sf_dir, "events")
-    v = e.filter(F.col("event_type") == "purchase").select(
+    v = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
         (F.col("user_id") % 2).alias("arm"),
         cents("value").alias("x"),
     )

@@ -350,12 +350,15 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equidepth_histogram_prices",
     """
     WITH b AS (
+      -- quantile bins are over OBSERVED prices (r9 mixed-null sweep:
+      -- NULL prices took opposite NTILE ends per engine)
       SELECT o_orderstatus,
              CAST(round(o_totalprice*100) AS BIGINT) AS cents,
              NTILE(8) OVER (PARTITION BY o_orderstatus
                             ORDER BY CAST(round(o_totalprice*100) AS BIGINT),
                                      o_orderkey) AS bucket
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderstatus, bucket, COUNT(*) AS n,
            MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
@@ -371,7 +374,9 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram (histogram_price_bins) — equal counts per bucket,
     data-driven edges. Window partitions by status: no single-
     partition global sort."""
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
     cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
     w = Window.partitionBy("o_orderstatus").orderBy("cents", "o_orderkey")
     return (

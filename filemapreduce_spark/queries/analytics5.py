@@ -30,7 +30,10 @@ _BASE = "view"
     "ks_test_vs_view",
     f"""
     WITH ev AS (
-      SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events
+      -- an ECDF is over OBSERVED values (r9 mixed-null sweep: a NULL
+      -- grid cell rode the cumulative ordering at opposite ends)
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
     ), sides AS (
       SELECT event_type AS pair, c, 1 AS ca, 0 AS cb
       FROM ev WHERE event_type != '{_BASE}'
@@ -86,8 +89,11 @@ def ks_test_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     all windows share one pair-partitioned exchange, and the final
     top-1 is WindowGroupLimit-pruned.
     """
-    ev = t(spark, sf_dir, "events").select(
-        "event_type", cents("value").alias("c")
+    # ECDF over observed values (see oracle note)
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", cents("value").alias("c"))
     )
     a = ev.where(F.col("event_type") != _BASE).select(
         F.col("event_type").alias("pair"),

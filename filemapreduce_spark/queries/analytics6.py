@@ -753,8 +753,9 @@ _CVM_BASE = "view"
     "cramer_von_mises_vs_view",
     f"""
     WITH ev AS (
+      -- ECDFs are over OBSERVED values (r9 mixed-null sweep)
       SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), sides AS (
       SELECT event_type AS pair, c, 1 AS ca, 0 AS cb
       FROM ev WHERE event_type != '{_CVM_BASE}'
@@ -819,7 +820,7 @@ def cramer_von_mises_vs_view(
     shuffles, both on bounded keys.
     """
     e = t(spark, sf_dir, "events")
-    ev = e.select(
+    ev = e.where(F.col("value").isNotNull()).select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("c"),
     )

@@ -303,9 +303,12 @@ _CF_CAL_END = "2024-01-21"  # calibration in [train_end, cal_end)
     "conformal_interval_coverage",
     f"""
     WITH x AS (
+      -- residuals need OBSERVED values (r9 mixed-null sweep: NULL
+      -- residuals rode the calibration ranking at opposite ends, and
+      -- the train mean's n counted rows its sum skipped)
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(round(value*100) AS BIGINT) AS c
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), mu AS (
       SELECT event_type,
              CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
@@ -368,7 +371,7 @@ def conformal_interval_coverage(
     median rows); the q̂ table is #types rows, broadcast back for
     the row-local coverage test.
     """
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     x = e.select(
         "event_type",
         F.col("ts").cast("date").alias("day"),

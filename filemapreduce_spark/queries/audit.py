@@ -216,10 +216,15 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ohlc_monthly_order_prices",
     """
     WITH px AS (
+      -- a bar point needs a DATED, PRICED order: NULL dates have no
+      -- month/ordinal and NULL prices no OHLC contribution, and the
+      -- engines' min_by/max_by NULL treatments differ (r9 mixed-null
+      -- sweep)
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
              CAST(epoch(o_orderdate) AS BIGINT) * 100000000 + o_orderkey AS ord
       FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
     )
     SELECT strftime(month, '%Y-%m-%d') AS month,
            min_by(price_cents, ord) AS open_cents,
@@ -245,7 +250,9 @@ def ohlc_monthly_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-row_number formulation would shuffle the whole table;
     min_by is the 100 TB answer.
     """
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     px = o.select(
         F.date_trunc("month", "o_orderdate").alias("month"),
         cents("o_totalprice").alias("price_cents"),

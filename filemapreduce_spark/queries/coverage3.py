@@ -89,17 +89,22 @@ def gaps_islands_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proration_largest_remainder",
     """
     WITH li AS (
+      -- proration is over lines with KNOWN quantity against a KNOWN
+      -- order total: a NULL qty has no proportional share and a NULL
+      -- total cannot be allocated (r9 mixed-null sweep)
       SELECT l_orderkey,
              CAST(row_number() OVER (
                PARTITION BY l_orderkey
                ORDER BY l_linenumber, l_quantity) AS BIGINT) AS line_seq,
              CAST(round(l_quantity) AS BIGINT) AS qty
       FROM lineitem
+      WHERE l_quantity IS NOT NULL
     ), tot AS (
       SELECT li.l_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
              CAST(SUM(qty) AS BIGINT) AS total_qty
       FROM li JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice IS NOT NULL
       GROUP BY li.l_orderkey, o_totalprice
     ), base AS (
       SELECT li.l_orderkey, line_seq, qty, total_cents, total_qty,
@@ -147,10 +152,15 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_seq = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "qty"
     )
-    raw = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round("l_quantity").cast("long").alias("qty"),
+    # known quantities against a known order total only (see oracle)
+    raw = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
     )
     li = raw.select(
         "l_orderkey",
@@ -163,7 +173,9 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.groupBy("l_orderkey")
         .agg(F.sum("qty").alias("total_qty"))
         .join(
-            t(spark, sf_dir, "orders").select(
+            t(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice").isNotNull())
+            .select(
                 F.col("o_orderkey").alias("l_orderkey"),
                 cents("o_totalprice").alias("total_cents"),
             ),
@@ -1123,10 +1135,14 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_median_price_by_flag",
     """
     WITH x AS (
+      -- a weighted median needs an OBSERVED (value, weight) pair
+      -- (r9 mixed-null sweep: NULL prices rode the cumulative
+      -- ordering at opposite ends)
       SELECT l_returnflag AS flag,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
              CAST(round(l_quantity) AS BIGINT) AS w
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ), g AS (
       SELECT flag, price_cents, CAST(SUM(w) AS BIGINT) AS w
       FROM x GROUP BY flag, price_cents
@@ -1162,10 +1178,17 @@ def weighted_median_price_by_flag(
     same shape generalizes to any weighted quantile q by replacing
     ``2*cw >= tw`` with ``cw*denom >= q_num*tw``.
     """
-    x = t(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        cents("l_extendedprice").alias("price_cents"),
-        F.round("l_quantity").cast("long").alias("w"),
+    x = (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            cents("l_extendedprice").alias("price_cents"),
+            F.round("l_quantity").cast("long").alias("w"),
+        )
     )
     g = x.groupBy("flag", "price_cents").agg(F.sum("w").alias("w"))
     w_run = (
@@ -1198,10 +1221,12 @@ def weighted_median_price_by_flag(
     "mann_whitney_u_by_type",
     """
     WITH x AS (
+      -- ranks are over OBSERVED values (r9 mixed-null sweep)
       SELECT event_type,
              CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
              CAST(round(value * 100) AS BIGINT) AS v
       FROM events
+      WHERE value IS NOT NULL
     ), r AS (
       -- 2x-scaled midrank: min_rank + max_rank over each tie group
       SELECT event_type, grp, v,
@@ -1249,10 +1274,16 @@ def mann_whitney_u_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(type, value) aggregate joined back on the same key — two
     co-partitioned shuffles, no global window.
     """
-    x = t(spark, sf_dir, "events").select(
-        "event_type",
-        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
-        cents("value").alias("v"),
+    x = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.col("user_id") % 2 == 0, "A")
+            .otherwise("B")
+            .alias("grp"),
+            cents("value").alias("v"),
+        )
     )
     # rank per (type, value) — ties collapse, so the arbitrary
     # within-tie order never affects midrank2 = min_rn + max_rn

@@ -327,7 +327,11 @@ _HB = 256  # histogram bins
     "histogram_sketch_percentiles",
     f"""
     WITH v AS (
+      -- the sketch and its exact twin are over OBSERVED prices
+      -- (r9 mixed-null sweep: n counted NULL rows the exact
+      -- percentile skipped)
       SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders
+      WHERE o_totalprice IS NOT NULL
     ), stats AS (
       SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n FROM v
     ), binned AS (
@@ -392,8 +396,10 @@ def histogram_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, never data). The exact twin uses percentile_disc for the
     honesty check; at 100 TB you keep only the sketch path.
     """
-    v = t(spark, sf_dir, "orders").select(
-        cents("o_totalprice").alias("c")
+    v = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(cents("o_totalprice").alias("c"))
     )
     stats = v.agg(
         F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n")
@@ -854,9 +860,14 @@ def sampled_aggregate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "argmax_struct_per_type",
     """
     WITH totals AS (
+      -- argmax over IDENTIFIED users with OBSERVED totals: a NULL
+      -- struct field makes the lexicographic MAX engine-dependent
+      -- (r9 mixed-null sweep)
       SELECT event_type, user_id,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY event_type, user_id
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY event_type, user_id
     )
     SELECT event_type,
            CAST(MAX({'c': cents, 'nu': -user_id}).c AS BIGINT) AS top_cents,
@@ -882,7 +893,9 @@ def argmax_struct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative, so partial aggregation is safe — contrast the
     row_number() formulation, which needs a per-type sort.
     """
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
     totals = e.groupBy("event_type", "user_id").agg(
         F.sum(cents("value")).cast("long").alias("cents")
     )

@@ -266,8 +266,9 @@ _QN_GRID = 1000  # milli-quantile lookup resolution
     "quantile_normalize_scores",
     f"""
     WITH s AS (
+      -- a quantile map is over OBSERVED scores (r9 mixed-null sweep)
       SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ), qt AS (
       SELECT CAST(m - 1 AS BIGINT) AS milli,
              round(q, 6) AS qv
@@ -323,8 +324,12 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast equi-join on the milli bucket. Nothing data-sized
     crosses the wire except the (source, decile) partials.
     """
-    s = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("score")
+    s = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("score")
+        )
     )
     fracs = F.array(
         *[F.lit(i / _QN_GRID) for i in range(_QN_GRID + 1)]

@@ -820,11 +820,14 @@ _CUR_TOP = 100
       FROM (SELECT DISTINCT source FROM documents
             WHERE source IS NOT NULL)
     ), rk AS (
+      -- the difficulty proxy must be OBSERVED: NULL n_chars ranked
+      -- 'easiest' in Spark (NULLS FIRST) and 'hardest' in DuckDB
+      -- (r9 mixed-null sweep)
       SELECT doc_id, source, n_chars,
              ROW_NUMBER() OVER (PARTITION BY source
                                 ORDER BY n_chars, doc_id) AS r
       FROM documents
-      WHERE source IS NOT NULL
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
     )
     SELECT CAST((rk.r - 1) * si.n_src + si.sidx AS BIGINT) AS position,
            rk.doc_id, rk.source, rk.n_chars
@@ -860,6 +863,11 @@ def curriculum_interleave_order(
     from pyspark.sql import Window
 
     srcs = d.select("source").distinct()
+    # ranked docs additionally need an observed difficulty proxy; the
+    # source index keeps ALL non-null sources (matching the oracle's
+    # COUNT(DISTINCT source)), so filter n_chars on the ranked side
+    # only
+    d = d.where(F.col("n_chars").isNotNull())
     n_src = srcs.agg(F.count(F.lit(1)).cast("long").alias("n_src"))
     si = (
         srcs.withColumn(

@@ -466,9 +466,12 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decision_stump_split",
     """
     WITH pts AS (
+      -- a split threshold is over OBSERVED feature values (r9
+      -- mixed-null sweep: the NULL grid cell led Spark's cumulative
+      -- ordering and trailed DuckDB's)
       SELECT CAST(round(value*100) AS BIGINT) AS c,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), grid AS (
       SELECT c, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS a
       FROM pts GROUP BY c
@@ -526,7 +529,7 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     that, band values into coarser histogram bins first (the same
     move the GBM libraries make).
     """
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     pts = e.select(
         cents("value").alias("c"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),

@@ -3086,22 +3086,27 @@ def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT user_id, ts, 2 AS side, NULL, event_id, ts, cents FROM p
     ), w AS (
+      -- ONE packed struct, not three independent FIRST_VALUEs: with
+      -- a partially-NULL payload field (30%-NULL value fixture),
+      -- per-column IGNORE NULLS mixed fields from DIFFERENT rows —
+      -- the matched purchase's id with a LATER purchase's cents
+      -- (r9 mixed-null sweep)
       SELECT *,
-             FIRST_VALUE(p_id IGNORE NULLS) OVER fw AS next_id,
-             FIRST_VALUE(p_ts IGNORE NULLS) OVER fw AS next_ts,
-             FIRST_VALUE(p_cents IGNORE NULLS) OVER fw AS next_cents
+             FIRST_VALUE(CASE WHEN side = 2 THEN
+               {'id': p_id, 'ts': p_ts, 'cents': p_cents} END
+               IGNORE NULLS) OVER fw AS nxt
       FROM u
       WINDOW fw AS (PARTITION BY user_id
                     ORDER BY ts, side, COALESCE(p_id, click_id)
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT click_id, user_id,
-           COALESCE(CASE WHEN next_ts <= ts + INTERVAL 6 HOUR
-                         THEN next_id END, -1) AS next_purchase_id,
-           COALESCE(CASE WHEN next_ts <= ts + INTERVAL 6 HOUR
-                         THEN next_cents END, -1) AS next_cents,
-           COALESCE(CASE WHEN next_ts <= ts + INTERVAL 6 HOUR
-                         THEN epoch_us(next_ts) - epoch_us(ts) END, -1)
+           COALESCE(CASE WHEN nxt.ts <= ts + INTERVAL 6 HOUR
+                         THEN nxt.id END, -1) AS next_purchase_id,
+           COALESCE(CASE WHEN nxt.ts <= ts + INTERVAL 6 HOUR
+                         THEN nxt.cents END, -1) AS next_cents,
+           COALESCE(CASE WHEN nxt.ts <= ts + INTERVAL 6 HOUR
+                         THEN epoch_us(nxt.ts) - epoch_us(ts) END, -1)
              AS wait_us
     FROM w WHERE side = 1
     ORDER BY click_id

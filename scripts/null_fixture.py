@@ -24,10 +24,19 @@ with no seed store):
               NaN where DuckDB returns NULL, or where a
               COALESCE(x, 0) on one side only silently fabricates a
               zero the other side doesn't have.
+  mixed     — BOTH at once, partially: the keys-variant NULL rates on
+              keys/timestamps PLUS 30% NULL on every measure column.
+              The interaction regime the pure variants cannot reach:
+              per-group aggregates where SOME values are NULL (a
+              multi-column IGNORE NULLS can mix fields from different
+              rows; skipna sums disagree with NULL-propagating ones),
+              NULL measures on rows whose keys are also NULL, partial
+              windows.
 
 Usage: python scripts/null_fixture.py keys     [out] [src]
        python scripts/null_fixture.py measures [out] [src]
-       (defaults: /tmp/sfnullkeys | /tmp/sfnullmeas, sf0.001)
+       python scripts/null_fixture.py mixed    [out] [src]
+       (defaults: /tmp/sfnullkeys | /tmp/sfnullmeas | /tmp/sfnullmix)
 Then:  python scripts/driver_sim.py <out>
 """
 
@@ -96,62 +105,57 @@ NULL_MEASURES: dict[str, tuple[str, ...]] = {
 
 def main() -> int:
     variant = sys.argv[1] if len(sys.argv) > 1 else "keys"
-    if variant not in ("keys", "measures"):
-        print(f"unknown variant {variant!r}: use keys|measures")
+    if variant not in ("keys", "measures", "mixed"):
+        print(f"unknown variant {variant!r}: use keys|measures|mixed")
         return 2
-    out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else ("/tmp/sfnullkeys" if variant == "keys" else "/tmp/sfnullmeas")
-    )
+    defaults = {
+        "keys": "/tmp/sfnullkeys",
+        "measures": "/tmp/sfnullmeas",
+        "mixed": "/tmp/sfnullmix",
+    }
+    out = sys.argv[2] if len(sys.argv) > 2 else defaults[variant]
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    spec = NULL_KEYS if variant == "keys" else None
     for t in NULL_KEYS:
         s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
-        if variant == "keys":
-            repl = spec[t]
-            if not repl:
-                con.execute(
-                    f"COPY (SELECT * FROM '{s}') TO '{d}'"
-                    " (FORMAT PARQUET)"
-                )
-            else:
-                # per-column DIFFERENT hash stream (salt by ordinal)
-                # so the NULL masks don't coincide row-for-row
-                sets = ", ".join(
-                    f"CASE WHEN (_rn * {KNUTH} + {i * 7919})"
-                    f" % 100 < {pct} THEN NULL ELSE {c} END AS {c}"
-                    for i, (c, pct) in enumerate(sorted(repl.items()))
-                )
-                con.execute(
-                    f"COPY (SELECT * EXCLUDE (_rn) REPLACE ({sets})"
-                    f" FROM (SELECT *, row_number() OVER () AS _rn"
-                    f" FROM '{s}')) TO '{d}' (FORMAT PARQUET)"
-                )
+        # assemble the per-column null spec for this variant
+        repl: dict[str, int] = {}
+        if variant in ("keys", "mixed"):
+            repl.update(NULL_KEYS[t])
+        if variant == "measures":
+            repl.update({c: 100 for c in NULL_MEASURES[t]})
+        elif variant == "mixed":
+            repl.update({c: 30 for c in NULL_MEASURES[t]})
+        if not repl:
+            con.execute(
+                f"COPY (SELECT * FROM '{s}') TO '{d}' (FORMAT PARQUET)"
+            )
         else:
-            cols = NULL_MEASURES[t]
-            if not cols:
+            types = dict(
                 con.execute(
-                    f"COPY (SELECT * FROM '{s}') TO '{d}'"
-                    " (FORMAT PARQUET)"
+                    "SELECT column_name, column_type FROM "
+                    "(DESCRIBE SELECT * FROM read_parquet(?))",
+                    [s],
+                ).fetchall()
+            )
+            # per-column DIFFERENT hash stream (salt by ordinal) so
+            # the NULL masks don't coincide row-for-row; pct=100
+            # short-circuits to a typed NULL literal
+            sets = ", ".join(
+                (
+                    f"CAST(NULL AS {types[c]}) AS {c}"
+                    if pct >= 100
+                    else f"CASE WHEN (_rn * {KNUTH} + {i * 7919})"
+                    f" % 100 < {pct} THEN NULL ELSE {c} END AS {c}"
                 )
-            else:
-                types = dict(
-                    con.execute(
-                        "SELECT column_name, column_type FROM "
-                        "(DESCRIBE SELECT * FROM read_parquet(?))",
-                        [s],
-                    ).fetchall()
-                )
-                sets = ", ".join(
-                    f"CAST(NULL AS {types[c]}) AS {c}" for c in cols
-                )
-                con.execute(
-                    f"COPY (SELECT * REPLACE ({sets}) FROM '{s}')"
-                    f" TO '{d}' (FORMAT PARQUET)"
-                )
+                for i, (c, pct) in enumerate(sorted(repl.items()))
+            )
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (_rn) REPLACE ({sets})"
+                f" FROM (SELECT *, row_number() OVER () AS _rn"
+                f" FROM '{s}')) TO '{d}' (FORMAT PARQUET)"
+            )
         n = con.execute(f"SELECT COUNT(*) FROM '{d}'").fetchone()[0]
         print(f"{t}: {n} rows")
     return 0
