@@ -59,6 +59,7 @@ def _vfs_docs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
                 (F.col("doc_id") < _DOC_CAP)
                 & F.col("source").isNotNull()
                 & F.col("lang").isNotNull()
+                & F.col("text").isNotNull()
             )
             .select("doc_id", "source", "lang", "text")
             .collect()
@@ -96,10 +97,13 @@ def _vfs_orders_json(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 # source/lang are path SEGMENTS in the VFS layout: a document with a
 # NULL segment has no path and is not a file (the Python f-string
 # would render a literal "None/" segment while SQL || nulls the whole
-# path — r9 null sweep); declared identically in the VFS builder below
+# path — r9 null sweep), and a NULL text is no file CONTENT (the VFS
+# dict build would crash encoding None — r9 text-null probe);
+# declared identically in the VFS builder below
 _SQL_DOC_SUB = (
     f"(SELECT * FROM documents WHERE doc_id < {_DOC_CAP}"
-    " AND source IS NOT NULL AND lang IS NOT NULL)"
+    " AND source IS NOT NULL AND lang IS NOT NULL"
+    " AND text IS NOT NULL)"
 )
 
 
@@ -605,6 +609,10 @@ def engine_chunked_large_file(
 
     rows = (
         t(spark, sf_dir, "documents")
+        # textless docs contribute no blob line (md5(NULL) is NULL:
+        # the oracle's string_agg skips it while the Python join
+        # crashed on None — r9 text-null probe)
+        .where(F.col("text").isNotNull())
         .select(
             "doc_id",
             F.md5(F.encode(F.col("text"), "utf-8")).alias("h"),

@@ -321,7 +321,11 @@ _H60_TERMS = " + ".join(
 
 _SIMHASH_SQL_BASE = f"""
     WITH d AS (
+      -- no fingerprint without text (r9 text-null probe: the
+      -- oracle's unnest(NULL) dropped the doc while Spark emitted a
+      -- signature row for it)
       SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+      WHERE text IS NOT NULL
     ), w AS (
       SELECT DISTINCT doc_id, unnest(ws) AS w FROM d
     ), h AS (
@@ -341,8 +345,11 @@ _SIMHASH_SQL_BASE = f"""
 
 
 def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", words("text").alias("ws")
+    # no fingerprint without text (see _SIMHASH_SQL_BASE note)
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", words("text").alias("ws"))
     )
     return d.select("doc_id", simhash_from_words_expr("ws").alias("simhash"))
 
@@ -1814,8 +1821,10 @@ def contamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
     ), sig AS (
+      -- a textless doc has 0 tokens and a CRISP keep=false (a
+      -- filter must decide, not emit NULL; r9 text-null probe)
       SELECT doc_id, source,
-             len(ws) AS n_tokens,
+             COALESCE(len(ws), 0) AS n_tokens,
              CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
              CAST(len(list_filter(ws, w -> w IN
                ('the','a','an','of','and','to','in','is','on','for')))
@@ -1823,8 +1832,8 @@ def contamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     ), dec AS (
       SELECT source, n_tokens,
-             (n_tokens >= 30 AND uniq_ratio >= 0.40
-              AND stop_ratio >= 0.02) AS keep
+             COALESCE(n_tokens >= 30 AND uniq_ratio >= 0.40
+              AND stop_ratio >= 0.02, FALSE) AS keep
       FROM sig
     )
     SELECT source, keep, COUNT(*) AS n_docs,
@@ -1851,14 +1860,17 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(ws, lambda w: w.isin(*STOPWORDS))
     ).cast("double") / F.size(ws)
     uniq = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
-    keep = (
-        (F.size(ws) >= 30) & (uniq >= 0.40) & (stop >= 0.02)
+    # a textless doc has 0 tokens and a CRISP keep=false — a filter
+    # decides, it never emits NULL (r9 text-null probe)
+    keep = F.coalesce(
+        (F.size(ws) >= 30) & (uniq >= 0.40) & (stop >= 0.02),
+        F.lit(False),
     )
     return (
         t(spark, sf_dir, "documents")
         .select(
             "source",
-            F.size(ws).cast("long").alias("n_tokens"),
+            F.coalesce(F.size(ws), F.lit(0)).cast("long").alias("n_tokens"),
             keep.alias("keep"),
         )
         .groupBy("source", "keep")
@@ -2112,6 +2124,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, sums = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL blob: no frames (a real decoder
+                    # skips null payloads; bytes(None) raised —
+                    # r9 text-null probe)
                 b = bytes(payload)
                 for k in range(0, len(b) // FRAME, STRIDE):
                     ids.append(doc_id)

@@ -2293,7 +2293,11 @@ def sql_text_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(list_filter(ws, w -> len(w) > 5)) AS BIGINT) AS n_long_words,
-           len(list_filter(ws, w -> regexp_matches(w, '[0-9]'))) > 0 AS has_digit,
+           -- crisp boolean: no text, no digit (a NULL boolean renders
+           -- None vs NaN across the engines' pandas paths; r9
+           -- text-null probe)
+           COALESCE(len(list_filter(ws,
+             w -> regexp_matches(w, '[0-9]'))) > 0, FALSE) AS has_digit,
            CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS chars_folded,
            CAST(list_max(list_transform(ws, w -> len(w))) AS INT) AS longest_word
     FROM d ORDER BY doc_id
@@ -2317,7 +2321,9 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("ws", lambda w: F.length(w) > 5))
         .cast("long")
         .alias("n_long_words"),
-        F.exists("ws", lambda w: w.rlike("[0-9]")).alias("has_digit"),
+        F.coalesce(
+            F.exists("ws", lambda w: w.rlike("[0-9]")), F.lit(False)
+        ).alias("has_digit"),
         F.aggregate(
             "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
         ).alias("chars_folded"),
@@ -2525,10 +2531,15 @@ def pagerank_trade_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "posexplode_leading_words",
     """
     WITH d AS (
+      -- no text, no tokens, no rows (inner-explode semantics; the
+      -- bare LEAST(3, len(NULL)) fabricated 3 NULL-word rows per
+      -- textless doc because DuckDB's LEAST skips NULL operands —
+      -- r9 text-null probe)
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')
                AS ws
       FROM documents
+      WHERE text IS NOT NULL
     ), w AS (
       SELECT doc_id, CAST(t.i AS INT) AS pos, ws[t.i + 1] AS word
       FROM d, unnest(range(LEAST(3, len(ws)))) AS t(i)
@@ -2546,8 +2557,12 @@ def posexplode_leading_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from filemapreduce_spark.operators.textops import words
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.slice(words(F.col("text")), 1, 3).alias("ws")
+    # no text, no tokens, no rows — posexplode (inner) drops NULL
+    # arrays anyway; declared explicitly to match the oracle
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.slice(words(F.col("text")), 1, 3).alias("ws"))
     )
     return (
         d.select("doc_id", F.posexplode("ws").alias("pos", "word"))
@@ -2570,7 +2585,12 @@ def posexplode_leading_words(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           unnest(CASE WHEN len(rare) = 0 THEN [NULL] ELSE rare END) AS word
+           -- the NULL-array guard is the OUTER semantics itself: a
+           -- textless doc (rare IS NULL) must keep its row exactly
+           -- like an empty one (bare unnest(NULL) dropped it; r9
+           -- text-null probe)
+           unnest(CASE WHEN rare IS NULL OR len(rare) = 0
+                       THEN [NULL] ELSE rare END) AS word
     FROM d ORDER BY doc_id, word NULLS FIRST
     """,
     tags=("scalar", "arrays"),

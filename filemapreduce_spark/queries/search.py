@@ -224,7 +224,11 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from filemapreduce_spark.operators.textops import words
 
-    docs = t(spark, sf_dir, "documents")
+    # the BM25 corpus is the TEXT-BEARING documents: the oracle's
+    # token explode naturally excludes textless docs from n_docs and
+    # avgdl, while an unfiltered count inflated n_docs and shifted
+    # every idf (r9 text-null probe)
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     per_doc = docs.select(
         "doc_id",
         F.size(words(F.col("text"))).cast("long").alias("dlen"),

@@ -59,14 +59,18 @@ def pandas_udf_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("n_digits long, n_upper long")
     def char_classes(s: pd.Series) -> pd.DataFrame:
         arr = pa.Array.from_pandas(s)
+        # nullable Int64, not int64: the RE2 kernel returns NULL for
+        # NULL text (matching the oracle's len(regexp_extract_all(
+        # NULL))), and plain astype(int64) crashes on the NaN those
+        # nulls become (r9 text-null probe)
         return pd.DataFrame(
             {
                 "n_digits": pc.count_substring_regex(arr, "[0-9]")
                 .to_pandas()
-                .astype("int64"),
+                .astype("Int64"),
                 "n_upper": pc.count_substring_regex(arr, "[A-Z]")
                 .to_pandas()
-                .astype("int64"),
+                .astype("Int64"),
             }
         )
 
@@ -192,6 +196,10 @@ def udtf_shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="shingle string")
     class DistinctShingles:
         def eval(self, text: str):
+            if text is None:
+                return  # no text, no shingles (oracle: unnest(NULL)
+                # yields no rows; None.split crashed — r9 text-null
+                # probe)
             ws = text.split(" ")
             seen = set()
             for i in range(len(ws) - 3):

@@ -33,10 +33,19 @@ with no seed store):
               NULL measures on rows whose keys are also NULL, partial
               windows.
 
+  text      — 20% NULL documents.text and events.props, everything
+              else untouched. The LLM-pipeline payload regime: Python
+              boundaries crash on None (UDTF .split, bytes(None),
+              astype(int64) on NaN), VFS/blob builders encode None,
+              corpus statistics (BM25 n_docs/avgdl) count textless
+              docs their token explode excludes.
+
 Usage: python scripts/null_fixture.py keys     [out] [src]
        python scripts/null_fixture.py measures [out] [src]
        python scripts/null_fixture.py mixed    [out] [src]
-       (defaults: /tmp/sfnullkeys | /tmp/sfnullmeas | /tmp/sfnullmix)
+       python scripts/null_fixture.py text     [out] [src]
+       (defaults: /tmp/sfnullkeys | /tmp/sfnullmeas | /tmp/sfnullmix
+        | /tmp/sftextnull)
 Then:  python scripts/driver_sim.py <out>
 """
 
@@ -105,13 +114,16 @@ NULL_MEASURES: dict[str, tuple[str, ...]] = {
 
 def main() -> int:
     variant = sys.argv[1] if len(sys.argv) > 1 else "keys"
-    if variant not in ("keys", "measures", "mixed"):
-        print(f"unknown variant {variant!r}: use keys|measures|mixed")
+    if variant not in ("keys", "measures", "mixed", "text"):
+        print(
+            f"unknown variant {variant!r}: use keys|measures|mixed|text"
+        )
         return 2
     defaults = {
         "keys": "/tmp/sfnullkeys",
         "measures": "/tmp/sfnullmeas",
         "mixed": "/tmp/sfnullmix",
+        "text": "/tmp/sftextnull",
     }
     out = sys.argv[2] if len(sys.argv) > 2 else defaults[variant]
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
@@ -127,6 +139,11 @@ def main() -> int:
             repl.update({c: 100 for c in NULL_MEASURES[t]})
         elif variant == "mixed":
             repl.update({c: 30 for c in NULL_MEASURES[t]})
+        elif variant == "text":
+            if t == "documents":
+                repl["text"] = 20
+            elif t == "events":
+                repl["props"] = 20
         if not repl:
             con.execute(
                 f"COPY (SELECT * FROM '{s}') TO '{d}' (FORMAT PARQUET)"
