@@ -461,21 +461,41 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("q"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
     )
-    x = (
-        2 * F.rank().over(
-            Window.partitionBy("l_returnflag").orderBy("q")
+
+    # midranks from the VALUE-DOMAIN HISTOGRAM, not a row-level rank
+    # window: rank() OVER (PARTITION BY flag) would move the whole
+    # fact table through #flags (~4) tasks. Instead: per-(flag,
+    # value) counts (map-side combined), a cumulative window over the
+    # HISTOGRAM (bounded by value cardinality), and a broadcast
+    # join-back — 2·minrank+ties−1 = 2·cum_before+cnt+1. Identical
+    # integers to the oracle's rank()+COUNT() form (the MWU/Cliff's
+    # delta scale discipline).
+    def midranks(col: str, out: str):
+        h = base.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).alias("cnt")
         )
-        + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "q"))
-        - 1
-    ).cast("long")
-    y = (
-        2 * F.rank().over(
-            Window.partitionBy("l_returnflag").orderBy("c")
+        wcum = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "c"))
-        - 1
-    ).cast("long")
-    ranked = base.select("l_returnflag", x.alias("x"), y.alias("y"))
+        return h.select(
+            "l_returnflag",
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+                + F.col("cnt")
+                + 1
+            )
+            .cast("long")
+            .alias(out),
+        )
+
+    ranked = (
+        base.join(F.broadcast(midranks("q", "x")), ["l_returnflag", "q"])
+        .join(F.broadcast(midranks("c", "y")), ["l_returnflag", "c"])
+        .select("l_returnflag", "x", "y")
+    )
     dec = "decimal(38,0)"
     m = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
