@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import glob as _glob
 import json as _json
+import re as _re
 import sys
 from collections.abc import Callable
 
@@ -26,192 +27,43 @@ from filemapreduce_spark.queries import load_all  # noqa: E402
 _REGISTRY = load_all()
 
 
-def _driver_verified() -> set[str]:
-    """Names that already have a row in any past CORRECTNESS_r*.json.
+def _verified_round() -> dict[str, int]:
+    """Latest round in which each name got a driver CORRECTNESS row.
 
     The driver samples the first ~50 entries of ``queries()`` each
-    round; with a plain alphabetical dict the window never advances
-    past the g's, so most of the registry would never receive a
-    driver-verified row. Reading the ledger here lets each round's
-    window land on queries no previous round covered.
+    round; with a plain alphabetical dict the window would never
+    advance past the g's. Rounds 1-9 used this ledger read to put
+    never-verified names first, which CLOSED the ledger at 377/377.
     """
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for path in _glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen.update(_json.load(f).keys())
+                names = list(_json.load(f).keys())
         except Exception:
-            pass  # unreadable ledger file → treat as no coverage
-    return seen
-
-
-# Names the driver window should reach before the alphabetical rest
-# (already-driver-verified names are dropped automatically). Round-9
-# state: after CORRECTNESS_r08 exactly NINETEEN names remain
-# never-driver-verified — the tail of the round-8 list below (time
-# series, sessions/cohorts, spatial, ridge/generalized means).
-# _rotated() puts precisely those 19 at the head of queries(), so the
-# round-9 driver window closes the ledger at 377/377 with ~31 slots
-# to spare (r8 verdict item 1). All 19 re-passed the strict
-# driver_sim pre-sweep at round-9 start (19/19 OK, sf0.01).
-_PRIORITY = (
-    # round-8 new gate (FAILFAST abort surfaced as data — r7 verdict
-    # item 5's suggested add)
-    "engine_strict_abort_gate",
-    # round-7 new operator gate (chunked large-binary reassembly)
-    "engine_chunked_large_file",
-    # graph family (incl. the round-6 verdict's rescan-heavy fix set)
-    "local_clustering_coefficient",
-    "common_neighbors_link_prediction",
-    "connected_components_minlabel",
-    "kcore_peeling_rounds",
-    "pagerank_trade_2iter",
-    "degree_assortativity_copurchase",
-    # divergence pair (also in the de-rescan fix set)
-    "kl_divergence_by_source",
-    "jsd_pairwise_sources",
-    # experiment / hypothesis stats
-    "kruskal_wallis_daily",
-    "welch_ttest_vs_view",
-    "cohens_d_arms",
-    "cliffs_delta_arms",
-    "mann_kendall_trend",
-    "kendall_tau_daily_value",
-    "paired_diff_ttest",
-    "two_proportion_ztest",
-    "mcnemar_langid_vs_baseline",
-    "cochran_armitage_trend",
-    "spearman_qty_price",
-    "cramer_von_mises_vs_view",
-    # retrieval audits
-    "ndcg_retrieval_audit",
-    "map_retrieval_audit",
-    "rbo_rank_agreement",
-    "rrf_rank_fusion_by_lang",
-    "matryoshka_truncation_recall",
-    # survival
-    "logrank_test_arms",
-    "rmst_signup_purchase",
-    "nelson_aalen_cumhaz",
-    # never-sampled sink round-trips
-    "sink_hilbert_roundtrip",
-    "sink_manifest_exactly_once",
-    # SQL/semi-structured entry points
-    "sql_text_monthly_revenue",
-    "variant_props_events",
-    "try_arithmetic_safety",
-    "url_kv_parse_events",
-    "xml_parse_orders",
-    "posexplode_leading_words",
-    "recursive_cte_nation_chains",
-    # analytics staples
-    "proration_largest_remainder",
-    "retention_cohorts_weekly",
-    "rolling_7day_active_users",
-    "revenue_share_by_nation",
-    "quality_tiers_ntile",
-    "rfm_quintile_segments",
-    # robust / order stats
-    "robust_stats_mad",
-    "weighted_median_price_by_flag",
-    "winsorized_stats_prices",
-    "skyline_parts_price_size",
-    # UDx tail (pandas_udf_char_classes is also a bench-floor target)
-    "pandas_udf_char_classes",
-    "pandas_udaf_weighted_price",
-    # ------------------------------------------------------------------
-    # Round-8 pre-curated tail: the remaining 68 never-verified names
-    # (all strict-green in the round-7 118-name driver_sim sweep).
-    # _rotated() drops verified names automatically, so once the
-    # round-7 window lands in CORRECTNESS_r07 the next driver window
-    # becomes the head of this list — curated by family (experiment
-    # stats, sketch/sampling audits, text/LM, time series, spatial,
-    # ML-prep, pipeline), not alphabetical order.
-    # experiment / causal stats
-    "cuped_adjusted_lift",
-    "did_two_period_lift",
-    "stratified_adjusted_difference",
-    "jackknife_nation_mean_se",
-    "conformal_interval_coverage",
-    "sampled_aggregate_estimate",
-    "neyman_allocation_by_type",
-    "walkforward_purged_folds",
-    "mutual_information_features",
-    "woe_iv_price_deciles",
-    "psi_value_drift",
-    "skew_diagnosis_join_keys",
-    # sketches / sampling / privacy audits
-    "hll_intersection_overlap",
-    "ess_importance_weights",
-    "weighted_sample_without_replacement",
-    "systematic_sample_user_events",
-    "dp_noisy_counts_ledger",
-    "l_diversity_audit",
-    "luhn_checksum_screen",
-    "out_of_order_audit",
-    "orderkey_gap_audit",
-    "sorted_neighborhood_pairs",
-    "fellegi_sunter_entity_match",
-    "rendezvous_shard_move_audit",
-    "shard_stripe_balance",
-    # text / LM statistics
-    "chao1_vocab_richness",
-    "good_turing_smoothed_counts",
-    "kneser_ney_bigram_probs",
-    "stupid_backoff_trigram_score",
-    "keyness_loglik_terms",
-    "fightin_words_terms",
-    "skipgram_pmi_pairs",
-    "term_burstiness_top20",
-    "tfidf_top_term_per_doc",
-    "zipf_exponent_fit",
-    "flesch_reading_ease_by_source",
-    "simpson_diversity_by_source",
-    "langid_precision_recall_f1",
-    "cohens_kappa_langid",
-    "udtf_shared_shingles",
-    # LLM-pipeline prep
-    "mlm_masking_plan",
-    "t5_span_corruption_plan",
-    "sequence_pack_cu_seqlens",
-    "curriculum_interleave_order",
-    "temperature_mixture_weights",
-    "kcenter_coreset_selection",
-    "feature_hashing_classifier_score",
-    "quantile_normalize_scores",
-    "embedding_power_iteration",
-    "ridge_normal_equations",
-    # time series / finance
-    "holt_linear_by_type",
-    "theil_sen_slope_daily",
-    "theil_index_by_nation",
-    "seasonal_decomposition_daily",
-    "seasonal_naive_backtest",
-    "rolling_correlation_series",
-    "trailing_quantile_7day",
-    "twap_daily_by_type",
-    "ohlc_monthly_order_prices",
-    "time_bucket_weekly_monday",
-    "timegrain_rollup_events",
-    "generalized_means_value",
-    # sessions / cohorts / ops analytics
-    "session_cooccurrence_pmi",
-    "session_pattern_top20",
-    "cohort_ltv_curve",
-    "order_to_ship_latency",
-    # spatial
-    "point_in_polygon_assignment",
-    "quadkey_spatial_rollup",
-)
+            continue  # unreadable ledger file → treat as no coverage
+        for n in names:
+            if rnd > latest.get(n, -1):
+                latest[n] = rnd
+    return latest
 
 
 def _rotated() -> list[str]:
-    """Registry names, never-driver-verified first (alpha within group)."""
-    seen = _driver_verified()
-    names = sorted(_REGISTRY)
-    head = [n for n in _PRIORITY if n in _REGISTRY and n not in seen]
-    rest_new = [n for n in names if n not in seen and n not in head]
-    return head + rest_new + [n for n in names if n in seen]
+    """Registry names, least-recently-driver-verified first.
+
+    The ledger closed at 377/377 in round 9, so its value now decays
+    with staleness: most rows were verified on round-1..8 trees and
+    ~80 queries changed in round 9 alone (r9 verdict "What's missing"
+    item 1). Order by the round of each name's latest green row —
+    never-verified names (e.g. a future registry add) first, then
+    oldest vintage first, alphabetical within a round — so each
+    round's ~50-name driver window re-proves the stalest rows on the
+    current tree. A full freshness lap takes ~7 rounds.
+    """
+    latest = _verified_round()
+    return sorted(_REGISTRY, key=lambda n: (latest.get(n, -1), n))
 
 
 def _ensure_conf(spark: SparkSession) -> None:

@@ -191,24 +191,139 @@ def measure_floors(spark, sf_dir: str) -> tuple[float, float]:
     return floor_batch, floor_stream
 
 
-def run_control(sf_dir: str) -> dict | None:
-    """Paired prev-tree control (r8 verdict item 2): run the PREVIOUS
-    bench commit's own bench.py, unmodified, in a detached git
-    worktree as a subprocess back-to-back with this run — same
-    machine-minutes, same data. The DuckDB anchor swung 2.1x across
-    same-day samples in r8 and the committed r7->r8 'regression'
-    turned out to be entirely VM drift, provable only by re-running
-    the old tree in the same session window; this institutionalizes
-    that control so BENCH_r{N} carries regression truth in one file.
+# Generic per-tree timing worker: serves "time this registry query"
+# requests over stdin against whatever tree $FMR_TREE points at, one
+# JSON line per answer. Both A/B sides of the paired control run THIS
+# script (symmetric protocol: same subprocess cost, same session
+# shape, same rep policy), so the only variable is the tree itself.
+# The timing policy mirrors main(): best-of-3 on a pre-built plan;
+# streaming queries rebuild per rep with construct time counted.
+_AB_WORKER_SRC = '''\
+import json, os, re, sys, time
+
+tree = os.environ["FMR_TREE"]
+sys.path.insert(0, tree)
+os.environ["FMR_STREAM_FORCE_REEXEC"] = "1"
+
+from filemapreduce_spark.queries import load_all
+from filemapreduce_spark.session import get_spark
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+m = re.search(r"sf([0-9.]+)", sf_dir)
+sf = float(m.group(1)) if m else None
+registry = load_all()
+spark = get_spark(app_name="bench_ab_worker")
+if sf is not None and sf <= 0.2:
+    # same toy-scale confs as bench.py main()
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "2"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.files.minPartitionNum",
+                   os.environ.get("SPARK_GRAFT_BENCH_MINPART", "2"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   "131072")
+spark.range(1000).count()
+sys.stdout.write("READY\\n")
+sys.stdout.flush()
+for line in sys.stdin:
+    name = line.strip()
+    if not name:
+        continue
+    if name == "EXIT":
+        break
+    try:
+        spec = registry[name]
+        rebuild = name.startswith("streaming_")
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        construct = time.time() - t0
+        best = None
+        for rep in range(3):
+            t0 = time.time()
+            if rebuild and rep > 0:
+                df = spec.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            e = time.time() - t0
+            if rebuild and rep == 0:
+                e += construct
+            best = e if best is None else min(best, e)
+        spark.catalog.clearCache()
+        out = {"name": name, "sec": round(best, 4)}
+    except Exception as ex:
+        out = {"name": name, "error": str(ex)[:200]}
+    sys.stdout.write(json.dumps(out) + "\\n")
+    sys.stdout.flush()
+spark.stop()
+'''
+
+
+def _spawn_worker(tree: str, sf_dir: str, script: str):
+    import subprocess
+
+    env = dict(os.environ)
+    env["FMR_TREE"] = tree
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_CONTROL"] = "none"
+    # PREPEND the tree (r9 ADVICE: overwriting PYTHONPATH drops
+    # entries the tree may need to import its own dependencies)
+    env["PYTHONPATH"] = tree + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, script],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+        cwd=tree,
+    )
+
+
+def _worker_reply(proc, timeout_s: float) -> dict | None:
+    """Next JSON line from a worker's stdout (skipping any stray
+    non-JSON output — r9 ADVICE: never assume the interesting line
+    is the only/last one), or None on timeout/EOF."""
+    import select
+    import time as _t
+
+    deadline = _t.time() + timeout_s
+    while _t.time() < deadline:
+        r, _, _ = select.select(
+            [proc.stdout], [], [], max(deadline - _t.time(), 0.1)
+        )
+        if not r:
+            continue
+        line = proc.stdout.readline()
+        if not line:
+            return None  # EOF — worker died
+        line = line.strip()
+        if line == "READY":
+            return {"ready": True}
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue  # stray print from some library — skip
+    return None
+
+
+def run_control(sf_dir: str, names: list[str]) -> dict | None:
+    """Paired prev-tree control, INTERLEAVED per query (r9 verdict
+    item 1): the old sequential-phase protocol ran the whole control
+    bench after the whole current bench, so a machine-load swing
+    between the phases poisoned the paired ratios (BENCH_r09's
+    committed paired_total_ratio 0.343 was phase noise; the true
+    interleaved number was ~0.88 flat). Here both trees run as
+    identical subprocess workers in ONE machine window and each query
+    is timed A-then-B / B-then-A alternately, so drift on any
+    timescale longer than one query cancels out of the pair.
 
     Control rev: $SPARK_GRAFT_BENCH_CONTROL (a rev, or 'none' to
     skip); default = the last commit that touched BENCH_r*.json (the
-    tree the previous round's committed numbers came from). The
-    subprocess gets SPARK_GRAFT_BENCH_CONTROL=none so a control tree
-    that itself has this mode never recurses. Returns the control's
-    parsed JSON record, or an error marker — never raises.
+    tree the previous round's committed numbers came from). Returns
+    {"control_rev", "ab": {name: {"cur", "ctl"}}} or an error
+    marker — never raises.
     """
     import subprocess
+    import tempfile
 
     rev = os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "")
     if rev.lower() in ("none", "off", "0"):
@@ -242,24 +357,61 @@ def run_control(sf_dir: str) -> dict | None:
             "control_rev": rev,
             "control_error": r.stderr.strip()[:200],
         }
-    env = dict(os.environ)
-    env["SPARK_GRAFT_SF_DIR"] = sf_dir
-    env["SPARK_GRAFT_BENCH_CONTROL"] = "none"
-    env["PYTHONPATH"] = wt
+    script = tempfile.mktemp(prefix="fmr_ab_worker_", suffix=".py")
+    with open(script, "w") as f:
+        f.write(_AB_WORKER_SRC)
+    cur = ctl = None
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(wt, "bench.py")],
-            capture_output=True, text=True, timeout=1800, env=env,
-            cwd=wt,
-        )
-        lines = [
-            ln for ln in proc.stdout.strip().splitlines() if ln.strip()
-        ]
-        rec = json.loads(lines[-1])
-        return {"control_rev": rev, "control": rec}
+        cur = _spawn_worker(repo, sf_dir, script)
+        ctl = _spawn_worker(wt, sf_dir, script)
+        for p, side in ((cur, "current"), (ctl, "control")):
+            rep = _worker_reply(p, 300)
+            if not (rep and rep.get("ready")):
+                return {
+                    "control_rev": rev,
+                    "control_error": f"{side} worker failed to start",
+                }
+        ab: dict[str, dict] = {}
+        for i, name in enumerate(names):
+            # alternate which tree goes first so slow drift WITHIN a
+            # pair also cancels over the suite
+            order = (
+                ((cur, "cur"), (ctl, "ctl"))
+                if i % 2 == 0
+                else ((ctl, "ctl"), (cur, "cur"))
+            )
+            pair: dict[str, float] = {}
+            for p, side in order:
+                p.stdin.write(name + "\n")
+                p.stdin.flush()
+                rep = _worker_reply(p, 600)
+                if rep is None:
+                    return {
+                        "control_rev": rev,
+                        "control_error": f"worker {side} hung on {name}",
+                        "ab": ab,
+                    }
+                if "sec" in rep:
+                    pair[side] = rep["sec"]
+            if "cur" in pair and "ctl" in pair:
+                ab[name] = pair
+        for p in (cur, ctl):
+            try:
+                p.stdin.write("EXIT\n")
+                p.stdin.flush()
+            except Exception:
+                pass
+        return {"control_rev": rev, "ab": ab}
     except Exception as e:
         return {"control_rev": rev, "control_error": str(e)[:200]}
     finally:
+        for p in (cur, ctl):
+            if p is not None and p.poll() is None:
+                p.kill()
+        try:
+            os.unlink(script)
+        except OSError:
+            pass
         subprocess.run(
             ["git", "-C", repo, "worktree", "remove", "--force", wt],
             capture_output=True,
@@ -458,44 +610,46 @@ def main():
         n for n, d in floor_decomp.items() if d["floor_certified"]
     )
 
-    # Paired prev-tree control: the old tree's own bench.py, run
-    # back-to-back in this same machine window (subprocess; our JVM
-    # is idle during it). Runs AFTER every current-tree measurement
-    # so the two Spark processes never compete.
-    ctrl = run_control(sf_dir)
+    # Paired prev-tree control, interleaved per query: both trees run
+    # as identical subprocess workers in one machine window (our JVM
+    # is idle during it), A-then-B / B-then-A alternating. The paired
+    # fields below therefore come from interleaved samples ONLY — the
+    # in-process `times` above never enters a cross-tree ratio.
+    ctrl = run_control(sf_dir, HEADLINE)
     control_fields: dict = {}
     control_detail: dict = {}
-    if ctrl and "control" in ctrl:
-        crec = ctrl["control"]
-        cq = crec.get("queries") or {}
-        common = [n for n in HEADLINE if n in cq and n in times]
-        cur_common = round(sum(times[n] for n in common), 3)
-        ctl_common = round(sum(cq[n] for n in common), 3)
+    if ctrl and ctrl.get("ab"):
+        ab = ctrl["ab"]
+        cur_common = round(sum(p["cur"] for p in ab.values()), 3)
+        ctl_common = round(sum(p["ctl"] for p in ab.values()), 3)
         paired = {
-            n: (round(times[n] / cq[n], 3) if cq[n] else None)
-            for n in common
+            n: (round(p["cur"] / p["ctl"], 3) if p["ctl"] else None)
+            for n, p in ab.items()
         }
         vals = sorted(v for v in paired.values() if v is not None)
         median_ratio = vals[len(vals) // 2] if vals else None
         control_fields = {
             "control_rev": ctrl["control_rev"][:12],
-            "control_common_n": len(common),
+            "control_protocol": "interleaved",
+            "control_common_n": len(ab),
             "control_common_sec": ctl_common,
             "current_common_sec": cur_common,
             # <1 means this tree is faster than the previous bench
-            # commit IN THE SAME MACHINE WINDOW — the drift-free
-            # regression signal (absolute cross-round seconds are
-            # not comparable; the anchor swung 2.1x in r8)
+            # commit measured in the SAME interleaved window — the
+            # drift-free regression signal (absolute cross-round
+            # seconds are not comparable; the anchor swung 2.1x in
+            # r8, and r9's sequential-phase control misread 0.343
+            # for a true ~0.88)
             "paired_total_ratio": (
                 round(cur_common / ctl_common, 3) if ctl_common else None
             ),
             "paired_median_ratio": median_ratio,
-            "control_duckdb_anchor_sec": crec.get("duckdb_anchor_sec"),
-            "control_ratio_total": crec.get("ratio_total"),
         }
+        if ctrl.get("control_error"):
+            control_fields["control_error"] = ctrl["control_error"]
         control_detail = {
             "control_rev": ctrl["control_rev"],
-            "control_queries": cq,
+            "control_ab": ab,
             "paired_ratio": paired,
         }
     elif ctrl:

@@ -255,6 +255,20 @@ def read_files_chunked(
     """
     import pandas as pd
 
+    if filesystem is not None:
+        import pyarrow.fs as pafs
+
+        if not isinstance(filesystem, pafs.FileSystem):
+            # fail at plan time with the wrapper named, instead of deep
+            # inside get_file_info / task deserialization (a raw fsspec
+            # object is the likely mistake and its error is obscure)
+            raise TypeError(
+                "read_files_chunked: filesystem must be a"
+                " pyarrow.fs.FileSystem; wrap fsspec filesystems as"
+                " pyarrow.fs.PyFileSystem(pyarrow.fs.FSSpecHandler(fs))"
+                f" (got {type(filesystem).__name__})"
+            )
+
     flt = as_filter(path_filter)
     glob = None
     if flt is not None:

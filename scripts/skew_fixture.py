@@ -79,7 +79,20 @@ def main() -> int:
                 if row is None:
                     continue  # empty source column: leave untouched
                 hot = row[0]
-                lit = f"'{hot}'" if isinstance(hot, str) else str(hot)
+                # render the hot value as a type-safe SQL literal:
+                # escape quotes in strings; cast any non-int rendering
+                # (date, timestamp, decimal, float) back to the source
+                # column's own type so it never parses as arithmetic
+                ctype = con.execute(
+                    f"DESCRIBE SELECT {c} FROM '{s}'"
+                ).fetchone()[1]
+                if isinstance(hot, bool):
+                    lit = "TRUE" if hot else "FALSE"
+                elif isinstance(hot, int):
+                    lit = str(hot)
+                else:
+                    esc = str(hot).replace("'", "''")
+                    lit = f"'{esc}'::{ctype}"
                 sets.append(
                     f"CASE WHEN (_rn * {KNUTH} + {i * 7919})"
                     f" % 100 < {pct} THEN {lit} ELSE {c} END AS {c}"
