@@ -9,9 +9,11 @@ operators (dedup, similarity search, text analysis, multimodal columns).
 
 Public surface:
     from filemapreduce_spark import PathFilter, MultiFilter, Job, FileEngine
+    from filemapreduce_spark import cache_scope
     from filemapreduce_spark.session import get_spark
 """
 
+from filemapreduce_spark.cache import cache_scope
 from filemapreduce_spark.globs import MultiFilter, PathFilter, compile_glob
 from filemapreduce_spark.core.engine import FileEngine, Job
 
@@ -21,6 +23,7 @@ __all__ = [
     "compile_glob",
     "Job",
     "FileEngine",
+    "cache_scope",
 ]
 
 __version__ = "0.1.0"

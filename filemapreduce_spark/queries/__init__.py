@@ -16,8 +16,12 @@ returned DataFrame references lazily — they cannot be unpersisted
 inside the function without re-executing the branch. Callers running
 MANY queries against one session (the driver, bench.py, the sweeps
 all do this) should call ``spark.catalog.clearCache()`` between
-queries; a caller running one query can leave eviction to Spark's
-LRU (storage-memory pressure evicts MEMORY_AND_DISK blocks safely).
+queries, or wrap each query's build+action in
+``filemapreduce_spark.cache_scope()`` — a context manager that
+unpersists exactly what the query persisted once its action
+completes (run the action INSIDE the scope). A caller running one
+query can leave eviction to Spark's LRU (storage-memory pressure
+evicts MEMORY_AND_DISK blocks safely).
 """
 
 from __future__ import annotations

@@ -1,0 +1,92 @@
+"""cache_scope(): a direct library consumer leaves zero pinned blocks.
+
+Closes the carried library-consumer cache footgun (r9 verdict item 6):
+query functions persist bounded intermediates their result references
+lazily; harnesses clearCache() between queries, but a direct caller
+had no scoped way to release them. ``with cache_scope():`` unpersists
+everything persisted inside the scope at exit.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filemapreduce_spark import cache_scope
+
+
+def _n_cached_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def _cache_manager_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+@pytest.fixture(autouse=True)
+def _clean_slate(spark):
+    spark.catalog.clearCache()
+    yield
+    spark.catalog.clearCache()
+
+
+def test_registry_query_leaves_no_pinned_blocks(spark, sf_oracle):
+    """A persisting registry query, run and collected inside a scope,
+    leaves the session with zero cached plans and zero persistent
+    RDDs after exit."""
+    from filemapreduce_spark.queries import load_all
+
+    registry = load_all()
+    # neardup_minhash_lsh persists its signature base (llm.py)
+    with cache_scope():
+        df = registry["neardup_minhash_lsh"].fn(spark, sf_oracle)
+        rows = df.collect()
+        assert rows is not None
+    assert _cache_manager_empty(spark)
+    assert _n_cached_rdds(spark) == 0
+
+
+def test_scope_releases_only_its_own_persists(spark):
+    outside = spark.range(100).select((F.col("id") * 2).alias("x"))
+    outside = outside.persist()
+    outside.count()
+    assert not _cache_manager_empty(spark)
+    with cache_scope():
+        inside = spark.range(50).persist()
+        inside.count()
+        assert _n_cached_rdds(spark) >= 2
+    # the inside block is gone, the outside one survives
+    assert _n_cached_rdds(spark) == 1
+    assert not _cache_manager_empty(spark)
+    outside.unpersist(blocking=True)
+    assert _cache_manager_empty(spark)
+
+
+def test_scopes_nest(spark):
+    with cache_scope():
+        a = spark.range(10).persist()
+        a.count()
+        with cache_scope():
+            b = spark.range(20).persist()
+            b.count()
+            assert _n_cached_rdds(spark) == 2
+        # inner exit drops only b
+        assert _n_cached_rdds(spark) == 1
+    assert _n_cached_rdds(spark) == 0
+
+
+def test_persist_restored_after_scope(spark):
+    from filemapreduce_spark.cache import _persist_owners
+
+    owners = _persist_owners()
+    assert owners, "no concrete DataFrame class found to patch"
+    origs = {cls: cls.persist for cls in owners}
+    with cache_scope():
+        # the concrete class instances actually use must be patched
+        cls = type(spark.range(1))
+        assert getattr(cls.persist, "_fmr_tracking", False)
+    for cls, orig in origs.items():
+        assert cls.persist is orig
+    # plain persist outside any scope still works untracked
+    df = spark.range(5).persist()
+    df.count()
+    assert _n_cached_rdds(spark) == 1
+    df.unpersist(blocking=True)
