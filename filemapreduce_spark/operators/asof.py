@@ -102,16 +102,28 @@ def asof_join(
 
     # among equal-time right rows the tiebreak orders them; the frame
     # direction decides latest-before (running last) vs earliest-after
-    # (following first) — both one shuffle + one sort, no fan-out.
-    base = Window.partitionBy("_key").orderBy(
-        F.col("_time").asc(), F.col("_side").asc(), F.col("_rp._tb").asc()
-    )
+    # — both one shuffle + one sort, no fan-out. BOTH directions use a
+    # RUNNING [UNBOUNDED PRECEDING, CURRENT ROW] frame: forward is the
+    # same running last() over the REVERSED sort, because Spark's
+    # [CURRENT ROW, UNBOUNDED FOLLOWING] frame re-scans from the
+    # current row to the partition end for every row — O(n²) in the
+    # per-key history length, hours on a 128k-row partition (r10
+    # extreme-date sweep found this in interp_linear_gapfill; same
+    # frame shape here). first(x ignorenulls) over [cur, +∞) ascending
+    # ≡ last(x ignorenulls) over (-∞, cur] descending, exactly.
     if direction == "backward":
-        w = base.rowsBetween(Window.unboundedPreceding, 0)
-        match = F.last("_rp", ignorenulls=True).over(w)
+        w = Window.partitionBy("_key").orderBy(
+            F.col("_time").asc(),
+            F.col("_side").asc(),
+            F.col("_rp._tb").asc(),
+        ).rowsBetween(Window.unboundedPreceding, 0)
     else:
-        w = base.rowsBetween(0, Window.unboundedFollowing)
-        match = F.first("_rp", ignorenulls=True).over(w)
+        w = Window.partitionBy("_key").orderBy(
+            F.col("_time").desc(),
+            F.col("_side").desc(),
+            F.col("_rp._tb").desc(),
+        ).rowsBetween(Window.unboundedPreceding, 0)
+    match = F.last("_rp", ignorenulls=True).over(w)
     # mask, don't drop: NULL-key/NULL-time LEFT rows survive with a
     # NULL match (left-join contract)
     joined = (

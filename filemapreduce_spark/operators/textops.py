@@ -28,12 +28,32 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
+# Declared corpus-text semantics (round-10 unicode axis): case folding
+# is ASCII-ONLY (A-Z → a-z via translate) and whitespace is the
+# explicit ASCII class [ \t\n\x0B\f\r] (what Java's \s matches).
+# Engine-native lower() is locale- and engine-specific — Java maps
+# İ → i+COMBINING-DOT and lowercases final Σ context-sensitively to ς,
+# utf8proc (DuckDB) maps İ → i and Σ → σ per-codepoint — and RE2's \s
+# omits \x0B, so both primitives silently diverge between engines on
+# real multilingual text. ASCII folding + an explicit class are
+# identical everywhere, deterministic, and locale-free; non-ASCII
+# letters keep their case (full Unicode folding is a tokenizer-model
+# decision, not an engine default).
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+WS_REGEX = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def ascii_fold(text: Column | str) -> Column:
+    """ASCII-only case fold (see the declared semantics above)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.translate(t, ASCII_UPPER, ASCII_LOWER)
+
 
 def words(text: Column | str) -> Column:
-    """Lower-cased whitespace tokens, empties removed."""
-    t = F.col(text) if isinstance(text, str) else text
+    """ASCII-case-folded whitespace tokens, empties removed."""
     return F.filter(
-        F.split(F.lower(t), r"\s+"), lambda w: w != ""
+        F.split(ascii_fold(text), WS_REGEX), lambda w: w != ""
     )
 
 
@@ -54,7 +74,10 @@ TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 def token_count_regex(text_col: str) -> Column:
     """BPE-ish token count: word / number / punct-char runs."""
     return F.size(
-        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")
+        F.expr(
+            f"regexp_extract_all(translate({text_col},"
+            f" '{ASCII_UPPER}', '{ASCII_LOWER}'), '{TOKEN_REGEX}', 0)"
+        )
     ).cast("long")
 
 

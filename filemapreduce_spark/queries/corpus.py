@@ -17,7 +17,7 @@ from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
 
 _SQL_WORDS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+    "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')"
 )
 
 
@@ -29,7 +29,8 @@ _SQL_WORDS = (
     """
     WITH d AS (
       SELECT doc_id, lang, n_chars // 32 AS len_bucket,
-             substr(text, 1, 96) AS head
+             regexp_replace(substr(text, 1, 96),
+                            '[^\\x00-\\x7f]', chr(127), 'g') AS head
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
@@ -54,12 +55,24 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking (e.g. + minhash band) and a per-block pair cap.
     Levenshtein evaluates JVM-side in whole-stage codegen (built-in
     ``F.levenshtein``), never Python.
+
+    Declared distance semantics (round-10 unicode axis): edit
+    distance is measured on the ASCII PROJECTION of the head — every
+    non-ASCII code point is first replaced by the single placeholder
+    \\x7f. Engines disagree on the raw unit (Spark's levenshtein
+    counts code points, DuckDB's counts BYTES, so one CJK char is 1
+    vs 3 edits); the projection makes byte == code point on both and
+    declares all non-ASCII characters one equivalence class for typo
+    distance — cross-script fuzzy matching needs a different metric
+    anyway.
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 32).cast("long").alias("len_bucket"),
-        F.substring("text", 1, 96).alias("head"),
+        F.regexp_replace(
+            F.substring("text", 1, 96), "[^\\x00-\\x7F]", "\x7f"
+        ).alias("head"),
     )
     a, b = d.alias("a"), d.alias("b")
     return (

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from filemapreduce_spark.operators.textops import ascii_fold
+
 from filemapreduce_spark.operators.output import tiny_sorted
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
@@ -121,7 +123,7 @@ def percentile_disc_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entropy_tokens_by_source",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      SELECT source, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w
       FROM documents
     ),
     counts AS (
@@ -147,7 +149,7 @@ def entropy_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         d.select(
             "source",
-            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+            F.explode(F.split(ascii_fold("text"), " ")).alias("w"),
         )
         .filter(F.col("w") != "")
         .groupBy("source", "w")
@@ -775,7 +777,7 @@ def merkle_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH signup AS (
       SELECT user_id, ts, event_id,
-             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS segment
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS segment
       FROM events WHERE event_type = 'signup'
     ), marked AS (
       SELECT *, CASE WHEN lag(segment) OVER w IS DISTINCT FROM segment
@@ -823,7 +825,7 @@ def fact_to_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        (F.get_json_object("props", "$.k").cast("long") / 25)
+        (F.get_json_object("props", "$.k").try_cast("long") / 25)
         .cast("long")
         .alias("segment"),
     )
@@ -1003,7 +1005,7 @@ def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_number_runs,
            CAST(SUM(CASE WHEN regexp_matches(text, '[A-Z]{2,}')
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_acronyms,
-           CAST(SUM(len(regexp_extract_all(lower(text), '\\bthe\\b')))
+           CAST(SUM(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\bthe\\b')))
              AS BIGINT) AS n_the_mentions
     FROM documents
     GROUP BY source
@@ -1028,7 +1030,7 @@ def regexp_family_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("text").rlike("[A-Z]{2,}"), 1).otherwise(0)
             ).alias("n_docs_with_acronyms"),
             F.sum(
-                F.regexp_count(F.lower("text"), F.lit(r"\bthe\b"))
+                F.regexp_count(ascii_fold("text"), F.lit(r"\bthe\b"))
             ).alias("n_the_mentions"),
         )
         .orderBy("source")

@@ -301,10 +301,18 @@ def interp_linear_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward navigation as a REVERSED-sort running frame:
+    # first(x) over [CURRENT ROW, UNBOUNDED FOLLOWING] ascending is
+    # semantically last(x) over [UNBOUNDED PRECEDING, CURRENT ROW]
+    # descending — but Spark's UnboundedFollowing frame re-scans from
+    # the current row to the partition end for EVERY row, O(n²) per
+    # partition (the extreme-date fixture's 350-year spine made a
+    # 128k-row partition hang for hours; r10 sweep). The reversed
+    # running frame is O(n) and exact.
     w_fwd = (
         Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
     ctx = joined.select(
@@ -313,8 +321,8 @@ def interp_linear_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w_back).alias("pv"),
         F.last(obs_day, ignorenulls=True).over(w_back).alias("pd"),
-        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
-        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("nd"),
+        F.last("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.last(obs_day, ignorenulls=True).over(w_fwd).alias("nd"),
     )
     interp = (
         F.col("pv") * F.datediff("nd", "day")
@@ -535,7 +543,7 @@ def cusum_top_deviations(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT doc_id, lang, n_chars,
              CAST(len(list_filter(
-               regexp_split_to_array(lower(text), '\\s+'),
+               regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'),
                w -> w != '')) AS BIGINT) AS n_words
       FROM documents
     ), ranked AS (
@@ -701,7 +709,7 @@ def orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT DISTINCT doc_id, unnest(list_filter(
-        regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS w
+        regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')) AS w
       FROM documents
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id

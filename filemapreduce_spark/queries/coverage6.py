@@ -258,7 +258,7 @@ _MLM_MASK = 52429  # floor(0.80 * 65536) of selected → [MASK]
 _MLM_RAND = 58982  # floor(0.90 * 65536) of selected → random token
 
 _SQL_WORDS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+    "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'),"
     " w -> w != '')"
 )
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from filemapreduce_spark.operators.textops import ascii_fold
+
 from filemapreduce_spark.core.engine import FileEngine, Job
 from filemapreduce_spark.operators.money import SQL_CENTS, cents
 from filemapreduce_spark.queries import register
@@ -115,7 +117,7 @@ _SQL_DOC_SUB = (
     f"""
     WITH toks AS (
       SELECT unnest(list_filter(
-        regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS w
+        regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')) AS w
       FROM {_SQL_DOC_SUB}
     )
     SELECT w, COUNT(*) AS n
@@ -139,7 +141,7 @@ def engine_vfs_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
             mapper=lambda d: d.select(
                 F.explode(
                     F.filter(
-                        F.split(F.lower("data"), r"\s+"),
+                        F.split(ascii_fold("data"), r"\s+"),
                         lambda w: w != "",
                     )
                 ).alias("w")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from filemapreduce_spark.operators.textops import (
     LANG_MARKERS,
+    ascii_fold,
     STOPWORDS,
     TOKEN_REGEX,
     fingerprint,
@@ -37,7 +38,7 @@ from filemapreduce_spark.queries import register
 from filemapreduce_spark.queries.relational import t
 
 # DuckDB fragments mirroring operators.textops
-_SQL_WORDS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+_SQL_WORDS = "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')"
 _SQL_SHINGLES3 = (
     "list_distinct(list_transform(range(1, len(ws)-1),"
     " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
@@ -55,8 +56,8 @@ _SQL_SHINGLES2 = (
     "dedup_exact_by_source",
     """
     SELECT source, COUNT(*) AS n_docs,
-           COUNT(DISTINCT md5(lower(text))) AS n_unique,
-           COUNT(*) - COUNT(DISTINCT md5(lower(text))) AS n_dups
+           COUNT(DISTINCT md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))) AS n_dups
     FROM documents GROUP BY source ORDER BY source
     """,
     tags=("dedup", "llm"),
@@ -65,7 +66,7 @@ def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (hash) dedup accounting per source — the groupBy-on-digest
     pattern that scales to any corpus (shuffle on a 128-bit key)."""
     d = t(spark, sf_dir, "documents")
-    h = F.md5(F.lower("text"))
+    h = F.md5(ascii_fold("text"))
     return one_part_sorted(
         # one_part_sorted, not tiny_sorted: countDistinct's final agg
         # stage reads one row per distinct digest (data-sized) —
@@ -633,7 +634,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count_bpe_ish",
     f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
            CAST(len({_SQL_WORDS}) AS BIGINT) AS n_ws_tokens
     FROM documents ORDER BY doc_id
     """,
@@ -1134,9 +1135,9 @@ _NUM_PAT = "[0-9][0-9][0-9]+"
     "text_clean_redact",
     f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '{_NUM_PAT}')) AS BIGINT)
+           CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{_NUM_PAT}')) AS BIGINT)
              AS n_redacted,
-           md5(regexp_replace(lower(text), '{_NUM_PAT}', '<NUM>', 'g'))
+           md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{_NUM_PAT}', '<NUM>', 'g'))
              AS clean_md5
     FROM documents ORDER BY doc_id
     """,
@@ -1150,10 +1151,10 @@ def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the oracle by hashing the cleaned text.
     """
     d = t(spark, sf_dir, "documents")
-    low = F.lower("text")
+    low = ascii_fold("text")
     return d.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(lower(text), '{_NUM_PAT}', 0)"))
+        F.size(F.expr(f"regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{_NUM_PAT}', 0)"))
         .cast("long")
         .alias("n_redacted"),
         F.md5(F.regexp_replace(low, _NUM_PAT, "<NUM>")).alias("clean_md5"),
@@ -1560,7 +1561,7 @@ def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT doc_id, source,
-             ('0x' || substring(md5(lower(text)), 1, 4))::INT AS bucket
+             ('0x' || substring(md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), 1, 4))::INT AS bucket
       FROM documents
     )
     SELECT doc_id,
@@ -1583,7 +1584,7 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is also the natural partitionBy for the output write.
     """
     d = t(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.lower("text")), 1, 4), 16, 10).cast(
+    bucket = F.conv(F.substring(F.md5(ascii_fold("text")), 1, 4), 16, 10).cast(
         "int"
     )
     split = (

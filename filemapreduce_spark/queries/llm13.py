@@ -26,11 +26,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from filemapreduce_spark.queries import register
-from filemapreduce_spark.operators.textops import words
+from filemapreduce_spark.operators.textops import words, ascii_fold
 from filemapreduce_spark.sources.tables import load_table as t
 
 _SQL_WORDS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), "
     "w -> w != '')"
 )
 
@@ -47,7 +47,7 @@ _SNM_MAXDIST = 24
     f"""
     WITH d AS (
       SELECT doc_id, lang, substr(text, 1, {_SNM_HEAD}) AS head,
-             substr(lower(text), 1, 2) AS pre
+             substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 1, 2) AS pre
       FROM documents
     ), ranked AS (
       SELECT doc_id, lang, head, pre,
@@ -102,7 +102,7 @@ def sorted_neighborhood_pairs(
         "doc_id",
         "lang",
         F.substring("text", 1, _SNM_HEAD).alias("head"),
-        F.substring(F.lower("text"), 1, 2).alias("pre"),
+        F.substring(ascii_fold("text"), 1, 2).alias("pre"),
     )
     w = Window.partitionBy("lang", "pre").orderBy("head", "doc_id")
     ranked = d.select(

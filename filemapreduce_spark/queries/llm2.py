@@ -859,10 +859,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(SUM(len({_SQL_WORDS})) AS BIGINT) AS sum_ws_tokens,
-           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')))
+           CAST(SUM(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{TOKEN_REGEX}')))
              AS BIGINT) AS sum_bpe_tokens,
            CAST(SUM(n_chars) AS BIGINT) * 1000
-             // CAST(SUM(len(regexp_extract_all(lower(text),
+             // CAST(SUM(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                   '{TOKEN_REGEX}'))) AS BIGINT)
              AS chars_per_bpe_token_milli
     FROM documents

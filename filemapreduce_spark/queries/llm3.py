@@ -202,7 +202,7 @@ def srp_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vocabulary coverage / OOV-rate diagnostic.
 # --------------------------------------------------------------------
 _SQL_WORDS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+    "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')"
 )
 _VOCAB_K = 200
 
@@ -592,7 +592,7 @@ _HEAPS_CK = 20
     ORDER BY checkpoint
     """.replace(
         "{words}",
-        "list_filter(regexp_split_to_array(lower(d.text), '\\s+'),"
+        "list_filter(regexp_split_to_array(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'),"
         " w -> w != '')",
     ),
     tags=("text", "stats", "llm"),

@@ -32,7 +32,7 @@ from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
 
 _SQL_WORDS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+    "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')"
 )
 _MG_K = 500  # Misra–Gries counter budget per partition
 _TOP = 10

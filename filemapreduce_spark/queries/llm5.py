@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filemapreduce_spark.operators.textops import words
+from filemapreduce_spark.operators.textops import words, ascii_fold
 from filemapreduce_spark.operators.vectors import dot, norm, to_double
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
@@ -249,7 +249,7 @@ _WIN_HASH_SQL = (
     "winnowing_shared_fingerprints",
     f"""
     WITH d AS (
-      SELECT doc_id, lower(text) AS txt FROM documents
+      SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS txt FROM documents
     ), c AS (
       -- str_split, not txt[j] indexing: positional UTF-8 indexing is
       -- O(len) per access (quadratic per doc); splitting is one pass
@@ -320,7 +320,7 @@ def winnowing_shared_fingerprints(
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.lower("text").alias("txt"),
+        ascii_fold("text").alias("txt"),
     ).withColumn(
         # one codepoint array per doc, shared by every gram hash
         "cs",
@@ -378,7 +378,7 @@ winnowing_shared_fingerprints.__doc__ = (
 _KL_V = 100  # vocabulary: top-V global tokens; everything else = OOV
 
 _SQL_WORDS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+    "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')"
 )
 
 

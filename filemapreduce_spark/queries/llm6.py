@@ -25,13 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filemapreduce_spark.operators.textops import words
+from filemapreduce_spark.operators.textops import words, ascii_fold
 from filemapreduce_spark.operators.vectors import to_double
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
 
 _SQL_WORDS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+    "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')"
 )
 _SB_ALPHA = 0.4  # Brants et al. backoff penalty
 _TRAIN_GATE = 58982  # first 16 md5 bits < 0.9·65536 → train split
@@ -45,7 +45,7 @@ _TRAIN_GATE = 58982  # first 16 md5 bits < 0.9·65536 → train split
     f"""
     WITH doc AS (
       SELECT doc_id, source, {_SQL_WORDS} AS ws,
-             ('0x' || substring(md5(lower(text)), 1, 4))::INT < {_TRAIN_GATE}
+             ('0x' || substring(md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), 1, 4))::INT < {_TRAIN_GATE}
                AS is_train
       FROM documents
     ), tri AS (
@@ -131,7 +131,7 @@ def stupid_backoff_trigram_score(
         "source",
         words("text").alias("ws"),
         (
-            F.conv(F.substring(F.md5(F.lower("text")), 1, 4), 16, 10)
+            F.conv(F.substring(F.md5(ascii_fold("text")), 1, 4), 16, 10)
             .cast("int")
             < _TRAIN_GATE
         ).alias("is_train"),
@@ -915,8 +915,8 @@ _FH_KNUTH = 2654435761  # Knuth multiplicative constant for weights
     f"""
     WITH tok AS (
       SELECT doc_id, source,
-             unnest(list_filter(regexp_split_to_array(lower(text),
-                    '\\s+'), w -> w != '')) AS w
+             unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                    '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')) AS w
       FROM documents
     ), feat AS (
       SELECT doc_id, source,

@@ -20,12 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filemapreduce_spark.operators.textops import words
+from filemapreduce_spark.operators.textops import words, ascii_fold
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
 
 _SQL_WORDS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+    "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'),"
     " w -> w != '')"
 )
 
@@ -38,7 +38,7 @@ _SQL_WORDS = (
              CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words,
              CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
                   AS BIGINT) AS n_sents,
-             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+'))
                   AS BIGINT) AS n_syll
       FROM documents
     ), g AS (
@@ -82,7 +82,7 @@ def flesch_reading_ease_by_source(
         )
         .cast("long")
         .alias("n_sents"),
-        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        F.regexp_count(ascii_fold("text"), F.lit("[aeiouy]+"))
         .cast("long")
         .alias("n_syll"),
     )

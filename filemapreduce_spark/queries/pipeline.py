@@ -25,7 +25,7 @@ from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
 
 # DuckDB twin of operators.textops.words (see llm.py's _SQL_WORDS).
-_SQL_WORDS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+_SQL_WORDS = "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')"
 _SQL_TOK = f"len({_SQL_WORDS})"
 
 

@@ -915,7 +915,7 @@ def scalar_math_case_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -929,7 +929,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(
-            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.sum(F.get_json_object("props", "$.k").try_cast("long")).alias("sum_k"),
             F.count("*").alias("n"),
         )
         .orderBy("event_type")
@@ -1481,10 +1481,10 @@ def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS BIGINT) AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     tags=("scalar", "json", "variant"),
@@ -1500,7 +1500,9 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object, repeated accesses don't re-parse the JSON text.
     """
     e = t(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    # try_variant_get: a non-numeric $.k (type garbage in real-world
+    # payloads) is off-domain -> NULL, instead of an ANSI cast abort
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -2287,7 +2289,7 @@ def sql_text_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')
+             list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')
                AS ws
       FROM documents
     )
@@ -2536,7 +2538,7 @@ def pagerank_trade_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- textless doc because DuckDB's LEAST skips NULL operands —
       -- r9 text-null probe)
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')
+             list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')
                AS ws
       FROM documents
       WHERE text IS NOT NULL
@@ -2579,7 +2581,7 @@ def posexplode_leading_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT doc_id,
              list_filter(
-               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'),
                            w -> w != ''),
                w -> len(w) > 8) AS rare
       FROM documents

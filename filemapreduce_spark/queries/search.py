@@ -40,8 +40,8 @@ def _qtris_sql() -> str:
     f"""
     WITH postings AS (
       SELECT DISTINCT doc_id, unnest(list_distinct(
-               list_transform(range(1, length(lower(text)) - 1),
-                              i -> substring(lower(text), i, 3)))) AS tri
+               list_transform(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - 1),
+                              i -> substring(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 3)))) AS tri
       FROM documents
     ), qtris(term, tri, n_tris) AS (
       VALUES {_qtris_sql()}
@@ -53,9 +53,9 @@ def _qtris_sql() -> str:
     )
     SELECT c.term,
            COUNT(*) AS n_candidates,
-           CAST(SUM(CASE WHEN instr(lower(d.text), c.term) > 0
+           CAST(SUM(CASE WHEN instr(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), c.term) > 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
-           CAST(round(1000.0 * SUM(CASE WHEN instr(lower(d.text), c.term) > 0
+           CAST(round(1000.0 * SUM(CASE WHEN instr(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), c.term) > 0
                                         THEN 1 ELSE 0 END)
                       / COUNT(*)) AS BIGINT) AS precision_milli
     FROM cand c JOIN documents d ON d.doc_id = c.doc_id
@@ -93,8 +93,8 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # phantom 1-2-char fragments
                 F.expr(
                     "CASE WHEN length(text) >= 3 THEN"
-                    " transform(sequence(1, length(lower(text)) - 2),"
-                    " i -> substring(lower(text), i, 3))"
+                    " transform(sequence(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - 2),"
+                    " i -> substring(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 3))"
                     " ELSE array() END"
                 )
             )
@@ -124,7 +124,7 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "doc_id")
     )
     verified = F.sum(
-        F.when(F.expr("instr(lower(text), term)") > 0, 1)
+        F.when(F.expr("instr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), term)") > 0, 1)
         .otherwise(0)
     ).cast("long")
     return (
@@ -137,7 +137,7 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1000.0
                 * F.sum(
                     F.when(
-                        F.expr("instr(lower(text), term)") > 0, 1
+                        F.expr("instr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), term)") > 0, 1
                     ).otherwise(0)
                 )
                 / F.count("*")
@@ -157,7 +157,7 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 10
 _SQL_WORDS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')"
+    "list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')"
 )
 
 

