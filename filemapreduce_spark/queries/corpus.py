@@ -383,10 +383,13 @@ def quality_tiers_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_sample_without_replacement",
     """
     WITH u AS (
+      -- w = 0 (empty doc) draws with probability zero and w = NULL is
+      -- off-domain: both are excluded, never a divide-by-zero
       SELECT doc_id, lang, n_chars,
              (('0x' || substring(md5('es:' || CAST(doc_id AS VARCHAR)),
                 1, 13))::BIGINT + 1) / 4503599627370496.0 AS unif
       FROM documents
+      WHERE n_chars > 0
     ), keyed AS (
       SELECT doc_id, lang, n_chars,
              ROW_NUMBER() OVER (
@@ -416,8 +419,13 @@ def weighted_sample_without_replacement(
 
     Scale shape: row-local key computation, one per-language window
     (never global), top-k pruned by WindowGroupLimit. The same key
-    ranks a 100 TB corpus with a per-partition top-k + merge."""
-    d = t(spark, sf_dir, "documents")
+    ranks a 100 TB corpus with a per-partition top-k + merge.
+
+    A zero-weight doc (n_chars = 0: the r10 unicode axis's empty-text
+    payload) has zero draw probability in the ES scheme and NULL
+    weight is off-domain — both are excluded on both engines; without
+    the filter ln(u)/0 is an ANSI DIVIDE_BY_ZERO abort."""
+    d = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     v = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))),

@@ -346,11 +346,16 @@ _SIMHASH_SQL_BASE = f"""
 
 
 def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no fingerprint without text (see _SIMHASH_SQL_BASE note)
+    # no fingerprint without text (see _SIMHASH_SQL_BASE note), and no
+    # fingerprint without TOKENS either: an empty-string document has
+    # ws = [] — the oracle's unnest([]) drops it while the per-row
+    # fold emitted signature 0 for it (r10 unicode axis, the ''-vs-
+    # NULL payload). A token-less doc has no content to near-dup.
     d = (
         t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", words("text").alias("ws"))
+        .where(F.size("ws") >= 1)
     )
     return d.select("doc_id", simhash_from_words_expr("ws").alias("simhash"))
 
@@ -2119,7 +2124,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
 
-    FRAME, STRIDE = 32, 4
+    FRAME, STRIDE, MAX_FRAMES = 32, 4, 64
 
     def sample_frames(batches):
         for pdf in batches:
@@ -2129,12 +2134,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue  # NULL blob: no frames (a real decoder
                     # skips null payloads; bytes(None) raised —
                     # r9 text-null probe)
-                b = bytes(payload)
-                for k in range(0, len(b) // FRAME, STRIDE):
+                # frame unit is CODE POINTS of the decoded payload
+                # (r10 unicode axis): byte-window slicing of multibyte
+                # text splits characters mid-sequence and the oracle
+                # cannot md5 invalid-UTF-8 byte slices (DuckDB md5 is
+                # VARCHAR-only); each frame's checksum is the md5 of
+                # the slice's UTF-8 re-encoding on both sides
+                t = bytes(payload).decode("utf-8")
+                n = min(len(t) // FRAME, MAX_FRAMES)
+                for k in range(0, n, STRIDE):
                     ids.append(doc_id)
                     idxs.append(k)
                     sums.append(
-                        hashlib.md5(b[k * FRAME:(k + 1) * FRAME]).hexdigest()
+                        hashlib.md5(
+                            t[k * FRAME:(k + 1) * FRAME].encode("utf-8")
+                        ).hexdigest()
                     )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_md5": sums}
@@ -2167,6 +2181,7 @@ _EXACT_JACCARD_ORACLE = """
     FROM inter i
     JOIN sizes na ON na.doc_id = i.doc_a
     JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_common >= 3
 """.format(words=_SQL_WORDS, shingles=_SQL_SHINGLES3)
 
 
@@ -2199,6 +2214,13 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     run distributed (this query composes the two registered
     formulations); at 100 TB the exact side runs on a small stratified
     sample while LSH runs on everything — same recall estimator.
+
+    Truth semantics: the SAME support filter as the registered exact
+    operator (pairs sharing >= 3 shingles). The r10 unicode fixture's
+    4-token payload (2 shingles per doc, J = 1.0 among its copies)
+    exposed the oracle's truth CTE missing that filter — 155 phantom
+    truth pairs the Spark side (which composes the registered query)
+    correctly excluded.
     """
     truth = (
         neardup_jaccard_exact(spark, sf_dir)

@@ -194,7 +194,11 @@ def segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "source", "doc_id", words(F.col("text")).alias("ws")
     )
-    s = d.select(
+    # guard the sequence: for a token-less doc (text='' under the r10
+    # unicode axis) size=0 makes sequence(0, -1), which Spark treats
+    # as a DESCENDING range [0, -1] — two phantom segments — while the
+    # oracle's range(0) is empty. Zero tokens → zero segments.
+    s = d.where(F.size("ws") >= 1).select(
         "source",
         "doc_id",
         F.explode(

@@ -2300,7 +2300,13 @@ def sql_text_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- text-null probe)
            COALESCE(len(list_filter(ws,
              w -> regexp_matches(w, '[0-9]'))) > 0, FALSE) AS has_digit,
-           CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS chars_folded,
+           -- sum over an EMPTY token set is 0 (the Spark fold's seed),
+           -- not DuckDB's list_sum([]) = NULL; a NULL text (no ws at
+           -- all) stays NULL on both sides (r10 unicode axis, the
+           -- ''-payload)
+           CASE WHEN ws IS NULL THEN NULL
+                ELSE CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0)
+                          AS BIGINT) END AS chars_folded,
            CAST(list_max(list_transform(ws, w -> len(w))) AS INT) AS longest_word
     FROM d ORDER BY doc_id
     """,

@@ -224,25 +224,30 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from filemapreduce_spark.operators.textops import words
 
-    # the BM25 corpus is the TEXT-BEARING documents: the oracle's
+    # the BM25 corpus is the TOKEN-BEARING documents: the oracle's
     # token explode naturally excludes textless docs from n_docs and
-    # avgdl, while an unfiltered count inflated n_docs and shifted
-    # every idf (r9 text-null probe)
+    # avgdl (r9 text-null probe) AND empty-token docs — text='' or
+    # whitespace-only (r10 unicode axis) — while an unfiltered count
+    # inflated n_docs and shifted every idf
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    per_doc = docs.select(
-        "doc_id",
-        F.size(words(F.col("text"))).cast("long").alias("dlen"),
-        *[
-            F.size(
-                F.filter(
-                    words(F.col("text")), lambda w: w == F.lit(term)
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.size(words(F.col("text"))).cast("long").alias("dlen"),
+            *[
+                F.size(
+                    F.filter(
+                        words(F.col("text")), lambda w: w == F.lit(term)
+                    )
                 )
-            )
-            .cast("long")
-            .alias(f"tf_{i}")
-            for i, term in enumerate(_BM25_TERMS)
-        ],
-    ).persist()
+                .cast("long")
+                .alias(f"tf_{i}")
+                for i, term in enumerate(_BM25_TERMS)
+            ],
+        )
+        .where(F.col("dlen") >= 1)
+        .persist()
+    )
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.col("dlen").cast("double")).alias("avgdl"),
