@@ -9,10 +9,15 @@ integer cents), aggregate as 64-bit integers (exact, associative,
 commutative), and convert to double only at the very end (one
 deterministic IEEE conversion).
 
-Scale note: at 100 TB the e6-scaled sums can exceed 2^63 — there the
-same pattern runs on DECIMAL(38,6) accumulators instead of BIGINT
-(Spark and most engines agree on decimal sums); BIGINT is the fast
-path and is exact through ~10^18.
+Scale note (made real in round 10): PER-ROW products stay BIGINT —
+exact through |money| ≤ ~9·10^13 (cents 9·10^15, e4 9·10^17, e6 with
+the rate factors ≤ 4·10^18 — inside 2^63) — but ACCUMULATION widens
+to DECIMAL(38,0) via :func:`dsum`. SUM of BIGINT overflows int64 at
+real scale regardless of value magnitude (normal-domain e6 terms are
+~10^11/row; 10^12 rows → 10^23 ≫ 2^63), and Spark's ANSI SUM aborts
+where DuckDB silently widens to HUGEINT. DECIMAL(38,0) sums are
+exact, associative, and engine-portable; the single final conversion
+to DOUBLE (or division) is identical from DECIMAL(38) and HUGEINT.
 """
 
 from __future__ import annotations
@@ -25,6 +30,15 @@ def cents(col: Column | str) -> Column:
     """price → exact integer cents (BIGINT)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * 100).cast("long")
+
+
+def dsum(expr: Column) -> Column:
+    """Overflow-proof exact SUM: widen each BIGINT term to
+    DECIMAL(38,0) so the accumulator never leaves the exact domain.
+    The DuckDB twin needs no change — its SUM(BIGINT) already widens
+    to HUGEINT — but output casts must target DECIMAL(38,0)/DOUBLE,
+    never BIGINT, wherever the true sum can exceed 2^63."""
+    return F.sum(expr.cast("decimal(38,0)"))
 
 
 def as_money(cents_sum: Column) -> Column:

@@ -504,6 +504,161 @@ def main():
             .save()
         )
 
+    # --- winnowing df-CAPPED posting JOIN at 100x (round-10 probe) ---
+    # win_fp above probes the fingerprint BUILD; this probes the PAIR
+    # stage with the registered query's actual df cap (llm5.py): at
+    # 100x replicated docs every content-duplicated fingerprint's df
+    # blows far past the cap and is PRUNED, so the join costs what the
+    # surviving posting set costs — the cap is exactly what stops the
+    # hot-fingerprint df² blow-up at scale. Reported next to the pair
+    # counts so the time ratio can be read against the output ratio.
+    def win_pairs(dc):
+        from filemapreduce_spark.queries.llm5 import (
+            _WIN_DFCAP,
+            _WIN_MIN_SHARED,
+        )
+
+        d = dc.select("doc_id", F.lower("text").alias("txt")).withColumn(
+            "cs",
+            F.expr(
+                "transform(split(txt, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+            ),
+        )
+        hs = F.expr(
+            "CASE WHEN length(txt) >= 8 THEN"
+            " transform(sequence(1, length(txt) - 4),"
+            " i -> (element_at(cs, i)*4362470401"
+            " + element_at(cs, i+1)*16974593 + element_at(cs, i+2)*66049"
+            " + element_at(cs, i+3)*257 + element_at(cs, i+4))"
+            " % 2147483647) ELSE array() END"
+        )
+        wmins = F.expr(
+            "CASE WHEN size(hs) >= 4 THEN"
+            " array_distinct(transform(sequence(1, size(hs) - 3),"
+            " i -> array_min(slice(hs, i, 4)))) ELSE array() END"
+        )
+        fp = d.select("doc_id", hs.alias("hs")).select(
+            "doc_id", F.explode(wmins).alias("f")
+        )
+        kept = (
+            fp.groupBy("f")
+            .agg(F.count("*").alias("df_f"))
+            .filter(F.col("df_f") <= _WIN_DFCAP)
+        )
+        a = fp.select(F.col("doc_id").alias("doc_a"), "f")
+        b = fp.select(F.col("doc_id").alias("doc_b"), "f")
+        return (
+            a.join(kept.select("f"), "f")
+            .join(b, "f")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+        )
+
+    def win_join(dc):
+        return lambda: (
+            win_pairs(dc)
+            .agg(F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    _win_wanted = (
+        not sys.argv[1:] or "winnowing_capped_join_100x" in sys.argv[1:]
+    )
+    win_out = (
+        {
+            "pairs_1x": win_pairs(dc1).count(),
+            "pairs_100x": win_pairs(dc100).count(),
+        }
+        if _win_wanted
+        else {}
+    )
+
+    # --- canonical-URL normalization at 100x (round-10 probe) ---
+    # canonical_url_dedup (llm6.py) is row-local parse/regex work in
+    # whole-stage codegen plus one grouped distinct-agg; the claim is
+    # plain linearity in input rows. The probe replays the registered
+    # query's exact url synthesis + canonicalization on a replicated
+    # event stream (event_id offset per copy so raw-distinct counts
+    # scale too).
+    def canon_url(ev):
+        host = F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit("SHOP"),
+                (F.col("user_id") % 3).cast("string"),
+                F.lit(".Example.COM"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("shop"),
+                (F.col("user_id") % 3).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+        vparam = (F.round("value").cast("long") % 10).cast("string")
+        q = (
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(
+                    F.lit("?v="),
+                    vparam,
+                    F.lit("&utm_source=news&utm_campaign=x"),
+                ),
+            )
+            .when(
+                F.col("event_id") % 3 == 1, F.concat(F.lit("?v="), vparam)
+            )
+            .otherwise(F.lit("?utm_source=mail"))
+        )
+        url = F.concat(
+            F.lit("https://"),
+            host,
+            F.lit("/p/"),
+            (F.col("event_id") % 50).cast("string"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("/")).otherwise(
+                F.lit("")
+            ),
+            q,
+            F.when(F.col("event_id") % 5 == 0, F.lit("&fbclid=AbC123"))
+            .otherwise(F.lit("")),
+            F.when(F.col("event_id") % 4 == 0, F.lit("#top")).otherwise(
+                F.lit("")
+            ),
+        )
+        curl = F.concat(
+            F.lit("https://"),
+            F.lower(F.regexp_extract(url, "https://([^/]+)", 1)),
+            F.regexp_replace(
+                F.regexp_extract(url, "https://[^/]+(/[^?#]*)", 1),
+                "/$",
+                "",
+            ),
+            F.when(
+                F.regexp_extract(url, "[?&]v=(\\d+)", 1) != "",
+                F.concat(
+                    F.lit("?v="),
+                    F.regexp_extract(url, "[?&]v=(\\d+)", 1),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return lambda: (
+            ev.where(F.col("value").isNotNull())
+            .select("event_type", url.alias("url"), curl.alias("curl"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_urls"),
+                F.countDistinct("url").alias("n_raw"),
+                F.countDistinct("curl").alias("n_canon"),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
     # sorted-neighborhood ER candidates (queries/llm13.py): window
     # sort PARTITIONED by (lang, prefix) block + constant 3-lead
     # fan-out + fixed-width Levenshtein — block-local n log n claim
@@ -630,6 +785,21 @@ def main():
             lambda: win_fp(dc1),
             lambda: win_fp(dc100),
         ),
+        (
+            "winnowing_capped_join_100x",
+            lambda: win_join(dc1),
+            lambda: win_join(dc100),
+        ),
+        (
+            "canonical_url_100x",
+            lambda: canon_url(ev1),
+            lambda: canon_url(ev100),
+        ),
+        (
+            "trigram_postings_100x",
+            lambda: trigram_postings(dc1),
+            lambda: trigram_postings(dc100),
+        ),
         ("sorted_neighborhood", lambda: snm(dc1), lambda: snm(dc10)),
         (
             "fact_fact_join",
@@ -722,6 +892,11 @@ def main():
         results["geo_cell_join_100x"].update(geo_out)
         results["geo_cell_join_100x"]["output_normalized_ratio"] = round(
             results["geo_cell_join_100x"]["ratio"] / geo_out["pair_ratio"], 4
+        )
+    if "winnowing_capped_join_100x" in results:
+        results["winnowing_capped_join_100x"].update(win_out)
+        results["winnowing_capped_join_100x"]["pair_ratio"] = round(
+            win_out["pairs_100x"] / max(win_out["pairs_1x"], 1), 2
         )
     if "srp_candidate_join_100x" in results:
         results["srp_candidate_join_100x"].update(srp_out)
