@@ -768,10 +768,12 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel,
            COUNT(*) AS n_credits,
-           CAST(SUM((cents * 1000000) // n_touches
+           -- HUGEINT products; credit totals can exceed int64 at
+           -- scale, so the conserved sum surfaces as DOUBLE
+           CAST(SUM(CAST(cents AS HUGEINT) * 1000000 // n_touches
                     + CASE WHEN rn = 1
-                           THEN (cents * 1000000) % n_touches
-                           ELSE 0 END) AS BIGINT) AS credit_micro_cents
+                           THEN CAST(cents AS HUGEINT) * 1000000 % n_touches
+                           ELSE 0 END) AS DOUBLE) AS credit_micro_cents
     FROM j GROUP BY channel ORDER BY channel
     """,
     tags=("sequence", "analytics", "window"),
@@ -818,8 +820,16 @@ def attribution_multi_touch_linear(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).over(wn).alias("n_touches"),
         F.row_number().over(wr).alias("rn"),
     )
-    base = F.expr("(cents * 1000000) div n_touches")
-    rem = F.expr("(cents * 1000000) % n_touches")
+    # exact micro-cent split WITHOUT an int64 product: cents*1e6
+    # overflows for large money, so divide cents first in BIGINT
+    # (q = cents div n, r = cents % n; r*1e6 stays tiny) and lift the
+    # big multiply into DECIMAL(38,0). Identity:
+    # (c*1e6) div n = q*1e6 + (r*1e6) div n, (c*1e6) % n = (r*1e6) % n.
+    base = (
+        F.expr("cents div n_touches").cast("decimal(38,0)") * 1000000
+        + F.expr("((cents % n_touches) * 1000000) div n_touches")
+    )
+    rem = F.expr("((cents % n_touches) * 1000000) % n_touches")
     return (
         credited.select(
             "channel",
@@ -830,7 +840,8 @@ def attribution_multi_touch_linear(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_credits"),
-            F.sum("credit").cast("long").alias("credit_micro_cents"),
+            # conserved total can exceed int64 → DOUBLE (r10 extreme)
+            F.sum("credit").cast("double").alias("credit_micro_cents"),
         )
         .orderBy("channel")
     )

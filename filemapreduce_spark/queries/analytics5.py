@@ -530,17 +530,17 @@ def seasonal_decomposition_daily(
              SUM(CAST(l_quantity AS BIGINT)) AS sq,
              SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sp,
              SUM(CAST(round(l_discount*100) AS BIGINT)) AS sd,
-             SUM(CAST(l_quantity AS BIGINT)
+             SUM(CAST(l_quantity AS HUGEINT)
                  * CAST(l_quantity AS BIGINT)) AS sqq,
-             SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             SUM(CAST(round(l_extendedprice*100) AS HUGEINT)
                  * CAST(round(l_extendedprice*100) AS BIGINT)) AS spp,
-             SUM(CAST(round(l_discount*100) AS BIGINT)
+             SUM(CAST(round(l_discount*100) AS HUGEINT)
                  * CAST(round(l_discount*100) AS BIGINT)) AS sdd,
-             SUM(CAST(l_quantity AS BIGINT)
+             SUM(CAST(l_quantity AS HUGEINT)
                  * CAST(round(l_extendedprice*100) AS BIGINT)) AS sqp,
-             SUM(CAST(l_quantity AS BIGINT)
+             SUM(CAST(l_quantity AS HUGEINT)
                  * CAST(round(l_discount*100) AS BIGINT)) AS sqd,
-             SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             SUM(CAST(round(l_extendedprice*100) AS HUGEINT)
                  * CAST(round(l_discount*100) AS BIGINT)) AS spd
       FROM lineitem
     ), cells(var_a, var_b, s_ab, s_a, s_b) AS (
@@ -593,12 +593,15 @@ def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q.cast(dec)).alias("sq"),
         F.sum(p.cast(dec)).alias("sp"),
         F.sum(d.cast(dec)).alias("sd"),
-        F.sum((q * q).cast(dec)).alias("sqq"),
-        F.sum((p * p).cast(dec)).alias("spp"),
-        F.sum((d * d).cast(dec)).alias("sdd"),
-        F.sum((q * p).cast(dec)).alias("sqp"),
-        F.sum((q * d).cast(dec)).alias("sqd"),
-        F.sum((p * d).cast(dec)).alias("spd"),
+        # cast the FIRST factor before multiplying: a cents*cents
+        # product at large money overflows int64 PER ROW, not just in
+        # the sum (r10 extreme axis; oracle mirrors with HUGEINT)
+        F.sum(q.cast(dec) * q).alias("sqq"),
+        F.sum(p.cast(dec) * p).alias("spp"),
+        F.sum(d.cast(dec) * d).alias("sdd"),
+        F.sum(q.cast(dec) * p).alias("sqp"),
+        F.sum(q.cast(dec) * d).alias("sqd"),
+        F.sum(p.cast(dec) * d).alias("spd"),
     )
     cells = [
         ("quantity", "quantity", "sqq", "sq", "sq"),

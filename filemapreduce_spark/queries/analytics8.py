@@ -306,6 +306,9 @@ def did_two_period_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS rev_e4
       FROM lineitem GROUP BY l_partkey
     ), c AS (
+      -- window sums stay HUGEINT (overflow-proof; the Spark twin
+      -- widens to DECIMAL(38,0)); class revenue surfaces as DOUBLE
+      -- because a class total can exceed int64 (r10 extreme axis)
       SELECT l_partkey, rev_e4,
              SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -320,7 +323,7 @@ def did_two_period_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(rev_e4) AS BIGINT) AS rev_e4,
+           CAST(SUM(rev_e4) AS DOUBLE) AS rev_e4,
            CAST(round(1000.0 * SUM(rev_e4) / MAX(total_e4)) AS BIGINT)
              AS share_milli
     FROM k GROUP BY cls ORDER BY cls
@@ -355,10 +358,14 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_e4").desc(), "l_partkey"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wall = Window.partitionBy()
+    # cumulative/total/class sums widen to DECIMAL(38,0) (dsum
+    # semantics): a cum over the whole catalog overflows int64 at
+    # scale; class revenue surfaces as DOUBLE (r10 extreme axis)
+    rev_dec = F.col("rev_e4").cast("decimal(38,0)")
     c = pr.select(
         "rev_e4",
-        F.sum("rev_e4").over(wcum).alias("cum_e4"),
-        F.sum("rev_e4").over(wall).alias("total_e4"),
+        F.sum(rev_dec).over(wcum).alias("cum_e4"),
+        F.sum(rev_dec).over(wall).alias("total_e4"),
     )
     cls = (
         F.when(100 * F.col("cum_e4") <= 80 * F.col("total_e4"), "A")
@@ -370,9 +377,10 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cls")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.sum("rev_e4").cast("long").alias("rev_e4"),
+            F.sum(rev_dec).cast("double").alias("rev_e4"),
             F.round(
-                1000.0 * F.sum("rev_e4") / F.max("total_e4")
+                1000.0 * F.sum(rev_dec).cast("double")
+                / F.max("total_e4").cast("double")
             )
             .cast("long")
             .alias("share_milli"),

@@ -53,22 +53,25 @@ from filemapreduce_spark.sources.tables import load_table as t
        AND t.t_ts < p.p_ts
        AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
     ), c AS (
+      -- HUGEINT products (cents*1e6 overflows int64 for large money);
+      -- the conserved total surfaces as DOUBLE (r10 extreme axis)
       SELECT channel,
-             CASE WHEN n = 1 THEN cents * 1000000
-                  WHEN n = 2 THEN (cents * 1000000) // 2
+             CASE WHEN n = 1 THEN CAST(cents AS HUGEINT) * 1000000
+                  WHEN n = 2 THEN CAST(cents AS HUGEINT) * 1000000 // 2
                        + CASE WHEN rn_d = 1
-                              THEN (cents * 1000000) % 2 ELSE 0 END
-                  WHEN rn_a = 1 THEN cents * 400000
-                  WHEN rn_d = 1 THEN cents * 400000
-                  ELSE (cents * 200000) // (n - 2)
+                              THEN CAST(cents AS HUGEINT) * 1000000 % 2
+                              ELSE 0 END
+                  WHEN rn_a = 1 THEN CAST(cents AS HUGEINT) * 400000
+                  WHEN rn_d = 1 THEN CAST(cents AS HUGEINT) * 400000
+                  ELSE CAST(cents AS HUGEINT) * 200000 // (n - 2)
                        + CASE WHEN rn_a = 2
-                              THEN (cents * 200000) % (n - 2)
+                              THEN CAST(cents AS HUGEINT) * 200000 % (n - 2)
                               ELSE 0 END
              END AS credit
       FROM j
     )
     SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
-           CAST(SUM(credit) AS BIGINT) AS credit_micro_cents
+           CAST(SUM(credit) AS DOUBLE) AS credit_micro_cents
     FROM c GROUP BY channel ORDER BY channel
     """,
     tags=("sequence", "analytics", "attribution"),
@@ -122,21 +125,37 @@ def attribution_position_based(
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),
     )
+    # exact micro-cent credit WITHOUT an int64 product: divide cents
+    # first in BIGINT (quotient/remainder against the small divisor),
+    # lift the big multiply into DECIMAL(38,0) — identity
+    # (c*W) div m = (c div m)*W + ((c % m)*W) div m, remainders tiny.
+    dec = "decimal(38,0)"
+
+    def split(weight: int, divisor):
+        q = F.expr(f"cents div ({divisor})").cast(dec) * weight
+        return q + F.expr(
+            f"((cents % ({divisor})) * {weight}) div ({divisor})"
+        )
+
+    def split_rem(weight: int, divisor):
+        return F.expr(f"((cents % ({divisor})) * {weight}) % ({divisor})")
+
+    cents_dec = F.col("cents").cast(dec)
     credit = (
-        F.when(F.col("n") == 1, F.col("cents") * 1000000)
+        F.when(F.col("n") == 1, cents_dec * 1000000)
         .when(
             F.col("n") == 2,
-            F.expr("(cents * 1000000) div 2")
-            + F.when(
-                F.col("rn_d") == 1, F.expr("(cents * 1000000) % 2")
-            ).otherwise(0),
+            split(1000000, "2")
+            + F.when(F.col("rn_d") == 1, split_rem(1000000, "2")).otherwise(
+                0
+            ),
         )
-        .when(F.col("rn_a") == 1, F.col("cents") * 400000)
-        .when(F.col("rn_d") == 1, F.col("cents") * 400000)
+        .when(F.col("rn_a") == 1, cents_dec * 400000)
+        .when(F.col("rn_d") == 1, cents_dec * 400000)
         .otherwise(
-            F.expr("(cents * 200000) div (n - 2)")
+            split(200000, "n - 2")
             + F.when(
-                F.col("rn_a") == 2, F.expr("(cents * 200000) % (n - 2)")
+                F.col("rn_a") == 2, split_rem(200000, "n - 2")
             ).otherwise(0)
         )
     )
@@ -145,7 +164,8 @@ def attribution_position_based(
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_credits"),
-            F.sum("credit").cast("long").alias("credit_micro_cents"),
+            # conserved total can exceed int64 → DOUBLE (r10 extreme)
+            F.sum("credit").cast("double").alias("credit_micro_cents"),
         )
         .orderBy("channel")
     )

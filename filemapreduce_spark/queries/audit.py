@@ -292,15 +292,19 @@ def ohlc_monthly_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     w AS (
+      -- HUGEINT per-row product: cents x microsecond gap overflows
+      -- int64 for large money; the weighted sum surfaces as DOUBLE
       SELECT day, event_type,
-             value_cents * (t_next_us - t_us) AS num,
+             CAST(value_cents AS HUGEINT) * (t_next_us - t_us) AS num,
              (t_next_us - t_us) AS dt_us
       FROM seq WHERE t_next_us IS NOT NULL
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
-           CAST(SUM(num) AS BIGINT) AS weighted_cents_us,
+           CAST(SUM(num) AS DOUBLE) AS weighted_cents_us,
            CAST(SUM(dt_us) AS BIGINT) AS span_us,
-           CAST(SUM(num) AS DOUBLE) / SUM(dt_us) AS twap_cents
+           -- zero total span (all readings at one instant) has no
+           -- time-weighted average: NULL, not a divide-by-zero (r10)
+           CAST(SUM(num) AS DOUBLE) / NULLIF(SUM(dt_us), 0) AS twap_cents
     FROM w GROUP BY day, event_type
     ORDER BY day, event_type
     """,
@@ -333,14 +337,19 @@ def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         seq.groupBy("day", "event_type")
         .agg(
+            # DECIMAL(38,0) per-row product + sum (cents x us gap
+            # overflows int64 for large money); DOUBLE surface (r10)
             F.sum(
-                F.col("value_cents") * (F.col("t_next_us") - F.col("t_us"))
-            ).alias("weighted_cents_us"),
+                F.col("value_cents").cast("decimal(38,0)")
+                * (F.col("t_next_us") - F.col("t_us"))
+            )
+            .cast("double")
+            .alias("weighted_cents_us"),
             F.sum(F.col("t_next_us") - F.col("t_us")).alias("span_us"),
         )
         .withColumn(
             "twap_cents",
-            F.col("weighted_cents_us").cast("double") / F.col("span_us"),
+            F.try_divide(F.col("weighted_cents_us"), F.col("span_us")),
         )
         .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
         .orderBy("day", "event_type")

@@ -309,7 +309,9 @@ def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, n_chars, bucket
     FROM h
-    WHERE bucket < least(65536, n_chars * 32)
+    -- branch-first: n_chars*32 overflows int64 at 2^62-scale counts;
+    -- a 16-bit bucket is always < 65536, so P=1 short-circuits (r10)
+    WHERE n_chars >= 2048 OR bucket < n_chars * 32
     ORDER BY doc_id
     """,
     tags=("sampling", "llm"),
@@ -338,7 +340,12 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     return (
         d.select("doc_id", "lang", "n_chars", bucket.alias("bucket"))
-        .where(F.col("bucket") < F.least(F.lit(65536), F.col("n_chars") * 32))
+        .where(
+            # branch-first, mirroring the oracle: n_chars*32 overflows
+            # int64 for 2^62-scale counts; bucket < 65536 always
+            (F.col("n_chars") >= 2048)
+            | (F.col("bucket") < F.col("n_chars") * 32)
+        )
         .orderBy("doc_id")
     )
 

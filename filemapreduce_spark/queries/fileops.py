@@ -138,7 +138,9 @@ def hierarchical_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON m.mdir = '' OR starts_with(d.fdir, m.mdir || '/')
     )
     SELECT path, CAST(COUNT(*) AS INT) AS n_parents,
-           CAST(CAST(n_chars AS BIGINT) * CAST(product(w) AS BIGINT) AS BIGINT)
+           -- HUGEINT product, DOUBLE surface: n_chars x parent-weight
+           -- product exceeds int64 for 2^62-scale counts (r10 extreme)
+           CAST(CAST(n_chars AS HUGEINT) * CAST(product(w) AS BIGINT) AS DOUBLE)
              AS weighted
     FROM j GROUP BY path, n_chars
     ORDER BY path
@@ -193,9 +195,12 @@ def parents_prefix_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
         MultiFilter("meta.json", "**/meta.json"),
         payload=F.col("w"),
     )
-    weighted = F.col("n_chars").cast("long") * F.aggregate(
-        "parents", F.lit(1).cast("long"), lambda a, p: a * p
-    )
+    # DECIMAL(38,0) product, DOUBLE surface — n_chars at 2^62 times
+    # the parent-weight product overflows int64 (r10 extreme axis)
+    weighted = (
+        F.col("n_chars").cast("decimal(38,0)")
+        * F.aggregate("parents", F.lit(1).cast("long"), lambda a, p: a * p)
+    ).cast("double")
     return out.select(
         "path",
         F.size("parents").alias("n_parents"),

@@ -885,7 +885,8 @@ def session_pattern_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- COUNT(n_chars), not COUNT(*) (r9 null-measures sweep)
            COUNT(n_chars) AS n_valid_magic,
            CAST(SUM(16 + n_chars % 4080) AS BIGINT) AS sum_width,
-           CAST(SUM(16 + (n_chars * 7) % 4080) AS BIGINT) AS sum_height
+           -- reduce mod-first so n_chars*7 can never overflow int64 (r10)
+           CAST(SUM(16 + ((n_chars % 4080) * 7) % 4080) AS BIGINT) AS sum_height
     FROM documents
     GROUP BY source
     ORDER BY source
@@ -903,7 +904,8 @@ def binary_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip is what's verified."""
     d = t(spark, sf_dir, "documents")
     width = (F.lit(16) + F.col("n_chars") % 4080).cast("long")
-    height = (F.lit(16) + (F.col("n_chars") * 7) % 4080).cast("long")
+    # mod-first: n_chars*7 overflows int64 for 2^62-scale counts (r10)
+    height = (F.lit(16) + (F.col("n_chars") % 4080) * 7 % 4080).cast("long")
     blob = F.unhex(
         F.concat(
             F.lit("89504E47"),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from filemapreduce_spark.operators.money import as_money, cents, disc_price_e4
+from filemapreduce_spark.operators.money import as_money, cents, disc_price_e4, dsum
 from filemapreduce_spark.operators.output import tiny_sorted
 from filemapreduce_spark.queries import register
 from filemapreduce_spark.sources.tables import load_table as t
@@ -438,8 +438,10 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part aggregate (tiny input) and broadcasts back.
     """
     li = t(spark, sf_dir, "lineitem")
+    # dsum: the grand total and the share comparison (v*20000) exceed
+    # int64 at scale — DECIMAL(38,0) mirrors the oracle's HUGEINT
     value = li.groupBy("l_partkey").agg(
-        F.sum(disc_price_e4("l_extendedprice", "l_discount")).alias("v_e4")
+        dsum(disc_price_e4("l_extendedprice", "l_discount")).alias("v_e4")
     )
     total = value.agg(F.sum("v_e4").alias("t_e4"))
     return (
