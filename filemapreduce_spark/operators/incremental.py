@@ -10,7 +10,7 @@ currently supported"). This module is that feature, Spark-first.
 An aggregate is maintained as a *state* DataFrame of commutative-
 monoid accumulators per group key:
 
-    n (count), sum (BIGINT, exact), sumsq (BIGINT), min, max
+    n (count), sum (BIGINT, exact), sumsq (DECIMAL(38,0), exact), min, max
 
 ``partial_state`` computes the state for any slice of the data;
 ``merge_states`` combines any number of states (the monoid ⊕ — sums of
@@ -53,7 +53,11 @@ def partial_state(
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v).alias("sum_v"),
-        F.sum(v * v).alias("sumsq_v"),
+        # sumsq widens BEFORE the multiply: v*v overflows int64 per
+        # row for ~1e9-scale values and its SUM overflows at any real
+        # row count — DECIMAL(38,0) keeps the state exact and
+        # mergeable (r10 extreme axis; mirrors DuckDB's HUGEINT)
+        F.sum(v.cast("decimal(38,0)") * v).alias("sumsq_v"),
         F.min(v).alias("min_v"),
         F.max(v).alias("max_v"),
     )

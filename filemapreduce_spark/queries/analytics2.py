@@ -770,10 +770,10 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_credits,
            -- HUGEINT products; credit totals can exceed int64 at
            -- scale, so the conserved sum surfaces as DOUBLE
-           CAST(SUM(CAST(cents AS HUGEINT) * 1000000 // n_touches
+           CAST(CAST(SUM(CAST(cents AS HUGEINT) * 1000000 // n_touches
                     + CASE WHEN rn = 1
                            THEN CAST(cents AS HUGEINT) * 1000000 % n_touches
-                           ELSE 0 END) AS DOUBLE) AS credit_micro_cents
+                           ELSE 0 END) AS VARCHAR) AS DOUBLE) AS credit_micro_cents
     FROM j GROUP BY channel ORDER BY channel
     """,
     tags=("sequence", "analytics", "window"),

@@ -323,7 +323,7 @@ def did_two_period_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(rev_e4) AS DOUBLE) AS rev_e4,
+           CAST(CAST(SUM(rev_e4) AS VARCHAR) AS DOUBLE) AS rev_e4,
            CAST(round(1000.0 * SUM(rev_e4) / MAX(total_e4)) AS BIGINT)
              AS share_milli
     FROM k GROUP BY cls ORDER BY cls

@@ -71,7 +71,7 @@ from filemapreduce_spark.sources.tables import load_table as t
       FROM j
     )
     SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
-           CAST(SUM(credit) AS DOUBLE) AS credit_micro_cents
+           CAST(CAST(SUM(credit) AS VARCHAR) AS DOUBLE) AS credit_micro_cents
     FROM c GROUP BY channel ORDER BY channel
     """,
     tags=("sequence", "analytics", "attribution"),

@@ -300,11 +300,11 @@ def ohlc_monthly_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq WHERE t_next_us IS NOT NULL
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
-           CAST(SUM(num) AS DOUBLE) AS weighted_cents_us,
+           CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE) AS weighted_cents_us,
            CAST(SUM(dt_us) AS BIGINT) AS span_us,
            -- zero total span (all readings at one instant) has no
            -- time-weighted average: NULL, not a divide-by-zero (r10)
-           CAST(SUM(num) AS DOUBLE) / NULLIF(SUM(dt_us), 0) AS twap_cents
+           CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE) / NULLIF(SUM(dt_us), 0) AS twap_cents
     FROM w GROUP BY day, event_type
     ORDER BY day, event_type
     """,

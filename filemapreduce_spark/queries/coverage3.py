@@ -106,10 +106,16 @@ def gaps_islands_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM li JOIN orders ON l_orderkey = o_orderkey
       WHERE o_totalprice IS NOT NULL
       GROUP BY li.l_orderkey, o_totalprice
+      -- zero total quantity has no proportional basis: nothing to
+      -- prorate against (r10 extreme axis: quantities rounding to 0)
+      HAVING SUM(qty) <> 0
     ), base AS (
       SELECT li.l_orderkey, line_seq, qty, total_cents, total_qty,
-             (total_cents * qty) // total_qty AS base_cents,
-             (total_cents * qty) % total_qty AS rem
+             -- HUGEINT product: total_cents*qty overflows int64 for
+             -- large money; the quotient is <= total_cents and fits
+             CAST(CAST(total_cents AS HUGEINT) * qty // total_qty
+                  AS BIGINT) AS base_cents,
+             CAST(total_cents AS HUGEINT) * qty % total_qty AS rem
       FROM li JOIN tot ON li.l_orderkey = tot.l_orderkey
     ), ranked AS (
       SELECT *,
@@ -144,8 +150,10 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on the order key; the per-order windows
     (line_seq, sum of floors, remainder rank) run partition-local
-    after it. Arithmetic stays in BIGINT (max total_cents*qty ≈
-    2.5e9), with no floating point anywhere.
+    after it. The cents×qty product runs in DECIMAL(38,0)/HUGEINT
+    (it overflows int64 for large money — r10 extreme axis); every
+    quotient is ≤ total_cents and stays BIGINT, with no floating
+    point anywhere.
     """
     # qty is integer-valued, so ordering by rounded qty is the same
     # total order the oracle's (l_linenumber, l_quantity) uses
@@ -172,6 +180,8 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = (
         raw.groupBy("l_orderkey")
         .agg(F.sum("qty").alias("total_qty"))
+        # zero total quantity has no proportional basis (see oracle)
+        .where(F.col("total_qty") != 0)
         .join(
             t(spark, sf_dir, "orders")
             .where(F.col("o_totalprice").isNotNull())
@@ -186,8 +196,15 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "line_seq",
         "total_cents",
-        F.expr("(total_cents * qty) div total_qty").alias("base_cents"),
-        ((F.col("total_cents") * F.col("qty")) % F.col("total_qty")).alias(
+        # DECIMAL(38,0) product (total_cents*qty overflows int64 for
+        # large money); div's BIGINT quotient is <= total_cents — safe
+        F.expr(
+            "CAST(total_cents AS DECIMAL(38,0)) * qty div total_qty"
+        ).alias("base_cents"),
+        (
+            (F.col("total_cents").cast("decimal(38,0)") * F.col("qty"))
+            % F.col("total_qty")
+        ).alias(
             "rem"
         ),
     )

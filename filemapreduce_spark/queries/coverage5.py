@@ -296,7 +296,7 @@ _QN_GRID = 1000  # milli-quantile lookup resolution
     )
     SELECT m.source, m.decile,
            COUNT(*) AS n_docs,
-           CAST(SUM(m.score) AS BIGINT) AS sum_raw,
+           CAST(CAST(SUM(m.score) AS VARCHAR) AS DOUBLE) AS sum_raw,
            round(SUM(q.qv) / COUNT(*), 6) AS avg_norm
     FROM mapped m JOIN qt q ON q.milli = m.milli
     GROUP BY m.source, m.decile
@@ -364,7 +364,9 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("score").cast("long").alias("sum_raw"),
+            F.sum(F.col("score").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sum_raw"),
             F.round(F.sum("qv") / F.count(F.lit(1)), 6).alias("avg_norm"),
         )
         .orderBy("source", "decile")

@@ -85,7 +85,8 @@ def glob_multifilter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       WHERE source IS NOT NULL AND lang IS NOT NULL
     )
-    SELECT dir, COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    -- char totals exceed int64 at scale -> DOUBLE surface (r10)
+    SELECT dir, COUNT(*) AS n_files, CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE) AS total_chars
     FROM f GROUP BY dir, source, lang
     ORDER BY dir
     """,
@@ -109,7 +110,7 @@ def hierarchical_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dir")
         .agg(
             F.count("*").alias("n_files"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double").alias("total_chars"),
         )
         .orderBy("dir")
     )
@@ -140,7 +141,7 @@ def hierarchical_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT path, CAST(COUNT(*) AS INT) AS n_parents,
            -- HUGEINT product, DOUBLE surface: n_chars x parent-weight
            -- product exceeds int64 for 2^62-scale counts (r10 extreme)
-           CAST(CAST(n_chars AS HUGEINT) * CAST(product(w) AS BIGINT) AS DOUBLE)
+           CAST(CAST(CAST(n_chars AS HUGEINT) * CAST(product(w) AS BIGINT) AS VARCHAR) AS DOUBLE)
              AS weighted
     FROM j GROUP BY path, n_chars
     ORDER BY path

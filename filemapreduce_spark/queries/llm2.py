@@ -857,13 +857,15 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE) AS sum_chars,
            CAST(SUM(len({_SQL_WORDS})) AS BIGINT) AS sum_ws_tokens,
            CAST(SUM(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{TOKEN_REGEX}')))
              AS BIGINT) AS sum_bpe_tokens,
-           CAST(SUM(n_chars) AS BIGINT) * 1000
-             // CAST(SUM(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
-                  '{TOKEN_REGEX}'))) AS BIGINT)
+           -- DOUBLE ratio: char totals (and hence the milli ratio)
+           -- exceed int64 at scale; same op order both engines (r10)
+           CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE) * 1000
+             / CAST(SUM(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                  '{TOKEN_REGEX}'))) AS DOUBLE)
              AS chars_per_bpe_token_milli
     FROM documents
     GROUP BY lang
@@ -886,14 +888,19 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sum_chars"),
             F.sum(ws_n).cast("long").alias("sum_ws_tokens"),
             F.sum(bpe).cast("long").alias("sum_bpe_tokens"),
         )
-        # exact integer milli-ratio via `div` (matches BIGINT // )
+        # DOUBLE ratio in the oracle's exact op order (char totals
+        # exceed int64 at scale, so the old exact-floor milli ratio
+        # has no integral home; r10 extreme axis)
         .withColumn(
             "chars_per_bpe_token_milli",
-            F.expr("(sum_chars * 1000) div sum_bpe_tokens"),
+            F.col("sum_chars") * 1000
+            / F.col("sum_bpe_tokens").cast("double"),
         )
         .orderBy("lang")
     )

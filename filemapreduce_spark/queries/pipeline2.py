@@ -38,10 +38,10 @@ _CAP_K = 10
            COUNT(*) AS n_total,
            CAST(SUM(CASE WHEN rn <= {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_kept,
-           CAST(SUM(CASE WHEN rn <= {_CAP_K} THEN n_chars ELSE 0 END)
-                AS BIGINT) AS kept_chars,
-           CAST(SUM(CASE WHEN rn > {_CAP_K} THEN n_chars ELSE 0 END)
-                AS BIGINT) AS dropped_chars
+           CAST(CAST(SUM(CASE WHEN rn <= {_CAP_K} THEN n_chars ELSE 0 END)
+                AS VARCHAR) AS DOUBLE) AS kept_chars,
+           CAST(CAST(SUM(CASE WHEN rn > {_CAP_K} THEN n_chars ELSE 0 END)
+                AS VARCHAR) AS DOUBLE) AS dropped_chars
     FROM ranked
     GROUP BY source
     ORDER BY source
@@ -75,11 +75,15 @@ def domain_cap_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_total"),
             F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
-            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
-            .cast("long")
+            F.sum(
+                F.when(kept, F.col("n_chars")).otherwise(0).cast("decimal(38,0)")
+            )
+            .cast("double")
             .alias("kept_chars"),
-            F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
-            .cast("long")
+            F.sum(
+                F.when(~kept, F.col("n_chars")).otherwise(0).cast("decimal(38,0)")
+            )
+            .cast("double")
             .alias("dropped_chars"),
         )
         .orderBy("source")
@@ -104,10 +108,10 @@ _N_SHARDS = 8
       SELECT (rn - 1) % {_N_SHARDS} AS shard, n_chars FROM ranked
     ), mass AS (
       SELECT shard, COUNT(*) AS n_docs,
-             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             CAST(SUM(n_chars) AS HUGEINT) AS total_chars
       FROM sharded GROUP BY shard
     )
-    SELECT shard, n_docs, total_chars,
+    SELECT shard, n_docs, CAST(CAST(total_chars AS VARCHAR) AS DOUBLE) AS total_chars,
            CAST(round(1000.0 * ({_N_SHARDS} * total_chars
                  - SUM(total_chars) OVER ())
                  / SUM(total_chars) OVER ()) AS BIGINT)
@@ -144,13 +148,14 @@ def shard_stripe_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mass = sharded.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
+        # DECIMAL(38,0): char totals exceed int64 at scale (r10)
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("total_chars"),
     )
     grand = Window.partitionBy()
     return mass.select(
         "shard",
         "n_docs",
-        "total_chars",
+        F.col("total_chars").cast("double").alias("total_chars"),
         F.round(
             1000.0
             * (
@@ -188,8 +193,8 @@ _BATCH_SIZE = 8
     SELECT bucket,
            COUNT(*) AS n_docs,
            CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
-           CAST(SUM(n_chars) AS BIGINT) AS payload_chars,
-           CAST(SUM(batch_max - n_chars) AS BIGINT) AS padding_chars
+           CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE) AS payload_chars,
+           CAST(CAST(SUM(batch_max - n_chars) AS VARCHAR) AS DOUBLE) AS padding_chars
     FROM batched
     GROUP BY bucket
     ORDER BY bucket
@@ -226,9 +231,13 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("batch_id").cast("long").alias("n_batches"),
-            F.sum("n_chars").cast("long").alias("payload_chars"),
-            F.sum(F.col("batch_max") - F.col("n_chars"))
-            .cast("long")
+            F.sum(F.col("n_chars").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("payload_chars"),
+            F.sum(
+                (F.col("batch_max") - F.col("n_chars")).cast("decimal(38,0)")
+            )
+            .cast("double")
             .alias("padding_chars"),
         )
         .orderBy("bucket")

@@ -1285,10 +1285,12 @@ def join_salted_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
-           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-             AS BIGINT) AS sumsq_q,
+           -- HUGEINT square sum, VARCHAR->DOUBLE surface (DuckDB's
+           -- direct HUGEINT->DOUBLE truncates; r10 extreme axis)
+           CAST(CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT))
+             AS VARCHAR) AS DOUBLE) AS sumsq_q,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_q,
-           (CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS VARCHAR) AS DOUBLE)
              - CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
                * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
              / (COUNT(*) - 1) AS var_q
@@ -1309,7 +1311,10 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("l_quantity").cast("long")
     n = F.count(F.lit(1))
     sum_q = F.sum(q)
-    sumsq_q = F.sum(q * q)
+    # widen BEFORE the multiply: q*q overflows int64 per row for
+    # ~1e9-scale values and its sum overflows at any real row count;
+    # DOUBLE surface (r10 extreme axis)
+    sumsq_q = F.sum(q.cast("decimal(38,0)") * q).cast("double")
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -1528,7 +1533,10 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(CAST(l_quantity AS BIGINT)) AS min_v,
            MAX(CAST(l_quantity AS BIGINT)) AS max_v,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_v,
-           (CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           -- HUGEINT per-row square; VARCHAR->DOUBLE because DuckDB's
+           -- direct HUGEINT->DOUBLE conversion TRUNCATES instead of
+           -- rounding to nearest (r10 extreme axis)
+           (CAST(CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS VARCHAR) AS DOUBLE)
              - CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
                * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
              / (COUNT(*) - 1) AS var_v
@@ -2040,25 +2048,28 @@ def gapfill_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n,
              SUM(CAST(l_quantity AS BIGINT)) AS sx,
              SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
-             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
-             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
-             SUM(CAST(l_quantity AS BIGINT)
+             SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             -- VARCHAR->DOUBLE: DuckDB's direct HUGEINT->DOUBLE cast
+             -- TRUNCATES; the string parse rounds to nearest like
+             -- Spark's decimal->double (r10 extreme axis)
+             CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) AS syy,
+             SUM(CAST(l_quantity AS HUGEINT)
                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           round((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
                         * (CAST(n AS DOUBLE) * syy
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                           - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))), 6)
              AS corr_qty_price,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           round((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)), 6)
              AS slope_cents_per_qty
     FROM a ORDER BY l_returnflag
     """,
@@ -2083,7 +2094,9 @@ def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
+        # widen before multiply: qty^2 overflows int64 per row for
+        # 1e9-scale quantities (r10 extreme axis)
+        F.sum(x.cast("decimal(38,0)") * x).cast("double").alias("sxx"),
         # cast an OPERAND so the multiply itself runs in decimal — a
         # cast on the product would evaluate y*y in int64 first and
         # could wrap before widening (ANSI off)
@@ -2095,7 +2108,7 @@ def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_d = F.col("n").cast("double")
     sx_d = F.col("sx").cast("double")
     sy_d = F.col("sy").cast("double")
-    sxx_d = F.col("sxx").cast("double")
+    sxx_d = F.col("sxx")  # already double (decimal-accumulated)
     sxy_d = F.col("sxy")  # already double (decimal-accumulated)
     cov_n = n_d * sxy_d - sx_d * sy_d
     var_x_n = n_d * sxx_d - sx_d * sx_d

@@ -238,7 +238,7 @@ def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE) AS total_chars,
            MIN(doc_id) AS first_doc
     FROM documents
     GROUP BY lang, source
@@ -271,7 +271,7 @@ def sink_csv_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double").alias("total_chars"),
             F.min("doc_id").alias("first_doc"),
         )
         .orderBy("lang", "source")
