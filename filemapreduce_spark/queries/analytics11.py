@@ -154,25 +154,30 @@ def holt_linear_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "theil_index_by_nation",
     """
     WITH ov AS (
+      -- Theil is defined over POSITIVE values (x/mu * ln(x/mu)):
+      -- non-positive orders are off-domain on both engines (Spark's
+      -- ln(neg) is NULL, DuckDB's raises; r10 extreme axis)
       SELECT c.c_nationkey AS nk,
              CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_totalprice > 0
     ), g AS (
       SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s
       FROM ov GROUP BY nk
     ), terms AS (
       SELECT ov.nk, g.n, g.s,
+             -- VARCHAR->DOUBLE: DuckDB's HUGEINT->DOUBLE truncates
              CAST(round(1000000.0
-               * (ov.x * CAST(g.n AS DOUBLE) / CAST(g.s AS DOUBLE))
-               * ln(ov.x * CAST(g.n AS DOUBLE) / CAST(g.s AS DOUBLE)))
+               * (ov.x * CAST(g.n AS DOUBLE) / CAST(CAST(g.s AS VARCHAR) AS DOUBLE))
+               * ln(ov.x * CAST(g.n AS DOUBLE) / CAST(CAST(g.s AS VARCHAR) AS DOUBLE)))
                AS BIGINT) AS t_micro
       FROM ov JOIN g ON g.nk = ov.nk
     )
     SELECT nk AS nationkey, CAST(MAX(n) AS BIGINT) AS n_orders,
-           CAST(round(1000.0 * CAST(MAX(s) AS DOUBLE) / MAX(n))
+           CAST(round(1000.0 * CAST(CAST(MAX(s) AS VARCHAR) AS DOUBLE) / MAX(n))
                 AS BIGINT) AS mean_milli,
-           CAST(round(CAST(SUM(CAST(t_micro AS HUGEINT)) AS DOUBLE)
+           CAST(round(CAST(CAST(SUM(CAST(t_micro AS HUGEINT)) AS VARCHAR) AS DOUBLE)
                       / MAX(n)) AS BIGINT) AS theil_micro
     FROM terms GROUP BY nk ORDER BY nk
     """,
@@ -198,7 +203,8 @@ def theil_index_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    ov = o.join(
+    # positive values only — Theil's domain (see oracle note)
+    ov = o.where(F.col("o_totalprice") > 0).join(
         c.select("c_custkey", "c_nationkey"),
         o.o_custkey == F.col("c_custkey"),
     ).select(

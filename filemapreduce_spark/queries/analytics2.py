@@ -280,8 +280,10 @@ def timegrain_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
            COUNT(*) AS n_terms,
-           CAST(SUM(d2.v * (1 << (9 - DATE_DIFF('day', d2.day, d.day))))
-                  AS DOUBLE)
+           -- VARCHAR->DOUBLE: the weighted HUGEINT sum converts
+           -- truncating via the direct cast (r10 extreme axis)
+           CAST(CAST(SUM(d2.v * (1 << (9 - DATE_DIFF('day', d2.day, d.day))))
+                  AS VARCHAR) AS DOUBLE)
              / SUM(1 << (9 - DATE_DIFF('day', d2.day, d.day)))
              AS ewma_cents
     FROM daily d

@@ -136,14 +136,18 @@ def max_drawdown_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(*) AS n,
              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,
-             -- HUGEINT sum (mirrors Spark's DECIMAL(38,0) s2)
-             SUM(CAST(round(value*100) AS BIGINT)
+             -- HUGEINT per-row product AND sum (mirrors Spark's
+             -- DECIMAL(38,0) s2): cents^2 overflows int64 per row
+             -- for large money (r10 extreme axis)
+             SUM(CAST(round(value*100) AS HUGEINT)
                  * CAST(round(value*100) AS BIGINT)) AS s2
       FROM events GROUP BY event_type
     ), stat AS (
       SELECT event_type, n, s1, s2,
              CAST(s1 AS DOUBLE) / n AS mean,
-             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+             -- VARCHAR->DOUBLE: DuckDB's HUGEINT->DOUBLE truncates
+             (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
                AS var
       FROM m
     )

@@ -221,10 +221,10 @@ _SPLIT_DAY = "2024-01-24"
     )
     SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
            d.cents AS actual_cents,
-           CAST(round(1000.0 * m.s_cents / m.n_train) AS BIGINT)
+           CAST(round(CAST(1000 AS DOUBLE) * m.s_cents / m.n_train) AS BIGINT)
              AS pred_milli,
            CAST(abs(d.cents * 1000
-                    - CAST(round(1000.0 * m.s_cents / m.n_train) AS BIGINT))
+                    - CAST(round(CAST(1000 AS DOUBLE) * m.s_cents / m.n_train) AS BIGINT))
                 AS BIGINT) AS abs_err_milli
     FROM daily d
     JOIN model m

@@ -417,20 +417,26 @@ def theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN cents - CAST(tsum AS DOUBLE) / 7 END AS detrended
       FROM trend
     ), seas AS (
+      -- exact-integer seasonal mean: AVG over float detrended values
+      -- is summation-order-dependent and diverges in the last bits at
+      -- 1e14 magnitudes (r10 extreme axis); cents*7 - tsum is exact
+      -- BIGINT, so the mean is one double division of exact integers
       SELECT event_type, isodow(day) AS dow,
-             round(AVG(detrended), 6) AS seasonal
+             CAST(SUM(cents * 7 - tsum) AS BIGINT) AS d7sum,
+             COUNT(*) AS n7
       FROM detr WHERE detrended IS NOT NULL
       GROUP BY 1, 2
     )
     SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cents,
            CASE WHEN d.tsum IS NOT NULL
-                THEN CAST(round(1000.0 * d.tsum / 7) AS BIGINT)
+                THEN CAST(round(CAST(1000 AS DOUBLE) * d.tsum / 7) AS BIGINT)
            END AS trend_milli,
-           CAST(round(1000.0 * s.seasonal) AS BIGINT) AS seasonal_milli,
+           CAST(round(CAST(1000 AS DOUBLE) * s.d7sum / (7 * s.n7))
+                AS BIGINT) AS seasonal_milli,
            CASE WHEN d.tsum IS NOT NULL
                 THEN CAST(d.cents * 1000
-                     - CAST(round(1000.0 * d.tsum / 7) AS BIGINT)
-                     - CAST(round(1000.0 * s.seasonal) AS BIGINT) AS BIGINT)
+                     - CAST(round(CAST(1000 AS DOUBLE) * d.tsum / 7) AS BIGINT)
+                     - CAST(round(CAST(1000 AS DOUBLE) * s.d7sum / (7 * s.n7)) AS BIGINT) AS BIGINT)
            END AS resid_milli
     FROM detr d JOIN seas s
       ON s.event_type = d.event_type AND s.dow = isodow(d.day)
@@ -484,16 +490,23 @@ def seasonal_decomposition_daily(
         ),
     )
     isodow = F.weekday("day") + 1
+    # exact-integer seasonal mean (see oracle note): cents*7 - tsum
+    # is exact BIGINT; one double division of exact integers
     seas = (
         detr.where(F.col("detrended").isNotNull())
         .groupBy("event_type", isodow.alias("dow"))
-        .agg(F.round(F.avg("detrended"), 6).alias("seasonal"))
+        .agg(
+            F.sum(F.col("cents") * 7 - F.col("tsum")).alias("d7sum"),
+            F.count(F.lit(1)).alias("n7"),
+        )
     )
     trend_milli = F.when(
         F.col("tsum").isNotNull(),
         F.round(1000.0 * F.col("tsum") / 7).cast("long"),
     )
-    seasonal_milli = F.round(1000.0 * F.col("seasonal")).cast("long")
+    seasonal_milli = F.round(
+        1000.0 * F.col("d7sum") / (7 * F.col("n7"))
+    ).cast("long")
     return (
         detr.withColumn("dow", isodow)
         .join(F.broadcast(seas), ["event_type", "dow"])

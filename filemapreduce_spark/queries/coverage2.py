@@ -275,7 +275,10 @@ def copurchase_lift_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            CAST(SUM(CAST(regexp_extract(url, 'user=(\\d+)', 1) AS BIGINT))
              AS BIGINT) AS sum_user_param,
-           CAST(SUM(CAST(regexp_extract(url, 'v=(\\d+)', 1) AS BIGINT))
+           -- v is a SIGNED integer (large negative values render a
+           -- minus sign into the URL); TRY_CAST nulls a non-match
+           -- instead of erroring on '' (r10 extreme axis)
+           CAST(SUM(TRY_CAST(regexp_extract(url, 'v=(-?\\d+)', 1) AS BIGINT))
              AS BIGINT) AS sum_v_param,
            COUNT(DISTINCT regexp_extract(url, 'https://[^/]+(/[^?]*)', 1))
              AS distinct_paths

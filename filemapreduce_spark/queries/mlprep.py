@@ -145,7 +145,7 @@ def rfm_quintile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.o_orderkey, o.o_orderpriority,
            CASE WHEN st.n > 1
-                THEN CAST(round(1000.0
+                THEN CAST(round(CAST(1000 AS DOUBLE)
                        * (st.s - CAST(round(o.o_totalprice*100) AS BIGINT))
                        / (st.n - 1)) AS BIGINT)
                 ELSE NULL END AS loo_milli

@@ -264,11 +264,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     """
-    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    -- VARCHAR->DOUBLE on the wide sums: DuckDB's HUGEINT->DOUBLE
+    -- conversion truncates instead of rounding (r10 extreme axis)
+    SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
-                 ELSE 0 END) AS DOUBLE)
-           / SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS promo_pct,
-           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS DOUBLE) AS total_revenue
+                 ELSE 0 END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS VARCHAR) AS DOUBLE) AS promo_pct,
+           CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS VARCHAR) AS DOUBLE) / 10000.0 AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01'
       AND l_shipdate < TIMESTAMP '1997-10-01'

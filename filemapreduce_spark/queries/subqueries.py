@@ -601,12 +601,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_profit_by_nation",
     """
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           CAST(SUM(
-             CAST(round(l_extendedprice * 100) AS BIGINT)
+           -- HUGEINT cost product (cents x qty x 20 overflows int64
+           -- for large money/quantity) and VARCHAR->DOUBLE (DuckDB's
+           -- HUGEINT->DOUBLE truncates; r10 extreme axis)
+           CAST(CAST(SUM(
+             CAST(round(l_extendedprice * 100) AS HUGEINT)
                * (100 - CAST(round(l_discount * 100) AS BIGINT))
-             - CAST(round(p_retailprice * 100) AS BIGINT)
+             - CAST(round(p_retailprice * 100) AS HUGEINT)
                * CAST(l_quantity AS BIGINT) * 20
-           ) / 10000.0 AS DOUBLE) AS profit
+           ) AS VARCHAR) AS DOUBLE) / 10000.0 AS profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -637,8 +640,14 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     na = F.broadcast(t(spark, sf_dir, "nation"))
-    profit_e4 = disc_price_e4("l_extendedprice", "l_discount") - (
-        cents("p_retailprice") * F.col("l_quantity").cast("long") * 20
+    # DECIMAL(38,0) per-row terms: the cost product overflows int64
+    # for large money x quantity (r10 extreme axis)
+    profit_e4 = disc_price_e4("l_extendedprice", "l_discount").cast(
+        "decimal(38,0)"
+    ) - (
+        cents("p_retailprice").cast("decimal(38,0)")
+        * F.col("l_quantity").cast("long")
+        * 20
     )
     return (
         li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
