@@ -169,9 +169,15 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "time_bucket_weekly_monday",
     """
+    -- FLOOR-aligned bucket via a non-negative mod: DuckDB's integer
+    -- // truncates toward zero, so pre-epoch timestamps bucketed one
+    -- week late (r10 extreme axis, 1969 events); subtracting the
+    -- canonical remainder needs no division and floors by definition
     SELECT strftime(make_timestamp(
-             ((epoch_us(ts) - 345600000000) // 604800000000)
-               * 604800000000 + 345600000000), '%Y-%m-%d') AS week_start,
+             epoch_us(ts)
+               - ((((epoch_us(ts) - 345600000000) % 604800000000)
+                   + 604800000000) % 604800000000)), '%Y-%m-%d')
+             AS week_start,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
              AS sum_value_cents,

@@ -37,19 +37,29 @@ from filemapreduce_spark.sources.tables import load_table as t
       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), cum AS (
       SELECT event_type, day,
-             CAST(SUM(cents) OVER w AS BIGINT) AS cum_cents,
-             CAST(MAX(SUM(cents)) OVER w AS BIGINT) AS peak_cents
+             CAST(SUM(cents) OVER w AS BIGINT) AS cum_cents
       FROM daily
-      GROUP BY event_type, day, cents
       WINDOW w AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), pk AS (
+      -- running max OF THE CUMULATIVE, staged after it: the previous
+      -- MAX(SUM(cents)) OVER w form was the running max of DAILY
+      -- values — indistinguishable on all-positive series (cum is
+      -- monotone, drawdown 0 everywhere on both sides) and wrong the
+      -- moment a negative day exists (r10 extreme axis)
+      SELECT event_type, day, cum_cents,
+             CAST(MAX(cum_cents) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS peak_cents
+      FROM cum
     ), dd AS (
       SELECT event_type, day, cum_cents, peak_cents,
              peak_cents - cum_cents AS drawdown_cents,
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY peak_cents - cum_cents DESC,
                                          day ASC) AS rn
-      FROM cum
+      FROM pk
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS trough_day,
            peak_cents, cum_cents, drawdown_cents

@@ -2186,7 +2186,11 @@ def setop_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "histogram_price_bins",
     """
-    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000 AS bin,
+    -- FLOOR-aligned bins: DuckDB's integer // truncates toward zero,
+    -- putting negative prices one bin high (r10 extreme axis); the
+    -- double division is exact (cents < 2^53) and floors like Spark
+    SELECT CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      / CAST(1000000 AS DOUBLE)) AS BIGINT) AS bin,
            COUNT(*) AS n,
            MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents,
            MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_cents

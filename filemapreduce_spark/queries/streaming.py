@@ -542,8 +542,13 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_window_native",
     """
     WITH e AS (
+      -- the streaming time domain starts at the Unix epoch: Spark's
+      -- watermark clock initializes to 0, so a session ENDING before
+      -- 1970 is already 'late' in the first micro-batch and dropped
+      -- by the state store (r10 extreme axis, 1900 events). Declared
+      -- symmetric filter; the BATCH twin keeps the full time domain.
       SELECT user_id, event_id, epoch_us(ts) AS ep, ts FROM events
-      WHERE ts IS NOT NULL
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
     ), l AS (
       SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM e
@@ -577,10 +582,15 @@ def streaming_session_window_native(
     on an unbounded 100 TB/day stream.
     """
     # NULL event-times are off the time axis (session_window drops
-    # them; the filter makes the declared semantics explicit)
+    # them; the filter makes the declared semantics explicit), and
+    # the streaming time domain starts at the epoch (see oracle note:
+    # the watermark clock initializes to 0)
     stream = (
         _events_stream(spark, sf_dir)
-        .where(F.col("ts").isNotNull())
+        .where(
+            F.col("ts").isNotNull()
+            & (F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+        )
         .withWatermark("ts", "1 day")
     )
     agg = stream.groupBy(
