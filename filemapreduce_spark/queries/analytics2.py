@@ -408,11 +408,15 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       -- observed pairs only (pairwise deletion, the standard
-      -- correlation treatment of missing data)
+      -- correlation treatment of missing data); a NULL series
+      -- identity is NO series (declared, r9 rule — the midrank
+      -- histogram join-back is an equi-join, which drops the NULL
+      -- group the oracle's window kept; r10 nullkeys re-validation)
       SELECT l_returnflag, l_quantity AS q,
              CAST(round(l_extendedprice*100) AS BIGINT) AS c
       FROM lineitem
       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_returnflag IS NOT NULL
     ), r AS (
       -- MIDRANKS (2x, to stay integer): 2*min_rank + tie_count - 1.
       -- Tie-averaged ranks are the DEFINED Spearman treatment of
@@ -460,9 +464,11 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by flag; one grouped agg. Pairs with a NULL on either
     side are excluded (pairwise deletion) on both sides.
     """
+    # NULL series identity is no series (see oracle note)
     li = t(spark, sf_dir, "lineitem").where(
         F.col("l_quantity").isNotNull()
         & F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
     )
     base = li.select(
         "l_returnflag",
