@@ -38,11 +38,16 @@ def _qtris_sql() -> str:
 @register(
     "trigram_index_search",
     f"""
-    WITH postings AS (
+    WITH folded AS (
+      -- fold ONCE per row: an inline translate() in the per-position
+      -- lambda re-evaluates per trigram, O(len) per position (r10
+      -- perf A/B: 1.6x on the posting build)
+      SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS txt FROM documents
+    ), postings AS (
       SELECT DISTINCT doc_id, unnest(list_distinct(
-               list_transform(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - 1),
-                              i -> substring(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 3)))) AS tri
-      FROM documents
+               list_transform(range(1, length(txt) - 1),
+                              i -> substring(txt, i, 3)))) AS tri
+      FROM folded
     ), qtris(term, tri, n_tris) AS (
       VALUES {_qtris_sql()}
     ), cand AS (
@@ -53,12 +58,12 @@ def _qtris_sql() -> str:
     )
     SELECT c.term,
            COUNT(*) AS n_candidates,
-           CAST(SUM(CASE WHEN instr(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), c.term) > 0
+           CAST(SUM(CASE WHEN instr(d.txt, c.term) > 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
-           CAST(round(1000.0 * SUM(CASE WHEN instr(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), c.term) > 0
+           CAST(round(1000.0 * SUM(CASE WHEN instr(d.txt, c.term) > 0
                                         THEN 1 ELSE 0 END)
                       / COUNT(*)) AS BIGINT) AS precision_milli
-    FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+    FROM cand c JOIN folded d ON d.doc_id = c.doc_id
     GROUP BY c.term
     ORDER BY c.term
     """,
@@ -82,7 +87,13 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Rare-trigram-first pruning and per-trigram posting caps
     are the standard refinements; the plan shape is unchanged.
     """
-    docs = t(spark, sf_dir, "documents")
+    from filemapreduce_spark.operators.textops import ascii_fold
+
+    # fold ONCE per row (projected column): an inline translate() in
+    # the transform lambda re-evaluates per trigram position
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", ascii_fold("text").alias("txt")
+    )
     postings = docs.select(
         "doc_id",
         F.explode(
@@ -92,9 +103,9 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # than 3 chars must yield an EMPTY trigram set, not
                 # phantom 1-2-char fragments
                 F.expr(
-                    "CASE WHEN length(text) >= 3 THEN"
-                    " transform(sequence(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - 2),"
-                    " i -> substring(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 3))"
+                    "CASE WHEN length(txt) >= 3 THEN"
+                    " transform(sequence(1, length(txt) - 2),"
+                    " i -> substring(txt, i, 3))"
                     " ELSE array() END"
                 )
             )
@@ -124,11 +135,10 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "doc_id")
     )
     verified = F.sum(
-        F.when(F.expr("instr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), term)") > 0, 1)
-        .otherwise(0)
+        F.when(F.expr("instr(txt, term)") > 0, 1).otherwise(0)
     ).cast("long")
     return (
-        cand.join(docs.select("doc_id", "text"), "doc_id")
+        cand.join(docs, "doc_id")
         .groupBy("term")
         .agg(
             F.count("*").alias("n_candidates"),
@@ -136,9 +146,7 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 1000.0
                 * F.sum(
-                    F.when(
-                        F.expr("instr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), term)") > 0, 1
-                    ).otherwise(0)
+                    F.when(F.expr("instr(txt, term)") > 0, 1).otherwise(0)
                 )
                 / F.count("*")
             )
