@@ -196,15 +196,18 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "line_seq",
         "total_cents",
-        # DECIMAL(38,0) product (total_cents*qty overflows int64 for
-        # large money); div's BIGINT quotient is <= total_cents — safe
+        # exact int64 quotient/remainder decomposition — the naive
+        # total_cents*qty overflows int64 for large money, and the
+        # DECIMAL(38,0) form was 1.85x slower in the 600k-row hot
+        # path (r10 interleaved A/B). With tc = a*tq + r:
+        #   (tc*q) div tq = a*q + (r*q) div tq,  (tc*q) % tq = (r*q) % tq
+        # a*q <= tc and r*q < tq*max_qty stay in int64 within the
+        # declared domain (|money| <= 1e12, qty <= 1e9)
         F.expr(
-            "CAST(total_cents AS DECIMAL(38,0)) * qty div total_qty"
+            "(total_cents div total_qty) * qty"
+            " + ((total_cents % total_qty) * qty) div total_qty"
         ).alias("base_cents"),
-        (
-            (F.col("total_cents").cast("decimal(38,0)") * F.col("qty"))
-            % F.col("total_qty")
-        ).alias(
+        F.expr("((total_cents % total_qty) * qty) % total_qty").alias(
             "rem"
         ),
     )
