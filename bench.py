@@ -110,12 +110,11 @@ TABLES = (
 )
 
 
-def duckdb_anchor(registry, sf_dir: str) -> dict[str, float]:
-    """Single-node anchor: run each headline query's DuckDB oracle twin
-    on the same parquet files (DuckDB uses all cores by default — this
-    is the 'competent single-node engine' the 2× envelope is measured
-    against, since the reference repo publishes no numbers). Same
-    protocol as the Spark side: 3 reps, best kept."""
+def duckdb_connect(sf_dir: str):
+    """Connection for the single-node anchor: DuckDB over the same
+    parquet files (DuckDB uses all cores by default — this is the
+    'competent single-node engine' the 2× envelope is measured
+    against, since the reference repo publishes no numbers)."""
     import duckdb
 
     con = duckdb.connect()
@@ -123,19 +122,27 @@ def duckdb_anchor(registry, sf_dir: str) -> dict[str, float]:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        sql = registry[name].oracle
-        if sql is None:
-            continue
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        times[name] = round(best, 3)
-    return times
+    return con
+
+
+def duckdb_time(con, sql: str) -> float:
+    """Time one oracle twin: same protocol as the Spark side — 3 reps,
+    best kept. Called ADJACENT to the query's own Spark reps (r10
+    verdict item 1): the old phase-separated anchor ran after the
+    whole Spark loop, so machine-load drift between the phases
+    distorted ratio_total / r3_common48_ratio (the r10 driver session
+    printed 2.01 on the anchor while the load-cancelling interleaved
+    paired control read flat 1.035 in the same run). With the twin
+    sampled in the same per-query machine window as the Spark reps,
+    drift on any timescale longer than one query cancels out of the
+    ratio — the same protocol the r10 round-over-round control got."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        elapsed = time.time() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return round(best, 3)
 
 
 def measure_floors(spark, sf_dir: str) -> tuple[float, float]:
@@ -357,8 +364,9 @@ def run_control(sf_dir: str, names: list[str]) -> dict | None:
             "control_rev": rev,
             "control_error": r.stderr.strip()[:200],
         }
-    script = tempfile.mktemp(prefix="fmr_ab_worker_", suffix=".py")
-    with open(script, "w") as f:
+    # mkstemp, not the race-prone deprecated mktemp (r10 ADVICE)
+    fd, script = tempfile.mkstemp(prefix="fmr_ab_worker_", suffix=".py")
+    with os.fdopen(fd, "w") as f:
         f.write(_AB_WORKER_SRC)
     cur = ctl = None
     try:
@@ -487,8 +495,14 @@ def main():
     # machine load spikes add multi-second outliers to single runs —
     # the min is the stable estimator. Per-rep detail (construct vs
     # execute) lands in BENCH_DETAIL.json.
+    # DuckDB anchor connection, opened BEFORE the serial loop so each
+    # query's oracle twin can run adjacent to its own Spark reps
+    # (interleaved anchor — see duckdb_time's docstring).
+    con = duckdb_connect(sf_dir)
+
     times: dict[str, float] = {}
     construct: dict[str, float] = {}
+    ddb: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
         rebuild_each_rep = name.startswith("streaming_")
@@ -513,6 +527,9 @@ def main():
         # the 60+-query suite and lets plan-matching flatter a later
         # query sharing a subtree with an earlier one (r6 advice)
         spark.catalog.clearCache()
+        # the query's DuckDB twin, sampled in the same machine window
+        if spec.oracle is not None:
+            ddb[name] = duckdb_time(con, spec.oracle)
 
     total = round(sum(times.values()), 3)
 
@@ -547,7 +564,6 @@ def main():
         best_wall = wall if best_wall is None else min(best_wall, wall)
     suite_wall = round(best_wall, 3)
 
-    ddb = duckdb_anchor(registry, sf_dir)
     ddb_total = round(sum(ddb.values()), 3)
     ratios = {
         n: round(times[n] / ddb[n], 2) if ddb.get(n) else None
@@ -557,10 +573,11 @@ def main():
     # Paired round-over-round comparison on the 48-query suite that
     # rounds 3 and 4 both ran (HEADLINE minus the two round-4
     # additions). Cross-session absolute seconds swing ±25-50% with
-    # machine load, but the DuckDB anchor runs IN THIS PROCESS, so
-    # the Spark/DuckDB ratio over the identical query set is the
-    # load-cancelling number to compare across rounds (the r3
-    # committed record reads 1.32, r4 read 1.54 on it).
+    # machine load; since r11 each anchor twin is sampled adjacent to
+    # its query's own Spark reps, so the Spark/DuckDB ratio over the
+    # identical query set cancels load drift on any timescale longer
+    # than one query — the load-robust number to compare across
+    # rounds (the r3 committed record reads 1.32, r4 read 1.54).
     r3_common = [
         n
         for n in HEADLINE

@@ -29,12 +29,16 @@ patching ``persist`` on the concrete DataFrame class(es) while at
 least one scope is active — PySpark 4 instances are
 ``pyspark.sql.classic.dataframe.DataFrame``, which OVERRIDES the
 ``pyspark.sql.DataFrame`` parent's ``persist``, so the patch targets
-every class in the hierarchy that owns one. Tracking is
-process-global, like the cache itself; concurrent threads persisting
-DataFrames while a scope is active in another thread will have those
-blocks dropped at that scope's exit, so run concurrent suites either
-all-inside or all-outside scopes (the harness ``clearCache()`` has
-the same process-global semantics).
+every class in the hierarchy that owns one.
+
+Thread safety (r10 advice): the scope STACK is thread-local — a
+persist is registered into the innermost scope of the thread that
+issued it, so a scope exiting in one thread never unpersists another
+thread's blocks, and scopes in different threads may overlap without
+nesting. Only the patch install/remove is global, refcounted across
+threads: the originals are restored when the LAST live scope in the
+process exits. A thread with no active scope persists untracked, as
+without the patch.
 """
 
 from __future__ import annotations
@@ -44,8 +48,17 @@ from contextlib import contextmanager
 from typing import Callable
 
 _lock = threading.RLock()
-_scopes: list[list] = []
+_tls = threading.local()
+_active_scopes = 0  # across ALL threads; guarded by _lock
 _originals: dict[type, Callable] = {}
+
+
+def _stack() -> list:
+    """This thread's scope stack (innermost last)."""
+    s = getattr(_tls, "stack", None)
+    if s is None:
+        s = _tls.stack = []
+    return s
 
 
 def _persist_owners() -> list[type]:
@@ -73,9 +86,11 @@ def _persist_owners() -> list[type]:
 def _make_tracking(orig: Callable) -> Callable:
     def tracking_persist(self, *args, **kwargs):
         out = orig(self, *args, **kwargs)
-        with _lock:
-            if _scopes:
-                _scopes[-1].append(out)
+        # register into the CALLING thread's innermost scope —
+        # thread-local, so no cross-thread capture and no lock
+        stack = _stack()
+        if stack:
+            stack[-1].append(out)
         return out
 
     tracking_persist._fmr_tracking = True  # type: ignore[attr-defined]
@@ -85,19 +100,22 @@ def _make_tracking(orig: Callable) -> Callable:
 @contextmanager
 def cache_scope():
     """Unpersist every DataFrame persisted inside the scope at exit."""
+    global _active_scopes
     mine: list = []
     with _lock:
-        if not _scopes:
+        if _active_scopes == 0:
             for cls in _persist_owners():
                 _originals[cls] = cls.persist
                 cls.persist = _make_tracking(cls.persist)
-        _scopes.append(mine)
+        _active_scopes += 1
+    _stack().append(mine)
     try:
         yield
     finally:
+        _stack().remove(mine)
         with _lock:
-            _scopes.remove(mine)
-            if not _scopes:
+            _active_scopes -= 1
+            if _active_scopes == 0:
                 for cls, orig in _originals.items():
                     cls.persist = orig
                 _originals.clear()

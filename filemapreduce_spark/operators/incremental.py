@@ -27,6 +27,19 @@ algebra Structured Streaming uses for stateful aggregation, so the
 operator is correct for any split of the data by construction
 (associativity + commutativity — proven for arbitrary splits in
 tests/test_incremental.py).
+
+State-schema versions (r10 ADVICE — persisted states outlive the
+code that wrote them):
+
+- v1 (through round 9): ``sumsq_v`` was BIGINT — wraps at real row
+  counts (found by the r10 extreme-numerics axis).
+- v2 (round 10+): ``sumsq_v`` is DECIMAL(38,0).
+
+``merge_states`` normalizes every input's ``sumsq_v`` to
+DECIMAL(38,0) explicitly, so merging a v1 state frame written by an
+older tree with fresh v2 states is a deliberate, lossless widening —
+not an accident of union type coercion — and finalize/consumers
+always see the v2 decimal column.
 """
 
 from __future__ import annotations
@@ -70,6 +83,14 @@ def merge_states(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
     plus one grouped aggregation over state rows (one row per key per
     input — trivially small next to the raw data).
     """
+    # normalize each input to the v2 state schema BEFORE the union:
+    # a v1 (BIGINT-sumsq) frame read back from disk widens here
+    # explicitly rather than via union type coercion (see module
+    # docstring, state-schema versions)
+    states = [
+        s.withColumn("sumsq_v", F.col("sumsq_v").cast("decimal(38,0)"))
+        for s in states
+    ]
     unioned = reduce(lambda a, b: a.unionByName(b), states)
     return unioned.groupBy(*keys).agg(
         F.sum("n").alias("n"),

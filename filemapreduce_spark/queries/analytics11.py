@@ -156,11 +156,14 @@ def holt_linear_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ov AS (
       -- Theil is defined over POSITIVE values (x/mu * ln(x/mu)):
       -- non-positive orders are off-domain on both engines (Spark's
-      -- ln(neg) is NULL, DuckDB's raises; r10 extreme axis)
+      -- ln(neg) is NULL, DuckDB's raises; r10 extreme axis). The
+      -- gate is on the ROUNDED cents the statistic actually uses —
+      -- a sub-cent price in (0, 0.005) passes a raw >0 filter but
+      -- rounds to x=0, hitting ln(0) (r10 ADVICE)
       SELECT c.c_nationkey AS nk,
              CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-      WHERE o.o_totalprice > 0
+      WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) > 0
     ), g AS (
       SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s
@@ -203,8 +206,9 @@ def theil_index_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    # positive values only — Theil's domain (see oracle note)
-    ov = o.where(F.col("o_totalprice") > 0).join(
+    # positive ROUNDED cents only — Theil's domain gated on the same
+    # quantized value the statistic uses (see oracle note)
+    ov = o.where(cents("o_totalprice") > 0).join(
         c.select("c_custkey", "c_nationkey"),
         o.o_custkey == F.col("c_custkey"),
     ).select(

@@ -309,9 +309,15 @@ def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, n_chars, bucket
     FROM h
-    -- branch-first: n_chars*32 overflows int64 at 2^62-scale counts;
-    -- a 16-bit bucket is always < 65536, so P=1 short-circuits (r10)
-    WHERE n_chars >= 2048 OR bucket < n_chars * 32
+    -- CASE, not OR short-circuit: n_chars*32 overflows int64 at
+    -- 2^62-scale counts, and OR-branch evaluation order is
+    -- plan-dependent, not contractual (r10 ADVICE) — CASE evaluates
+    -- only the taken branch on both engines. A 16-bit bucket is
+    -- always < 65536, so the saturated branch is P=1. NULL n_chars
+    -- = unknown weight: the comparison is NULL and the row is
+    -- DROPPED (weight-0 semantics, declared on both engines).
+    WHERE bucket < CASE WHEN n_chars >= 2048 THEN 65536
+                        ELSE n_chars * 32 END
     ORDER BY doc_id
     """,
     tags=("sampling", "llm"),
@@ -341,10 +347,15 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "lang", "n_chars", bucket.alias("bucket"))
         .where(
-            # branch-first, mirroring the oracle: n_chars*32 overflows
-            # int64 for 2^62-scale counts; bucket < 65536 always
-            (F.col("n_chars") >= 2048)
-            | (F.col("bucket") < F.col("n_chars") * 32)
+            # CASE, not OR short-circuit, mirroring the oracle:
+            # n_chars*32 overflows int64 for 2^62-scale counts and
+            # only CASE contracts taken-branch-only evaluation on
+            # both engines; NULL n_chars -> NULL compare -> dropped
+            # (declared weight-0 semantics)
+            F.col("bucket")
+            < F.when(F.col("n_chars") >= 2048, F.lit(65536)).otherwise(
+                F.col("n_chars") * 32
+            )
         )
         .orderBy("doc_id")
     )

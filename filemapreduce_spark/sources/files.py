@@ -156,7 +156,19 @@ def _list_via_pyarrow(
 
     if filesystem is not None:
         # injected handle (a configured S3FileSystem, a SubTree, an
-        # FSSpecHandler wrapper, ...): the root is a path WITHIN it
+        # FSSpecHandler wrapper, ...): the root is a path WITHIN it.
+        # Validate the type HERE, at plan time (r9 advice): a raw
+        # fsspec filesystem passed without the PyFileSystem(
+        # FSSpecHandler(...)) wrapper would otherwise surface as an
+        # opaque AttributeError deep inside get_file_info.
+        if not isinstance(filesystem, pafs.FileSystem):
+            raise TypeError(
+                "read_files_chunked: filesystem must be a"
+                " pyarrow.fs.FileSystem (wrap fsspec filesystems in"
+                " pyarrow.fs.PyFileSystem(pyarrow.fs.FSSpecHandler("
+                f"fs))); got {type(filesystem).__module__}."
+                f"{type(filesystem).__qualname__}"
+            )
         fs, base = filesystem, root_uri
     else:
         try:

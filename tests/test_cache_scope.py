@@ -73,6 +73,82 @@ def test_scopes_nest(spark):
     assert _n_cached_rdds(spark) == 0
 
 
+def test_other_threads_persists_not_captured(spark):
+    """r10 ADVICE: the scope stack is thread-local — a thread with no
+    scope of its own persists untracked even while another thread's
+    scope is active, so that scope's exit cannot drop its blocks."""
+    import threading
+
+    done = threading.Event()
+    release = threading.Event()
+    other: dict = {}
+
+    def worker():
+        df = spark.range(77).persist()
+        df.count()
+        other["df"] = df
+        done.set()
+        release.wait(30)
+
+    with cache_scope():
+        mine = spark.range(11).persist()
+        mine.count()
+        th = threading.Thread(target=worker)
+        th.start()
+        assert done.wait(30)
+        assert _n_cached_rdds(spark) == 2
+    # scope exit dropped only this thread's persist
+    assert _n_cached_rdds(spark) == 1
+    release.set()
+    th.join(30)
+    other["df"].unpersist(blocking=True)
+    assert _n_cached_rdds(spark) == 0
+
+
+def test_overlapping_scopes_across_threads(spark):
+    """Non-nested overlap: thread B opens its scope while A's is live
+    and closes it after A's — the patch stays installed until the
+    LAST scope exits, and each scope drops only its own persists."""
+    import threading
+
+    from filemapreduce_spark.cache import _persist_owners
+
+    owners = _persist_owners()
+    origs = {cls: cls.persist for cls in owners}
+    b_open = threading.Event()
+    a_closed = threading.Event()
+    state: dict = {}
+
+    def worker_b():
+        with cache_scope():
+            df = spark.range(33).persist()
+            df.count()
+            b_open.set()
+            a_closed.wait(30)
+            # A's scope exited while B's is live: patch must still
+            # be the tracking one, and B's block must still exist
+            cls = type(spark.range(1))
+            state["still_patched"] = getattr(
+                cls.persist, "_fmr_tracking", False
+            )
+            state["b_cached"] = _n_cached_rdds(spark)
+
+    th = threading.Thread(target=worker_b)
+    with cache_scope():
+        a_df = spark.range(22).persist()
+        a_df.count()
+        th.start()
+        assert b_open.wait(30)
+    a_closed.set()
+    th.join(30)
+    assert state["still_patched"], "patch removed while a scope was live"
+    assert state["b_cached"] == 1, "A's exit dropped B's block"
+    # all scopes closed: originals restored, nothing pinned
+    for cls, orig in origs.items():
+        assert cls.persist is orig
+    assert _n_cached_rdds(spark) == 0
+
+
 def test_persist_restored_after_scope(spark):
     from filemapreduce_spark.cache import _persist_owners
 
