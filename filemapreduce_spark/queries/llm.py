@@ -1203,6 +1203,125 @@ _SURVIVOR_ORACLE = """
 """.format(words=_SQL_WORDS, shingles=_SQL_SHINGLES3)
 
 
+def _lsh_class_graph(spark: SparkSession, sf_dir: str):
+    """Content-collapsed LSH near-dup machinery shared by the
+    survivors and clusters queries (round 11): collapse docs with
+    IDENTICAL shingle arrays into classes FIRST, then run the banded
+    bucket join over one representative per class.
+
+    Why: on a duplicate-saturated corpus (the regime a 100 TB crawl
+    lives in — the r11 dup_fixture makes 90% of docs one of 5
+    payloads) a duplicate class of n docs shares every band key, so a
+    doc-level candidate join materializes Θ(n²) intermediate pairs
+    even when the consumer's output is linear (survivors, clusters).
+    Collapsing first is the exact-dedup-before-near-dedup discipline
+    (Lee et al. 2022): the pair machinery then runs over DISTINCT
+    contents only — the class graph has ~5 nodes where the doc graph
+    had 450² /2 candidate edges. At a real SF the collapse keys on a
+    content digest; here it groups the exact shingle array, so the
+    equivalence is literal, not probabilistic.
+
+    Exactness (vs the per-doc oracle): shingles are DISTINCT
+    (word_shingles), so two docs in one class have Jaccard 1 ≥ any
+    threshold — every non-representative member is always dropped by
+    its own representative; and for distinct classes A != B with reps
+    r_A < r_B, a doc-level candidate (a, b), a < b, exists iff the
+    classes share a band key, with J(a, b) = J(r_A, r_B) — so the
+    doc-level verified relation is fully determined by the class
+    graph plus member ids.
+
+    The collapse keys on a content DIGEST (md5 of the serialized
+    shingle array), never the raw array: grouping/joining on a 32-char
+    string moves bytes proportional to the digest, and map-side
+    partial aggregation collapses duplicate contents BEFORE the
+    shuffle, so a duplicate class of n docs ships one payload row, not
+    n (an earlier raw-array-keyed draft shuffled the full shingle
+    payload through both the groupBy and the doc join-back — 45× at
+    sf0.1). Digest keying is the standard production collapse; the
+    2^-128 collision risk is the accepted trade everywhere content
+    dedup runs at scale.
+
+    Returns (doc_cls, classes, verified):
+      doc_cls: (doc_id, rep, csize) for shingle-eligible docs;
+      classes: persisted (ckey, sh, rep, csize), one row per
+               distinct shingle array;
+      verified: (rep_a, rep_b) class pairs, rep_a < rep_b, sharing
+                >= 1 LSH band with exact Jaccard >= 0.2.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("ws")
+    )
+    elig = d.filter(F.size("ws") >= 3).select(
+        "doc_id",
+        word_shingles(F.col("ws"), 3).alias("sh"),
+    ).withColumn("ckey", F.md5(F.to_json(F.col("sh"))))
+    # compact doc -> content-class map, persisted for the doc-level
+    # join-back (32-char digest per doc; without the cache every
+    # action re-shingles the corpus for this branch)
+    eligk = elig.select("doc_id", "ckey").persist()
+    # the collapse: one row per distinct content, rep = min doc_id,
+    # minhash signature computed ONCE here. first("sh") is
+    # deterministic — every sh in a ckey group is the same array.
+    # Persisted: the signature is read by BOTH band self-join sides
+    # and the shingle arrays by both verify sides (the same four-
+    # consumer shape the pair query caches its per-doc sig for).
+    classes = (
+        elig.groupBy("ckey")
+        .agg(
+            F.first("sh").alias("sh"),
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("csize"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), 8))
+        .persist()
+    )
+    sig = classes.select("rep", "sig")
+    bands = sig.select(
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.concat(
+                            F.element_at("sig", 2 * bnd + 1),
+                            F.element_at("sig", 2 * bnd + 2),
+                        ).alias("key"),
+                    )
+                    for bnd in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("rep", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+        .distinct()
+    )
+    ca = classes.select(F.col("rep").alias("rep_a"), F.col("sh").alias("sh_a"))
+    cb = classes.select(F.col("rep").alias("rep_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    verified = (
+        cand.join(ca, "rep_a")
+        .join(cb, "rep_b")
+        .filter(jac >= 0.2)
+        .select("rep_a", "rep_b")
+    )
+    doc_cls = eligk.join(
+        classes.select("ckey", "rep", "csize"), "ckey"
+    ).select("doc_id", "rep", "csize")
+    return doc_cls, classes, verified
+
+
 @register(
     "dedup_survivors_minhash",
     _SURVIVOR_ORACLE,
@@ -1212,17 +1331,42 @@ def dedup_survivors_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual dedup OUTPUT: the corpus after removing every doc
     that near-duplicates (Jaccard ≥ 0.2) a smaller-id doc — keep-first
     greedy policy, the decision a training pipeline materializes.
+    Transitive chains resolve greedily (a<b<c: b and c both drop) —
+    declared policy, same in the oracle.
 
-    Scale shape: reuses the LSH candidate pipeline (banded bucket
-    join, no O(N²)); the removal set is the doc_b side of verified
-    pairs, applied with a broadcast-able anti join. Transitive chains
-    resolve greedily (a<b<c: b and c both drop) — declared policy,
-    same in the oracle.
+    Scale shape (rewritten round 11): runs over the content-collapsed
+    class graph (_lsh_class_graph) instead of the doc-level pair set —
+    on a duplicate-saturated corpus the old shape materialized
+    Θ(class²) verified pairs to derive a LINEAR output. Here a doc b
+    in class B is dropped iff it is a non-representative (its own rep
+    r_B < b has Jaccard 1) or some verified-adjacent class A has
+    r_A < b; survivors fall out of one linear join-back against the
+    bounded class graph — no doc-level pair is ever materialized.
     """
-    pairs = neardup_minhash_lsh(spark, sf_dir)  # doc_a, doc_b, jaccard
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    doc_cls, classes, verified = _lsh_class_graph(spark, sf_dir)
+    # min adjacent rep per class, adjacency made symmetric: doc b in
+    # class B is cross-dropped iff min_adj(B) < b (a member of the
+    # adjacent class smaller than b exists iff its rep is smaller)
+    adj = verified.union(
+        verified.select(
+            F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b")
+        )
+    )
+    thr = adj.groupBy(F.col("rep_b").alias("rep")).agg(
+        F.min("rep_a").alias("min_adj")
+    )
+    dropped = (
+        doc_cls.join(thr, "rep", "left")
+        .filter(
+            (F.col("doc_id") > F.col("rep"))
+            | (F.col("min_adj") < F.col("doc_id"))
+        )
+        .select("doc_id")
+    )
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
-    return docs.join(drop, "doc_id", "left_anti").orderBy("doc_id")
+    # classes stays persisted until the harness clearCache()/the
+    # consumer's cache_scope() — the returned plan references it lazily
+    return docs.join(dropped, "doc_id", "left_anti").orderBy("doc_id")
 
 
 # --------------------------------------------------------------------
@@ -1392,40 +1536,47 @@ _CLUSTER_ORACLE = _SURVIVOR_ORACLE.replace(
 )
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
-    LSH-verified pair graph via iterative min-label propagation — the
-    ITERATIVE distributed algorithm the greedy keep-first policy
+    LSH-verified near-dup graph via iterative min-label propagation —
+    the ITERATIVE distributed algorithm the greedy keep-first policy
     approximates. Oracle: a recursive CTE computing the same
-    min-reachable-id per node.
+    min-reachable-id per node over the doc-level pair graph.
 
-    Scale shape: each iteration is one join + groupBy-min (label ←
-    min over neighbors); iterations = graph diameter (near-dup
-    clusters are shallow, so a handful); each iteration's labels are
-    localCheckpoint()ed — the convergence count materializes them
-    anyway, and truncating lineage keeps the per-iteration plan (and
-    driver re-planning cost) CONSTANT instead of growing with the
-    iteration count; at billions of edges this is the
-    large-star/small-star pattern with identical per-step plans.
+    Scale shape (rewritten round 11): the iteration runs over the
+    content-collapsed CLASS graph (_lsh_class_graph), not doc-level
+    pairs — a duplicate class is a clique in the doc graph (every
+    member pair has Jaccard 1), so it contracts to ONE node whose
+    min-label IS the class rep; the old shape materialized the
+    Θ(class²) clique edges first. Member docs rejoin their class's
+    component label in one linear pass at the end: a doc is a node
+    iff its class has >= 2 members (self-clique) or any verified
+    cross-class edge, and its cluster id is the min rep over the
+    class component — identical to min-reachable-id over the doc
+    graph because reps are class minima. Each iteration is one join +
+    groupBy-min over the bounded class graph, localCheckpoint()ed so
+    plan depth stays constant (large-star/small-star pattern).
     """
-    pairs = neardup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    doc_cls, classes, verified = _lsh_class_graph(spark, sf_dir)
+    edges = verified.union(
+        verified.select(
+            F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b")
+        )
     ).persist()
     labels = (
-        edges.select(F.col("doc_a").alias("doc"))
+        edges.select(F.col("rep_a").alias("rep"))
         .distinct()
-        .withColumn("label", F.col("doc"))
+        .withColumn("label", F.col("rep"))
         .persist()
     )
-    for _ in range(20):  # >= diameter of any near-dup cluster here
+    for _ in range(20):  # >= diameter of any near-dup class graph here
         neigh = (
-            edges.join(labels, edges.doc_a == labels.doc)
-            .groupBy(F.col("doc_b").alias("doc"))
+            edges.join(labels, edges.rep_a == labels.rep)
+            .groupBy(F.col("rep_b").alias("rep"))
             .agg(F.min("label").alias("nlabel"))
         )
         new_labels = (
-            labels.join(neigh, "doc", "left")
+            labels.join(neigh, "rep", "left")
             .select(
-                "doc",
+                "rep",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
                     "label"
                 ),
@@ -1436,7 +1587,7 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc")
+            new_labels.join(labels.withColumnRenamed("label", "old"), "rep")
             .filter(F.col("label") != F.col("old"))
             .limit(1)
             .count()
@@ -1445,9 +1596,19 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select(
-        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    # member expansion: every doc of a clustered class carries the
+    # class component label; an isolated class is a cluster iff it
+    # has >= 2 members (its docs form a Jaccard-1 self-clique), with
+    # cluster id = its own rep
+    out = (
+        doc_cls.join(labels, "rep", "left")
+        .filter(F.col("label").isNotNull() | (F.col("csize") >= 2))
+        .select(
+            "doc_id",
+            F.coalesce("label", "rep").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
     edges.unpersist()
     return out
 
