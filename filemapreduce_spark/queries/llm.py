@@ -1245,8 +1245,11 @@ def _lsh_class_graph(spark: SparkSession, sf_dir: str):
       doc_cls: (doc_id, rep, csize) for shingle-eligible docs;
       classes: persisted (ckey, sh, rep, csize), one row per
                distinct shingle array;
-      verified: (rep_a, rep_b) class pairs, rep_a < rep_b, sharing
-                >= 1 LSH band with exact Jaccard >= 0.2.
+      verified: (rep_a, rep_b, jaccard) class pairs, rep_a < rep_b,
+                sharing >= 1 LSH band with exact Jaccard >= 0.2
+                (jaccard rounded to 6 dp, the pair query's output
+                precision — every member pair of the two classes has
+                exactly this value).
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("ws")
@@ -1314,7 +1317,7 @@ def _lsh_class_graph(spark: SparkSession, sf_dir: str):
         cand.join(ca, "rep_a")
         .join(cb, "rep_b")
         .filter(jac >= 0.2)
-        .select("rep_a", "rep_b")
+        .select("rep_a", "rep_b", F.round(jac, 6).alias("jaccard"))
     )
     doc_cls = eligk.join(
         classes.select("ckey", "rep", "csize"), "ckey"
@@ -1347,8 +1350,9 @@ def dedup_survivors_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min adjacent rep per class, adjacency made symmetric: doc b in
     # class B is cross-dropped iff min_adj(B) < b (a member of the
     # adjacent class smaller than b exists iff its rep is smaller)
-    adj = verified.union(
-        verified.select(
+    vp = verified.select("rep_a", "rep_b")
+    adj = vp.union(
+        vp.select(
             F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b")
         )
     )
@@ -1556,8 +1560,9 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan depth stays constant (large-star/small-star pattern).
     """
     doc_cls, classes, verified = _lsh_class_graph(spark, sf_dir)
-    edges = verified.union(
-        verified.select(
+    vp = verified.select("rep_a", "rep_b")
+    edges = vp.union(
+        vp.select(
             F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b")
         )
     ).persist()

@@ -99,25 +99,69 @@ def neardup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
     dedups against the full history with one bucket join and zero
     recomputation over the base. Addresses the reference's unused
     incremental-reduce hook (`/root/reference/interfaces.go:55-62`,
-    TODO `readme.md:43-44`) for the dedup case."""
+    TODO `readme.md:43-44`) for the dedup case.
+
+    Scale shape (rewritten round 11): the bucket join runs over
+    content-collapsed CLASSES, not docs — on a duplicate-saturated
+    corpus every delta doc of a hot payload collides with every base
+    member of its class, so the doc-level join materialized
+    Θ(delta·class) collision rows to produce per-delta-doc COUNTS.
+    Identical contents have identical band keys, so
+    n_base_matches(delta doc in class D) = Σ base-member counts over
+    the DISTINCT classes sharing >= 1 band with D (own class
+    included), and count_distinct collapses to an exact sum because
+    classes partition the docs — one class-level bucket join plus a
+    linear member join-back."""
     d = t(spark, sf_dir, "documents").select("doc_id", words("text").alias("ws"))
-    d2 = d.filter(F.size("ws") >= 3).select(
+    elig = d.filter(F.size("ws") >= 3).select(
         "doc_id", word_shingles(F.col("ws"), 3).alias("shingles")
-    )
-    sig = d2.select(
-        "doc_id", minhash_signature(F.col("shingles"), 8).alias("sig")
-    )
-    bands = _band_keys(sig)
-    delta = bands.filter(F.col("doc_id") % 10 == 0).alias("delta")
-    base = bands.filter(F.col("doc_id") % 10 != 0).alias("base")
-    return (
-        delta.join(
-            base,
-            (F.col("base.band") == F.col("delta.band"))
-            & (F.col("base.key") == F.col("delta.key")),
+    ).withColumn("ckey", F.md5(F.to_json(F.col("shingles"))))
+    # compact doc -> content-class map, persisted for the delta-side
+    # join-back (without it every action re-shingles the corpus for
+    # that branch)
+    eligk = elig.select("doc_id", "ckey").persist()
+    # one row per distinct content: signature + base-side member
+    # count. Persisted: the band build (both self-join sides) and the
+    # match-sum join-back read it.
+    classes = (
+        elig.groupBy("ckey")
+        .agg(
+            F.first("shingles").alias("shingles"),
+            F.sum(F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("base_cnt"),
         )
-        .groupBy(F.col("delta.doc_id").alias("doc_id"))
-        .agg(F.count_distinct(F.col("base.doc_id")).alias("n_base_matches"))
+        .withColumn("sig", minhash_signature(F.col("shingles"), 8))
+        .persist()
+    )
+    bands = _band_keys(
+        classes.select(F.col("ckey").alias("doc_id"), "sig")
+    ).withColumnRenamed("doc_id", "ckey")
+    a, b = bands.alias("a"), bands.alias("b")
+    # distinct class pairs sharing >= 1 band; self-pair included — a
+    # delta doc's own class carries its base-side duplicates
+    adj = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.ckey").alias("ckey"), F.col("b.ckey").alias("ckey_b"))
+        .distinct()
+    )
+    matches = (
+        adj.join(
+            classes.select(F.col("ckey").alias("ckey_b"), "base_cnt"),
+            "ckey_b",
+        )
+        .groupBy("ckey")
+        .agg(F.sum("base_cnt").cast("long").alias("n_base_matches"))
+    )
+    delta_docs = eligk.filter(F.col("doc_id") % 10 == 0)
+    return (
+        delta_docs.join(matches, "ckey")
+        .filter(F.col("n_base_matches") > 0)
+        .select("doc_id", "n_base_matches")
         .orderBy("doc_id")
     )
 

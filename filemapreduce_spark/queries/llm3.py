@@ -510,40 +510,116 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline; the matrix sums them as milli INTEGERS, so cell
     hashes are order-independent.
 
-    Scale: inherits the banded LSH shape (output-linear candidates);
-    the rollup adds one broadcast join to doc sources and a tiny
-    matrix agg.
-    """
-    from filemapreduce_spark.queries.llm import neardup_minhash_lsh
+    Scale (rewritten round 11): the matrix COUNTS doc pairs, so the
+    old shape enumerated the full doc-level pair set — Θ(class²) on a
+    duplicate-saturated corpus (2.43M pairs on the saturated sf0.1
+    fixture) for a |sources|²-bounded output. Now it aggregates the
+    content-collapsed class graph (_lsh_class_graph) with exact
+    combinatorics, never materializing a doc pair:
 
-    pairs = neardup_minhash_lsh(spark, sf_dir)
+    - cross-class: every member pair of a verified class pair (A, B)
+      shares A/B's class Jaccard, so cell (sa, sb) gains
+      m_A[sa]·m_B[sb] pairs of that value — one join of the verified
+      class edges against the per-(class, source) member counts;
+    - intra-class: identical docs have Jaccard exactly 1, so a class
+      clique contributes m_s·m_t pairs per source pair and
+      m·(m−1)/2 within one source — row-local combinatorics over the
+      same counts, ordered by a per-class source index so each
+      unordered pair counts once (NULL sources keep the engines'
+      least/greatest semantics by flowing through the same
+      expressions a doc pair would).
+    """
+    from filemapreduce_spark.queries.llm import _lsh_class_graph
+
+    doc_cls, classes, verified = _lsh_class_graph(spark, sf_dir)
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
-    j = (
-        pairs.join(
-            docs.select(
-                F.col("doc_id").alias("doc_a"),
+    # per-(class, source) member counts — the whole doc-level input
+    # compressed to |classes|×|sources| rows
+    cs = (
+        doc_cls.join(docs, "doc_id")
+        .groupBy("rep", "source")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    milli = F.round(F.col("jaccard") * 1000).cast("long")
+    cross = (
+        verified.withColumn("jm", milli)
+        .join(
+            cs.select(
+                F.col("rep").alias("rep_a"),
                 F.col("source").alias("src_a"),
+                F.col("m").alias("ma"),
             ),
-            "doc_a",
+            "rep_a",
         )
         .join(
-            docs.select(
-                F.col("doc_id").alias("doc_b"),
+            cs.select(
+                F.col("rep").alias("rep_b"),
                 F.col("source").alias("src_b"),
+                F.col("m").alias("mb"),
             ),
-            "doc_b",
+            "rep_b",
         )
-    )
-    return (
-        j.groupBy(
+        .select(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),
+            # DECIMAL(38,0) products: member counts at crawl scale
+            # put m_a*m_b (and ×1000 milli) past int64 (r10 exact-
+            # accumulator discipline); the final cells cast back to
+            # the oracle's BIGINT contract
+            (F.col("ma").cast("decimal(38,0)") * F.col("mb")).alias("n"),
+            (
+                F.col("ma").cast("decimal(38,0)")
+                * F.col("mb")
+                * F.col("jm")
+            ).alias("jm_sum"),
         )
+    )
+    # intra-class: deterministic per-class source index so each
+    # unordered source pair is emitted once (NULLS FIRST pins NULL
+    # sources to one side)
+    wsrc = Window.partitionBy("rep").orderBy(
+        F.col("source").asc_nulls_first()
+    )
+    csx = cs.withColumn("idx", F.row_number().over(wsrc))
+    ia, ib = csx.alias("ia"), csx.alias("ib")
+    intra = (
+        ia.join(
+            ib,
+            (F.col("ia.rep") == F.col("ib.rep"))
+            & (F.col("ia.idx") <= F.col("ib.idx")),
+        )
+        .select(
+            F.least("ia.source", "ib.source").alias("source_a"),
+            F.greatest("ia.source", "ib.source").alias("source_b"),
+            F.when(
+                F.col("ia.idx") < F.col("ib.idx"),
+                F.col("ia.m").cast("decimal(38,0)") * F.col("ib.m"),
+            )
+            .otherwise(
+                # m·(m−1)/2 exactly: halve the even factor in int64,
+                # widen the product (m·(m−1) overflows int64 at
+                # crawl-scale member counts)
+                F.when(
+                    F.col("ia.m") % 2 == 0,
+                    F.expr("ia.m div 2").cast("decimal(38,0)")
+                    * (F.col("ia.m") - 1),
+                ).otherwise(
+                    F.col("ia.m").cast("decimal(38,0)")
+                    * F.expr("(ia.m - 1) div 2")
+                ),
+            )
+            .alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        # identical docs: Jaccard exactly 1 -> 1000 milli per pair
+        .withColumn("jm_sum", F.col("n") * 1000)
+    )
+    return (
+        cross.unionByName(intra)
+        .groupBy("source_a", "source_b")
         .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(F.round(F.col("jaccard") * 1000).cast("long"))
-            .cast("long")
-            .alias("sum_jaccard_milli"),
+            F.sum("n").cast("long").alias("n_pairs"),
+            F.sum("jm_sum").cast("long").alias("sum_jaccard_milli"),
         )
         .orderBy("source_a", "source_b")
     )

@@ -120,9 +120,15 @@ def main() -> int:
             # anchors themselves and the 10% tail keep their own.
             # vec_id/label untouched: only the VALUE is duplicated,
             # which is what cosine/SemDeDup/IVF bucket on.
+            # hash() mixing, not bare (_rn * KNUTH) % m: a raw Knuth
+            # product preserves residues mod small m (KNUTH is odd,
+            # KNUTH % 5 == 1), so a modulus that shares a factor with
+            # a query's own doc_id % k split would alias — the r11
+            # incremental query's delta split (doc_id % 10) saw ONE
+            # payload for every saturated delta doc until this fix
             body = (
                 "SELECT b._vid AS vec_id,"
-                " CASE WHEN b._rn * {k} % 100 < {p} AND a.embedding"
+                " CASE WHEN hash(b._rn * {k}) % 100 < {p} AND a.embedding"
                 " IS NOT NULL THEN a.embedding ELSE b.embedding END"
                 " AS embedding, b.label"
                 " FROM (SELECT vec_id AS _vid, embedding, label,"
@@ -130,7 +136,7 @@ def main() -> int:
                 f"  FROM '{s}') b"
                 " LEFT JOIN (SELECT vec_id, embedding FROM"
                 f" '{s}' WHERE vec_id BETWEEN 1 AND {EMB_ANCHORS}) a"
-                f" ON a.vec_id = (b._rn * {KNUTH})"
+                f" ON a.vec_id = hash(b._rn * {KNUTH} + 7)"
                 f" % {EMB_ANCHORS} + 1"
             ).format(k=KNUTH, p=EMB_PCT)
             con.execute(
@@ -152,13 +158,16 @@ def main() -> int:
             continue
         sets = []
         for i, (c, (pct, rot)) in enumerate(sorted(repl.items())):
+            # hash() mixing (see the embeddings note above): bare
+            # Knuth products alias with doc_id % k splits for any k
+            # sharing a factor with len(rot) or 100
             pick = " ".join(
-                f"WHEN (_rn * {KNUTH} + {i * 7919 + 31})"
+                f"WHEN hash(_rn * {KNUTH} + {i * 7919 + 31})"
                 f" % {len(rot)} = {j} THEN {_lit(v)}"
                 for j, v in enumerate(rot)
             )
             sets.append(
-                f"CASE WHEN (_rn * {KNUTH} + {i * 7919})"
+                f"CASE WHEN hash(_rn * {KNUTH} + {i * 7919})"
                 f" % 100 < {pct} THEN (CASE {pick} END)"
                 f" ELSE {c} END AS {c}"
             )
