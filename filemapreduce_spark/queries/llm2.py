@@ -555,15 +555,25 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     no FP boundary can flip it.
 
     Scale shape: centroids broadcast (k×d integers); assignment is a
-    map-side fold; the self-join shuffles on cluster id only, and
-    cluster size — not corpus size — bounds the quadratic term. k is
-    DERIVED from the corpus size (N/64, clamped to [8, 1024] here) so
-    per-cluster size stays ~constant and the pair stage scales
-    linearly — with fixed k it re-quadraticized at 10× data
-    (measured: 2.5 s at sf0.1 vs ~0.3 s with scaled k). The single
-    driver-side scalar count to pick k is the same pattern as
+    map-side fold; the pair stage shuffles on cluster id only, and
+    since round 11 it runs over DISTINCT vector values — identical
+    embeddings collapse into value classes first (the exact-dedup-
+    before-semantic-dedup discipline production SemDeDup pipelines
+    apply), so a duplicate-saturated corpus (the r11 dup axis: 90% of
+    vectors are 5 values) contributes 5 class nodes to the pair
+    stage, not a Θ(class²) member self-join. Every member pair of a
+    class pair shares one cosine (same doubles op-for-op), so
+    per-member max-cos is a running window MAX over the class pairs
+    with rep below the member id — linear in members. k is DERIVED
+    from the corpus size (N/64, clamped to [8, 1024] here) so
+    per-cluster DISTINCT-content count stays ~constant and the class
+    pair stage scales linearly — with fixed k it re-quadraticized at
+    10× data (measured: 2.5 s at sf0.1 vs ~0.3 s with scaled k). The
+    single driver-side scalar count to pick k is the same pattern as
     k-means' n_nodes. North-star extension (reference surface ends at
     file map/reduce, /root/reference/jobs.go:9-20)."""
+    from pyspark.sql import Window
+
     sv = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -572,12 +582,20 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     k = max(8, min(1024, table_rowcount(spark, sf_dir, "embeddings") // 64))
+    # value-class key: digest of the quantized vector; NULL embeddings
+    # form their own class via the sentinel (they must keep their
+    # output row: cid NULL, max_sim -1 — the embnull axis)
+    vecs = sv.withColumn(
+        "vkey",
+        F.coalesce(F.md5(F.to_json(F.col("v"))), F.lit("__null_vec__")),
+    )
+    # compact member -> class map, persisted for the output join-back
+    vk = vecs.select("vec_id", "vkey").persist()
     sq = F.aggregate(
         F.zip_with("v", "v", lambda a, b: a * b),
         F.lit(0).cast("bigint"),
         lambda acc, d: acc + d,
     )
-    n2 = sv.withColumn("nrm2", sq)
     cent = sv.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -586,37 +604,41 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, d: acc + d,
     )
-    # group by the scalar vec_id only — v/nrm2 are constant within a
-    # group and ride along via any_value. Grouping BY the 64-element
-    # vector would hash the whole array as the shuffle key for every
-    # (vector, centroid) pair — N·k wide-row hashes for no information
+    # one row per distinct vector value: representative id, norm, and
+    # cluster assignment (the N·k distance fold now runs over
+    # DISTINCT values). Grouping is by the scalar digest, never the
+    # 64-element array. Persisted: both class-pair sides and the
+    # member expansion read it.
     assign = (
-        n2.crossJoin(F.broadcast(cent))
+        vecs.groupBy("vkey")
+        .agg(F.first("v").alias("v"), F.min("vec_id").alias("rep"))
+        .withColumn("nrm2", sq)
+        .crossJoin(F.broadcast(cent))
         .select(
-            "vec_id",
+            "vkey",
+            "rep",
             "v",
             "nrm2",
             (dist * 1024 + F.col("cid")).alias("key"),
         )
-        .groupBy("vec_id")
+        .groupBy("vkey")
         .agg(
             (F.min("key") % 1024).cast("long").alias("cid"),
+            F.any_value("rep").alias("rep"),
             F.any_value("v").alias("v"),
             F.any_value("nrm2").alias("nrm2"),
         )
-        # both sides of the within-cluster self-join read the
-        # assignment: persist so the N·k distance fold runs once
         .persist()
     )
     a = assign.select(
         F.col("cid").alias("cid_a"),
-        F.col("vec_id").alias("id_a"),
+        F.col("rep").alias("rep_a"),
         F.col("v").alias("v_a"),
         F.col("nrm2").alias("n_a"),
     )
     b = assign.select(
         F.col("cid").alias("cid_b"),
-        F.col("vec_id").alias("id_b"),
+        F.col("vkey").alias("grp"),
         F.col("v").alias("v_b"),
         F.col("nrm2").alias("n_b"),
     )
@@ -625,24 +647,47 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, d: acc + d,
     )
-    sim = (
-        a.join(
-            b,
-            (F.col("cid_a") == F.col("cid_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
+    # one cosine per ordered class pair (self-pair included: a
+    # non-representative member's own class provides its rep's
+    # cosine) — the quadratic term is DISTINCT contents per cluster
+    pair_rows = (
+        a.join(b, F.col("cid_a") == F.col("cid_b"))
         .select(
-            F.col("id_b").alias("vec_id"),
+            "grp",
+            F.col("rep_a").alias("key"),
+            F.lit(1).alias("typ"),
             (dot / (F.sqrt("n_a") * F.sqrt("n_b"))).alias("cos"),
         )
-        .groupBy("vec_id")
-        .agg(F.max("cos").alias("max_cos"))
+    )
+    member_rows = vk.select(
+        F.col("vkey").alias("grp"),
+        F.col("vec_id").alias("key"),
+        F.lit(0).alias("typ"),
+        F.lit(None).cast("double").alias("cos"),
+    )
+    # member b's max_cos = running MAX of class-pair cosines with
+    # rep_a < b: merge-sort the pair rows into the member stream and
+    # take the windowed running max. typ orders a pair row at key==b
+    # AFTER the member (strict a < b — a vec is never its own
+    # neighbor, and a rep has no earlier same-class member).
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("key", "typ")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sim = (
+        pair_rows.unionByName(member_rows)
+        .withColumn("max_cos", F.max("cos").over(w))
+        .filter(F.col("typ") == 0)
+        .select(F.col("key").alias("vec_id"), "grp", "max_cos")
     )
     micro = F.coalesce(
         F.round(F.col("max_cos") * 1000000).cast("long"), F.lit(-1)
     )
     return (
-        assign.join(sim, "vec_id", "left")
+        sim.join(
+            assign.select(F.col("vkey").alias("grp"), "cid"), "grp"
+        )
         .select(
             "vec_id",
             "cid",
