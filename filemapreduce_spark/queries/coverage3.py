@@ -149,17 +149,22 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributes are interchangeable), so the result stays deterministic.
 
     Scale shape: one shuffle on the order key; the per-order windows
-    (line_seq, sum of floors, remainder rank) run partition-local
-    after it. The cents×qty product runs in DECIMAL(38,0)/HUGEINT
-    (it overflows int64 for large money — r10 extreme axis); every
-    quotient is ≤ total_cents and stays BIGINT, with no floating
-    point anywhere.
+    (line_seq, total qty, sum of floors, remainder rank) all run
+    partition-local after it — lineitem is scanned ONCE (r11: the
+    per-order total is a frame-less window sum over the same
+    partitioning as line_seq, replacing a second fact scan + groupBy
+    exchange + a rebroadcast of the per-order totals, which at real
+    scale is one row per ORDER and not broadcastable). The cents×qty
+    product runs in DECIMAL(38,0)/HUGEINT (it overflows int64 for
+    large money — r10 extreme axis); every quotient is ≤ total_cents
+    and stays BIGINT, with no floating point anywhere.
     """
     # qty is integer-valued, so ordering by rounded qty is the same
     # total order the oracle's (l_linenumber, l_quantity) uses
     w_seq = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "qty"
     )
+    w_ord = Window.partitionBy("l_orderkey")
     # known quantities against a known order total only (see oracle)
     raw = (
         t(spark, sf_dir, "lineitem")
@@ -170,26 +175,22 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_quantity").cast("long").alias("qty"),
         )
     )
+    # line_seq and the per-order total share ONE shuffle: both windows
+    # are partitioned by l_orderkey, and the unordered-frame sum is
+    # satisfied by the sort the row_number window already established
     li = raw.select(
         "l_orderkey",
         F.row_number().over(w_seq).cast("long").alias("line_seq"),
         "qty",
-    )
-    # totals come from the UN-windowed scan (a sum doesn't need line
-    # sequencing), so the window stage runs once, not twice
+    ).withColumn("total_qty", F.sum("qty").over(w_ord))
+    # zero total quantity has no proportional basis (see oracle)
+    li = li.where(F.col("total_qty") != 0)
     tot = (
-        raw.groupBy("l_orderkey")
-        .agg(F.sum("qty").alias("total_qty"))
-        # zero total quantity has no proportional basis (see oracle)
-        .where(F.col("total_qty") != 0)
-        .join(
-            t(spark, sf_dir, "orders")
-            .where(F.col("o_totalprice").isNotNull())
-            .select(
-                F.col("o_orderkey").alias("l_orderkey"),
-                cents("o_totalprice").alias("total_cents"),
-            ),
-            "l_orderkey",
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            cents("o_totalprice").alias("total_cents"),
         )
     )
     base = li.join(tot, "l_orderkey").select(

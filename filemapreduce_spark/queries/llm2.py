@@ -582,15 +582,25 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     k = max(8, min(1024, table_rowcount(spark, sf_dir, "embeddings") // 64))
-    # value-class key: digest of the quantized vector; NULL embeddings
-    # form their own class via the sentinel (they must keep their
-    # output row: cid NULL, max_sim -1 — the embnull axis)
+    # value-class identity: the class MIN vec_id (rep), computed as a
+    # window min partitioned by the quantized vector itself — one
+    # shuffle gives every member its class in place (r11: replaces
+    # the md5(to_json) digest + groupBy collapse, which paid a JSON
+    # serialization per row plus two extra exchanges and a string
+    # class key downstream). NULL embeddings form one class (window
+    # partitioning groups NULLs together); they keep their output
+    # row: cid NULL, max_sim -1 — the embnull axis.
     vecs = sv.withColumn(
-        "vkey",
-        F.coalesce(F.md5(F.to_json(F.col("v"))), F.lit("__null_vec__")),
-    )
-    # compact member -> class map, persisted for the output join-back
-    vk = vecs.select("vec_id", "vkey").persist()
+        # xxhash64 prefix so the class-collapse shuffle sorts/groups
+        # on a cheap scalar first and only equal-hash rows compare
+        # the 64-element arrays; v stays in the key, so the class is
+        # still EXACT content equality (no digest-collision risk)
+        "h", F.xxhash64("v")
+    ).withColumn(
+        "rep", F.min("vec_id").over(Window.partitionBy("h", "v"))
+    ).persist()
+    # compact member -> class map for the output expansion
+    vk = vecs.select("vec_id", F.col("rep").alias("vkey"))
     sq = F.aggregate(
         F.zip_with("v", "v", lambda a, b: a * b),
         F.lit(0).cast("bigint"),
@@ -604,30 +614,26 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, d: acc + d,
     )
-    # one row per distinct vector value: representative id, norm, and
-    # cluster assignment (the N·k distance fold now runs over
-    # DISTINCT values). Grouping is by the scalar digest, never the
-    # 64-element array. Persisted: both class-pair sides and the
-    # member expansion read it.
-    assign = (
-        vecs.groupBy("vkey")
-        .agg(F.first("v").alias("v"), F.min("vec_id").alias("rep"))
-        .withColumn("nrm2", sq)
+    reps = vecs.where(F.col("vec_id") == F.col("rep"))
+    # the N_class·k distance fold emits only (rep, key) — 16-byte
+    # rows — into the min-aggregation; the arrays are READ during the
+    # fold but never shuffled (r11: the former form re-aggregated by
+    # a string digest with the arrays riding the exchange via
+    # any_value — ~500 bytes/row over N·k rows; guide §2.3)
+    keys = (
+        reps.select("rep", "v")
         .crossJoin(F.broadcast(cent))
-        .select(
-            "vkey",
-            "rep",
-            "v",
-            "nrm2",
-            (dist * 1024 + F.col("cid")).alias("key"),
-        )
-        .groupBy("vkey")
-        .agg(
-            (F.min("key") % 1024).cast("long").alias("cid"),
-            F.any_value("rep").alias("rep"),
-            F.any_value("v").alias("v"),
-            F.any_value("nrm2").alias("nrm2"),
-        )
+        .select("rep", (dist * 1024 + F.col("cid")).alias("key"))
+        .groupBy("rep")
+        .agg((F.min("key") % 1024).cast("long").alias("cid"))
+    )
+    # one row per distinct vector value (the class reps), each with
+    # norm and cluster assignment; persisted: both class-pair sides
+    # read it. The inner join reproduces the empty-centroid edge (no
+    # vec_id < k -> empty assignment, as the oracle's empty CTE).
+    assign = (
+        reps.select("rep", "v", sq.alias("nrm2"))
+        .join(keys, "rep")
         .persist()
     )
     a = assign.select(
@@ -638,7 +644,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = assign.select(
         F.col("cid").alias("cid_b"),
-        F.col("vkey").alias("grp"),
+        F.col("rep").alias("grp"),
         F.col("v").alias("v_b"),
         F.col("nrm2").alias("n_b"),
     )
@@ -686,7 +692,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sim.join(
-            assign.select(F.col("vkey").alias("grp"), "cid"), "grp"
+            assign.select(F.col("rep").alias("grp"), "cid"), "grp"
         )
         .select(
             "vec_id",
