@@ -1124,8 +1124,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ch0_min long, ch0_max long, ch0_sum long, ch1_sum long"
     )
     return (
-        d.mapInPandas(synth_batches, schema="doc_id long, payload binary")
-        .mapInPandas(decode_batches, schema=schema)
+        d.mapInPandas(
+            lambda batches: decode_batches(synth_batches(batches)),
+            schema=schema,
+        )
         .orderBy("doc_id")
     )
 

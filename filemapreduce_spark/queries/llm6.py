@@ -759,38 +759,74 @@ def matryoshka_truncation_recall(
     ablation. Cosines are 6dp-rounded index-order folds (both engines
     identical); ranks tie-break on neighbor id.
 
-    Scale shape: the fixed {NQ}-query set broadcasts against one
-    corpus scan per variant (the registry's brute-force path — at
-    scale the IVF/SRP candidate generators replace it, same recall
-    contract); per-query top-{K} via rank window partitioned by
-    query_id; the intersection is a keyed self-join of two {NQ}·{K}-
-    row sets — config-bounded.
+    Scale shape: the fixed {NQ}-query set broadcasts against ONE
+    corpus scan computing BOTH cosines per candidate pair (r11: the
+    two cosine_topk passes each scanned the corpus, built their own
+    broadcast and ranked separately, then re-joined the two top-{K}
+    sets — one scan + one broadcast join now feeds both rank windows
+    and the intersection becomes a per-row rank conjunction, no
+    join). The brute-force pair stream is the registry's audit path —
+    at scale the IVF/SRP candidate generators replace it, same recall
+    contract.
     """
-    from filemapreduce_spark.operators.vectors import cosine_topk
+    from filemapreduce_spark.operators.vectors import dot, norm, to_double
+    from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < _MRL_NQ)
-    full = cosine_topk(emb, queries, k=_MRL_K).select(
-        "query_id", "neighbor_id"
+    # both-resolution vectors + norms computed once per ROW per side
+    prep = lambda df, pfx: df.select(  # noqa: E731
+        F.col("vec_id").alias(f"{pfx}id"),
+        to_double(F.col("embedding")).alias(f"{pfx}v"),
+    ).select(
+        f"{pfx}id",
+        f"{pfx}v",
+        F.slice(f"{pfx}v", 1, _MRL_DIM).alias(f"{pfx}t"),
+        norm(F.col(f"{pfx}v")).alias(f"{pfx}n"),
+        norm(F.slice(f"{pfx}v", 1, _MRL_DIM)).alias(f"{pfx}tn"),
     )
-    tr = lambda df: df.select(  # noqa: E731
-        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    q = prep(emb.where(F.col("vec_id") < _MRL_NQ), "q_")
+    c = prep(emb, "c_")
+    scored = c.join(
+        F.broadcast(q), F.col("q_id") != F.col("c_id")
+    ).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("q_v"), F.col("c_v"))
+            / (F.col("q_n") * F.col("c_n")),
+            6,
+        ).alias("cos_full"),
+        F.round(
+            dot(F.col("q_t"), F.col("c_t"))
+            / (F.col("q_tn") * F.col("c_tn")),
+            6,
+        ).alias("cos_tr"),
     )
-    trunc = cosine_topk(tr(emb), tr(queries), k=_MRL_K).select(
-        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id").asc()
+    )
+    w_tr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_tr").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(w_full).alias("rk_full"),
+        F.row_number().over(w_tr).alias("rk_tr"),
     )
     return (
-        full.join(
-            trunc,
-            (F.col("query_id") == F.col("tq"))
-            & (F.col("neighbor_id") == F.col("tn")),
-            "left",
-        )
+        ranked.filter(F.col("rk_full") <= _MRL_K)
         .groupBy("query_id")
         .agg(
-            F.count("tn").cast("long").alias("n_hits"),
-            F.expr(f"CAST((1000 * count(tn)) div {_MRL_K} AS BIGINT)")
-            .alias("recall_milli"),
+            F.sum(F.when(F.col("rk_tr") <= _MRL_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"CAST((1000 * n_hits) div {_MRL_K} AS BIGINT)").alias(
+                "recall_milli"
+            ),
         )
         .orderBy("query_id")
     )

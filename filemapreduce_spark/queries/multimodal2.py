@@ -88,10 +88,16 @@ def audio_frame_energy_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sample from the shared recurrence, so a parser that
     misreads channel interleave or frame boundaries fails the hash.
 
-    Scale shape: synth/decode/energy are row-local Arrow stages (the
-    per-doc top-2 selection happens inside the decode batch — nothing
-    but finalist rows leave Python); the only shuffle is the
-    presentation sort.
+    Scale shape: synth/decode/energy run as ONE row-local Arrow stage
+    (the per-doc top-2 selection happens inside the decode batch —
+    nothing but finalist rows leave Python); the only shuffle is the
+    presentation sort. r11: the synth and decode stages compose
+    INSIDE one ``mapInPandas`` — previously each was its own
+    MapInPandas node, so every WAV payload crossed the JVM↔Python
+    boundary twice (guide §4.1: the bytes a function only hands to
+    the next Python function should never transit the JVM). A real
+    pipeline whose container bytes already sit in a column starts at
+    the decode member of the composition.
     """
     import numpy as np
     import pandas as pd
@@ -137,12 +143,14 @@ def audio_frame_energy_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["rk"].append(rk)
             yield pd.DataFrame(out)
 
+    def synth_then_energy(batches):
+        yield from frame_energy(synth(batches))
+
     schema = (
         "doc_id long, frame_idx long, n_samples long, energy long, rk long"
     )
     return (
-        d.mapInPandas(synth, schema="doc_id long, payload binary")
-        .mapInPandas(frame_energy, schema=schema)
+        d.mapInPandas(synth_then_energy, schema=schema)
         .orderBy("doc_id", "rk")
     )
 
@@ -249,9 +257,12 @@ def image_decode_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. The DuckDB oracle re-derives every pixel and pooled block
     independently.
 
-    Scale shape: synth/decode/pool are row-local Arrow stages — no
-    shuffle before the presentation sort; image bytes never leave
-    their partition. A real JPEG/PNG path swaps the parser body for
+    Scale shape: synth/decode/pool compose into ONE row-local Arrow
+    stage — no shuffle before the presentation sort; image bytes
+    never leave their partition, and (r11) never round-trip through
+    the JVM between the synth and decode members (they used to be two
+    MapInPandas nodes, shipping every PPM payload across the Python
+    boundary twice). A real JPEG/PNG path swaps the parser body for
     Pillow inside the same ``mapInPandas`` contract.
     """
     import numpy as np
@@ -321,13 +332,15 @@ def image_decode_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["down_checksum"].append(int((pooled * weight).sum()))
             yield pd.DataFrame(out)
 
+    def synth_then_pool(batches):
+        yield from decode_pool(synth(batches))
+
     schema = (
         "doc_id long, width long, height long, r_sum long, g_sum long, "
         "b_sum long, down_checksum long"
     )
     return (
-        d.mapInPandas(synth, schema="doc_id long, payload binary")
-        .mapInPandas(decode_pool, schema=schema)
+        d.mapInPandas(synth_then_pool, schema=schema)
         .orderBy("doc_id")
     )
 
@@ -423,9 +436,9 @@ def image_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        d.mapInPandas(synth, schema="doc_id long, payload binary")
-        .mapInPandas(
-            hist_partial, schema="channel long, bin long, n_pixels long"
+        d.mapInPandas(
+            lambda batches: hist_partial(synth(batches)),
+            schema="channel long, bin long, n_pixels long",
         )
         .groupBy("channel", "bin")
         .agg(F.sum("n_pixels").cast("long").alias("n_pixels"))
@@ -511,9 +524,8 @@ def audio_decimate_2to1(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        d.mapInPandas(synth, schema="doc_id long, payload binary")
-        .mapInPandas(
-            decimate,
+        d.mapInPandas(
+            lambda batches: decimate(synth(batches)),
             schema="doc_id long, n_out long, checksum long, peak long",
         )
         .orderBy("doc_id")
@@ -705,9 +717,9 @@ def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     sig = (
-        d.mapInPandas(synth, schema="doc_id long, payload binary")
-        .mapInPandas(
-            dhash, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+        d.mapInPandas(
+            lambda batches: dhash(synth(batches)),
+            schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
         )
         .persist()  # read by the band explode AND both verify sides
     )
@@ -922,9 +934,8 @@ def audio_neardup_energyprint(
             yield pd.DataFrame(out)
 
     sig = (
-        d.mapInPandas(synth, schema="doc_id long, payload binary")
-        .mapInPandas(
-            fingerprint,
+        d.mapInPandas(
+            lambda batches: fingerprint(synth(batches)),
             schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
         )
         .persist()  # read by the band explode AND both verify sides
