@@ -89,23 +89,30 @@ def ks_test_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     all windows share one pair-partitioned exchange, and the final
     top-1 is WindowGroupLimit-pruned.
     """
-    # ECDF over observed values (see oracle note)
-    ev = (
+    # ECDF over observed values (see oracle note). r11: raw rows
+    # reduce to the (event_type, value) grid FIRST — one scan, one
+    # map-side-combined agg — and the baseline's K-way pair explode
+    # plus the a/b union run over that compact grid, not over raw
+    # rows (the old form scanned events twice and exploded every
+    # baseline ROW K ways before aggregating).
+    g0 = (
         t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
         .select("event_type", cents("value").alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    a = ev.where(F.col("event_type") != _BASE).select(
+    a = g0.where(F.col("event_type") != _BASE).select(
         F.col("event_type").alias("pair"),
         "c",
-        F.lit(1).alias("ca"),
-        F.lit(0).alias("cb"),
+        F.col("n").alias("ca"),
+        F.lit(0).cast("long").alias("cb"),
     )
-    b = ev.where(F.col("event_type") == _BASE).select(
+    b = g0.where(F.col("event_type") == _BASE).select(
         F.explode(F.array(*[F.lit(x) for x in _KS_TYPES])).alias("pair"),
         "c",
-        F.lit(0).alias("ca"),
-        F.lit(1).alias("cb"),
+        F.lit(0).cast("long").alias("ca"),
+        F.col("n").alias("cb"),
     )
     grid = (
         a.unionByName(b)

@@ -345,6 +345,12 @@ def winnowing_shared_fingerprints(
     fp = (
         d.select("doc_id", hs.alias("hs"))
         .select("doc_id", F.explode(wmins).alias("f"))
+        # r11: the posting self-join reads fp THREE times (side a,
+        # side b, and the df filter); without persist each reference
+        # re-ran the whole KR-hash + window-minima extraction — the
+        # corpus pass — once per reference. One extraction, cached
+        # postings (~2/(w+1) of positions) for the joins.
+        .persist()
     )
     kept = fp.groupBy("f").agg(F.count("*").alias("df_f")).filter(
         F.col("df_f") <= _WIN_DFCAP
