@@ -102,20 +102,38 @@ def ks_test_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "c")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    a = g0.where(F.col("event_type") != _BASE).select(
-        F.col("event_type").alias("pair"),
-        "c",
-        F.col("n").alias("ca"),
-        F.lit(0).cast("long").alias("cb"),
+    # both sides emitted from ONE pass over the grid: a baseline row
+    # explodes into its K (pair, 0, n) contributions, every other row
+    # is its own single (type, n, 0) contribution — no union of two
+    # branches (a branched DataFrame re-executes the scan+agg per
+    # branch; this stays one subtree)
+    base_side = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("pair"),
+                F.lit(0).cast("long").alias("ca"),
+                F.col("n").alias("cb"),
+            )
+            for x in _KS_TYPES
+        ]
     )
-    b = g0.where(F.col("event_type") == _BASE).select(
-        F.explode(F.array(*[F.lit(x) for x in _KS_TYPES])).alias("pair"),
-        "c",
-        F.lit(0).cast("long").alias("ca"),
-        F.col("n").alias("cb"),
+    test_side = F.array(
+        F.struct(
+            F.col("event_type").alias("pair"),
+            F.col("n").alias("ca"),
+            F.lit(0).cast("long").alias("cb"),
+        )
     )
     grid = (
-        a.unionByName(b)
+        g0.select(
+            "c",
+            F.explode(
+                F.when(F.col("event_type") == _BASE, base_side).otherwise(
+                    test_side
+                )
+            ).alias("s"),
+        )
+        .select("c", "s.pair", "s.ca", "s.cb")
         .groupBy("pair", "c")
         .agg(
             F.sum("ca").cast("long").alias("ca"),

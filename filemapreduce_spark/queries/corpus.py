@@ -145,6 +145,12 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", words("text").alias("ws")
     )
+    # r11: persisted — the unigram table, the bigram table and the
+    # scoring pass all read this stream, and without the cache each
+    # re-ran the tokenize+posexplode pass over the corpus (weighting
+    # a compact count grid instead would change the double-sum
+    # grouping of avg_logprob, so the occurrence stream is cached
+    # as-is; arithmetic unchanged)
     toks = d.select(
         "doc_id",
         "lang",
@@ -155,7 +161,7 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "w",
         F.get("ws", F.col("i") + 1).alias("nxt"),
-    )
+    ).persist()
     uni = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cw"))
     bi = (
         toks.where(F.col("nxt").isNotNull())

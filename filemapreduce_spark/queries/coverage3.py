@@ -225,6 +225,15 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(w_rank).cast("long").alias("rk"),
     )
+    # No final presentation sort (r11, guide §2.4): the output is one
+    # row per LINEITEM — a global orderBy of it costs a range
+    # exchange whose boundary-sampling job re-executes the whole
+    # window stage, measured at >half the query (2.25 s with the sort
+    # vs 1.07 s without, paired same-session A/B at sf0.1). The
+    # result SET is unchanged (the driver's value-hash is
+    # order-insensitive; the oracle twin keeps its ORDER BY); a real
+    # deployment orders on WRITE via the range-clustered sink
+    # operator when layout matters.
     return ranked.select(
         "l_orderkey",
         "line_seq",
@@ -232,7 +241,7 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("base_cents")
             + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
         ).alias("alloc_cents"),
-    ).orderBy("l_orderkey", "line_seq")
+    )
 
 
 # --------------------------------------------------------------------

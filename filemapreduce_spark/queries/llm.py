@@ -1256,14 +1256,19 @@ def _lsh_class_graph(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("ws")
     )
+    # persisted at THIS level (r11): eligk and classes both derive
+    # from elig, and with the persist one step further down each
+    # branch re-ran the words→shingles→digest pass over the corpus —
+    # two tokenization passes for one result. Caching the shingled
+    # corpus once (MEMORY_AND_DISK, the materialized-tokenization
+    # intermediate production dedup pipelines write anyway) makes it
+    # one pass; both consumers read the cache.
     elig = d.filter(F.size("ws") >= 3).select(
         "doc_id",
         word_shingles(F.col("ws"), 3).alias("sh"),
-    ).withColumn("ckey", F.md5(F.to_json(F.col("sh"))))
-    # compact doc -> content-class map, persisted for the doc-level
-    # join-back (32-char digest per doc; without the cache every
-    # action re-shingles the corpus for this branch)
-    eligk = elig.select("doc_id", "ckey").persist()
+    ).withColumn("ckey", F.md5(F.to_json(F.col("sh")))).persist()
+    # compact doc -> content-class map for the doc-level join-back
+    eligk = elig.select("doc_id", "ckey")
     # the collapse: one row per distinct content, rep = min doc_id,
     # minhash signature computed ONCE here. first("sh") is
     # deterministic — every sh in a ckey group is the same array.
@@ -1702,8 +1707,16 @@ def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = t(spark, sf_dir, "documents").agg(
         F.count("*").alias("n_docs")
     )
-    tf = d.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = d.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # r11: df derives from the tf grid (one row per (doc, word), so
+    # a plain count per word IS the document frequency) — one
+    # tokenization pass instead of one per aggregate, persisted for
+    # both consumers
+    tf = (
+        d.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
+    )
+    df = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
     scored = (
         tf.join(df, "word")
         .crossJoin(F.broadcast(n_docs))
@@ -1865,41 +1878,53 @@ def repetition_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction — the standard filters for boilerplate/spam in LLM
     corpus curation (high repetition → drop).
 
-    Scale shape: explode + two grouped aggs, both keyed by doc_id —
-    the second agg consumes the first's output partitioning, so the
-    corpus-size shuffle happens once per signal family; fractions are
-    one double division rounded at the end (hash-stable).
+    Scale shape (r11): ONE tokenization pass — words and bigrams
+    explode together as tagged tokens, reduce to per-doc per-token
+    counts (map-side combined), and both signal families fall out of
+    one doc-keyed re-aggregation with conditional sums; the old form
+    tokenized the corpus once per family and joined the two stat
+    branches. Fractions are one double division rounded at the end
+    (hash-stable).
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("ws")
     )
-    wc = (
-        d.select("doc_id", F.explode("ws").alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    pd_stats = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_cnt"),
-    )
-    bigram = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+    bigram = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = F.concat(
+        F.transform(
+            "ws", lambda w: F.struct(F.lit(0).alias("tag"), w.alias("tok"))
+        ),
+        F.transform(
+            bigram,
+            lambda g: F.struct(F.lit(1).alias("tag"), g.alias("tok")),
         ),
     )
-    bgs = (
-        d.filter(F.size("ws") >= 2)
-        .select("doc_id", F.explode(bigram).alias("g"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.countDistinct("g").alias("n_distinct_bigrams"),
-        )
+    tc = (
+        d.select("doc_id", F.explode(tagged).alias("t"))
+        .groupBy("doc_id", "t.tag", "t.tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_w = F.col("tag") == 0
+    is_b = F.col("tag") == 1
+    stats = tc.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+        F.count(F.when(is_w, 1)).alias("n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("top_cnt"),
+        F.sum(F.when(is_b, F.col("c"))).alias("n_bigrams"),
+        F.count(F.when(is_b, 1)).alias("n_distinct_bigrams"),
     )
     return (
-        pd_stats.join(bgs, "doc_id")
+        # a doc below the bigram floor had no row on the bigram side
+        # of the former inner join — same membership here
+        stats.where(F.col("n_bigrams").isNotNull())
         .select(
             "doc_id",
             "n_words",
@@ -2104,19 +2129,30 @@ def dup_ngram_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice("ws", i, 5), " "),
         )
     )
-    g = d.filter(F.size("ws") >= 5).select(
-        "doc_id", "source", F.explode(gram5).alias("ng")
+    # r11: reduce the gram stream to the compact (ng, source, c) grid
+    # once (map-side combined, persisted) — the global-frequency side
+    # and the per-source rollup both read the cache instead of each
+    # re-running the 5-gram extraction; the frequency join moves grid
+    # rows, not raw gram occurrences
+    gsrc = (
+        d.filter(F.size("ws") >= 5)
+        .select("source", F.explode(gram5).alias("ng"))
+        .groupBy("ng", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    cnt = g.groupBy("ng").agg(F.count(F.lit(1)).alias("n_docs"))
-    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    cnt = gsrc.groupBy("ng").agg(F.sum("c").alias("n_docs"))
+    shared_c = F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0)
     return (
-        g.join(cnt, "ng")
+        gsrc.join(cnt, "ng")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(shared).alias("n_shared"),
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(shared_c).cast("long").alias("n_shared"),
             F.round(
-                F.sum(shared).cast("double") / F.count(F.lit(1)), 6
+                F.sum(shared_c).cast("double")
+                / F.sum("c").cast("double"),
+                6,
             ).alias("shared_frac"),
         )
         .orderBy("source")

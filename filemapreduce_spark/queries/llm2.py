@@ -893,8 +893,17 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", words(F.col("text")).alias("ws")
     )
-    tok = d.select("doc_id", F.explode("ws").alias("w"))
-    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # r11: the vocab counts and the per-doc scoring each re-ran the
+    # tokenize+explode pass — reduce once to the compact per-doc term
+    # grid (map-side combined), persist it, and derive both from the
+    # cache; a token's surprisal just weights by its in-doc count
+    tok = (
+        d.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    counts = tok.groupBy("w").agg(F.sum("tf").alias("c"))
     total = counts.agg(F.sum("c").alias("n"))
     surprisal_micro = (
         F.round((F.log("n") - F.log("c")) * 1000000.0).cast("long")
@@ -904,8 +913,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(surprisal_micro).cast("long").alias("sum_micro"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(surprisal_micro * F.col("tf")).cast("long").alias(
+                "sum_micro"
+            ),
         )
     )
     w = Window.partitionBy("lang").orderBy(

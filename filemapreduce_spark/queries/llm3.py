@@ -254,18 +254,27 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(words(F.col("text"))).alias("tok")
     )
+    # r11: the vocab build and the coverage join each re-ran the
+    # tokenize+explode pass — reduce once to the (lang, tok, c) grid
+    # (map-side combined, persisted); occurrence counts become count
+    # weights on the grid
+    grid = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("n"))
+        grid.groupBy("tok")
+        .agg(F.sum("c").alias("n"))
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(_VOCAB_K)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
-    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    joined = grid.join(F.broadcast(vocab), "tok", "left")
     covered = F.sum(
-        F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0)
+        F.when(F.col("in_vocab").isNotNull(), F.col("c")).otherwise(0)
     ).cast("long")
-    total = F.count("*")
+    total = F.sum("c").cast("long")
     return (
         joined.groupBy("lang")
         .agg(
@@ -278,10 +287,12 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("distinct_oov_terms"),
             F.round(
                 1000.0
-                * (F.count("*") - F.sum(
-                    F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0)
+                * (F.sum("c") - F.sum(
+                    F.when(
+                        F.col("in_vocab").isNotNull(), F.col("c")
+                    ).otherwise(0)
                 ))
-                / F.count("*")
+                / F.sum("c")
             )
             .cast("long")
             .alias("oov_rate_milli"),
@@ -701,8 +712,17 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ck"),
         F.explode(words(F.col("text"))).alias("tok"),
     )
-    per_ck = toks.groupBy("ck").agg(F.count("*").alias("n_toks"))
-    first_ck = toks.groupBy("tok").agg(F.min("ck").alias("ck"))
+    # r11: both consumers (tokens per checkpoint, first checkpoint
+    # per token) used to re-run the tokenize+explode pass — reduce to
+    # the compact (ck, tok, n) grid once (map-side combined), persist
+    # it, and derive both aggregates from the cached grid
+    grid = (
+        toks.groupBy("ck", "tok").agg(F.count("*").alias("n")).persist()
+    )
+    per_ck = grid.groupBy("ck").agg(
+        F.sum("n").cast("long").alias("n_toks")
+    )
+    first_ck = grid.groupBy("tok").agg(F.min("ck").alias("ck"))
     new_vocab = first_ck.groupBy("ck").agg(F.count("*").alias("n_new"))
     wcum = Window.orderBy("ck").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
