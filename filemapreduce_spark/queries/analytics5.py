@@ -97,7 +97,12 @@ def ks_test_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # baseline ROW K ways before aggregating).
     g0 = (
         t(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        # a NULL event_type is neither a test series nor the baseline
+        # (the former two-branch form dropped it on both sides via
+        # NULL != / == semantics — keep that membership exactly)
+        .where(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
         .select("event_type", cents("value").alias("c"))
         .groupBy("event_type", "c")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -664,7 +664,18 @@ def canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
     )
-    urls = e.select("event_type", url.alias("url"))
+    # r11: collapse to DISTINCT (event_type, url) first — curl is a
+    # pure function of url, so the parse_url×3 + regex
+    # canonicalization runs once per distinct URL instead of once per
+    # event row, the raw-distinct count becomes a plain grid-row
+    # count (no distinct-expand), and only ONE count_distinct (curl)
+    # survives to the final agg (guide §2.3: aggregate before the
+    # expensive per-row compute).
+    grid = (
+        e.select("event_type", url.alias("url"))
+        .groupBy("event_type", "url")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     v = F.parse_url("url", F.lit("QUERY"), F.lit("v"))
     curl = F.concat(
         F.lit("https://"),
@@ -676,19 +687,18 @@ def canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             v.isNotNull() & (v != ""), F.concat(F.lit("?v="), v)
         ).otherwise(F.lit("")),
     )
-    canon = urls.select("event_type", "url", curl.alias("curl"))
-    nraw = F.count_distinct("url")
-    ncan = F.count_distinct("curl")
+    canon = grid.select("event_type", "url", "n", curl.alias("curl"))
     return (
         canon.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_urls"),
-            nraw.alias("n_raw_distinct"),
-            ncan.alias("n_canon_distinct"),
+            F.sum("n").cast("long").alias("n_urls"),
+            # COUNT(url) over the distinct grid == COUNT(DISTINCT url)
+            # (one row per URL; NULL urls excluded by both forms)
+            F.count("url").cast("long").alias("n_raw_distinct"),
+            F.count_distinct("curl").alias("n_canon_distinct"),
             F.expr(
-                "CAST((1000 * (count(DISTINCT url)"
-                " - count(DISTINCT curl)))"
-                " div count(DISTINCT url) AS BIGINT)"
+                "CAST((1000 * (count(url) - count(DISTINCT curl)))"
+                " div count(url) AS BIGINT)"
             ).alias("collapse_milli"),
         )
         .orderBy("event_type")
