@@ -546,10 +546,14 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     # per-(class, source) member counts — the whole doc-level input
     # compressed to |classes|×|sources| rows
+    # persisted (r11): three consumers (both cross-pair sides and the
+    # intra-class index) re-ran the doc join + count without the
+    # cache; the table is |classes|×|sources| rows — tiny at any SF
     cs = (
         doc_cls.join(docs, "doc_id")
         .groupBy("rep", "source")
         .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
     )
     milli = F.round(F.col("jaccard") * 1000).cast("long")
     cross = (

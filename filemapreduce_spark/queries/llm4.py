@@ -95,9 +95,12 @@ def heavy_hitters_exact_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncertified top row raises a named error at execution rather than
     silently diverging from the full-aggregation oracle.
     """
+    # r11: persisted — three consumers (the MG candidate pass, the
+    # exact recount join, the total fold) each re-ran the tokenize +
+    # explode pass without the cache
     toks = t(spark, sf_dir, "documents").select(
         F.explode(words("text")).alias("tok")
-    )
+    ).persist()
 
     def mg_partition(batches):
         import numpy as np

@@ -180,11 +180,11 @@ def main():
         " all persisted, corpus scanned ONCE). Collapsing further"
         " would mean skipping exact verification (that's the minhash"
         " operators' trade, offered separately).",
-        "- `ccnet_perplexity_buckets` / `heaps_law_curve` (10 exch):"
-        " two-pass over the corpus BY CHOICE — the shared intermediate"
-        " is the exploded token stream, and caching tokens×corpus"
-        " exceeds the input; a re-scan is the better 100 TB trade"
-        " (BASELINE.md round-7). Do not persist the token explode.",
+        "- `ccnet_perplexity_buckets` / `heaps_law_curve`: since r11"
+        " both consumers share one COMPACT persisted grid (per-doc"
+        " term counts / per-checkpoint token counts) — far smaller"
+        " than the raw token explode the round-7 note rightly said"
+        " never to cache; one tokenization pass, grid-sized memory.",
         "- `embedding_power_iteration` (19 exch) / `kcore_peeling_rounds`"
         " (14): unrolled iterations over summary-bounded state (d²-row"
         " gram table; persisted edge base) — exchanges scale with"
