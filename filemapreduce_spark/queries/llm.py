@@ -1446,6 +1446,10 @@ def similarity_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double(F.col("embedding")).alias("_v")
+    ).withColumn(
+        # r11: corpus-side norm once per VECTOR — the candidate pass
+        # used to fold norm(_v) per (query, candidate) pair
+        "_n", norm(F.col("_v"))
     ).persist()  # three consumers: centroid sums, query slice, cells
     # exact element-wise centroid: per (label, pos) integer-sum of
     # round(x*1e6) → one deterministic double per component. The
@@ -1486,7 +1490,7 @@ def similarity_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ccos", qcos)
         .withColumn("crnk", F.row_number().over(wq))
         .filter(F.col("crnk") <= 2)
-        .select("query_id", "label", "_qv")
+        .select("query_id", "label", "_qv", norm(F.col("_qv")).alias("_qn"))
     )
     cand = (
         emb.join(F.broadcast(probe), "label")
@@ -1497,7 +1501,7 @@ def similarity_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("cell"),
             F.round(
                 dot(F.col("_qv"), F.col("_v"))
-                / (norm(F.col("_qv")) * norm(F.col("_v"))),
+                / (F.col("_qn") * F.col("_n")),
                 6,
             ).alias("cos"),
         )

@@ -173,14 +173,19 @@ def srp_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # r11: norms computed once per VECTOR on each side — the old form
+    # folded norm(_va) and norm(_vb) inside the pair projection, i.e.
+    # two 64-element folds per CANDIDATE PAIR; dot/(na·nb) is the
+    # identical double arithmetic (sqrt of the same self-dot), so
+    # rounded cosines are unchanged
     va = t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id_a"),
         to_double(F.col("embedding")).alias("_va"),
-    )
+    ).withColumn("_na", norm(F.col("_va")))
     vb = t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id_b"),
         to_double(F.col("embedding")).alias("_vb"),
-    )
+    ).withColumn("_nb", norm(F.col("_vb")))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -189,7 +194,7 @@ def srp_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(
                 dot(F.col("_va"), F.col("_vb"))
-                / (norm(F.col("_va")) * norm(F.col("_vb"))),
+                / (F.col("_na") * F.col("_nb")),
                 6,
             ).alias("cos"),
         )

@@ -122,13 +122,15 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
         to_double(F.col("embedding")).alias("_qv")
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
+    # r11: corpus-side norm once per vector (the rel pass used to
+    # fold BOTH norms per (query, corpus) row); same double ops
     corpus = emb.filter(F.col("vec_id") != _MMR_QUERY_ID).select(
         F.col("vec_id").alias("cid"), to_double(F.col("embedding")).alias("_cv")
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
     rel = F.round(
         dot(F.col("_qv"), F.col("_cv"))
-        / (norm(F.col("_qv")) * norm(F.col("_cv"))),
+        / (F.col("_qn") * F.col("_cn")),
         6,
     )
     # candidate set: config-bounded (N rows) and referenced by every

@@ -245,16 +245,18 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     once |queries|×|corpus| outgrows one pass.
     """
     emb = t(spark, sf_dir, "embeddings")
+    # r11: norms once per vector per side — the scoring used to fold
+    # both norms per (query, candidate) pair; identical double ops
     q = emb.where(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         to_double(F.col("embedding")).alias("qa"),
-    )
+    ).withColumn("qn", norm(F.col("qa")))
     c = emb.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("clabel"),
         to_double(F.col("embedding")).alias("cb"),
-    )
+    ).withColumn("cn", norm(F.col("cb")))
     scored = (
         c.join(F.broadcast(q), F.col("qlabel") != F.col("clabel"))
         .select(
@@ -262,7 +264,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_id",
             F.round(
                 dot(F.col("qa"), F.col("cb"))
-                / (norm(F.col("qa")) * norm(F.col("cb"))),
+                / (F.col("qn") * F.col("cn")),
                 6,
             ).alias("cos"),
         )
