@@ -670,13 +670,16 @@ def bootstrap_ci_daily_revenue(
     the bootstrap costs {B}× a small aggregate, not {B}× the scan.
     """
     o = t(spark, sf_dir, "orders")
+    # r11: persisted — the replicate explosion and the point estimate
+    # both read the day-grain table; without the cache each re-ran
+    # the orders scan + day aggregation (the table is #days rows)
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("rev")
-    )
+    ).persist()
     reps = daily.crossJoin(
         spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
     ).withColumn(

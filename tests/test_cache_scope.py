@@ -21,11 +21,26 @@ def _cache_manager_empty(spark) -> bool:
     return spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def _drop_stray_persistent_rdds(spark):
+    """clearCache() empties the CacheManager but NOT RDD-level
+    persists — eager localCheckpoint()s from other tests' queries
+    (connected components, k-means, MMR) linger until the JVM GCs
+    their DataFrames, which is timing-dependent and can leave this
+    session with persistent RDDs no scope ever tracked. Drop them so
+    the ==0 assertions below measure the SCOPE's behavior, not
+    another test's garbage-collection schedule."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist()
+
+
 @pytest.fixture(autouse=True)
 def _clean_slate(spark):
     spark.catalog.clearCache()
+    _drop_stray_persistent_rdds(spark)
     yield
     spark.catalog.clearCache()
+    _drop_stray_persistent_rdds(spark)
 
 
 def test_registry_query_leaves_no_pinned_blocks(spark, sf_oracle):
