@@ -488,7 +488,12 @@ def main():
     # deployment reaches (a reused DataFrame/prepared plan is the
     # idiomatic Spark pattern; DuckDB's twin re-parses per rep but
     # its C++ parse cost is sub-ms, so the comparison is symmetric).
-    # Each rep still runs the full scan→compute→sink pipeline.
+    # Each rep re-runs the plan end to end, EXCEPT that a query with
+    # in-query persist() branches serves reps 2-3 from the blocks
+    # rep 1 materialized (clearCache runs between queries, not reps)
+    # — so best-of-3 is the steady-state number and the honest cold
+    # number is rep 1, published per query as cold_first_rep_sec in
+    # BENCH_DETAIL.json (r11 verdict item 3).
     # Streaming queries execute inside their builder (writeStream +
     # awaitTermination), so they rebuild every rep — plan reuse would
     # skip their actual work. Three reps (not two) because shared-
@@ -501,6 +506,7 @@ def main():
     con = duckdb_connect(sf_dir)
 
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     construct: dict[str, float] = {}
     ddb: dict[str, float] = {}
     for name in HEADLINE:
@@ -519,6 +525,13 @@ def main():
             if rebuild_each_rep and rep == 0:
                 # include the builder-side work it just paid above
                 elapsed += construct[name]
+            if rep == 0:
+                # rep-1 pays any in-query persist builds (caches are
+                # cleared between queries, so reps 2-3 of a query with
+                # persisted branches read rep-1's materialized blocks)
+                # — published per r11 verdict item 3 so the persist
+                # wins stay cold-honest next to the steady-state best
+                cold[name] = round(elapsed, 3)
             best = elapsed if best is None else min(best, elapsed)
         times[name] = round(best, 3)
         # drop this query's persisted intermediates before the next:
@@ -685,6 +698,7 @@ def main():
             {
                 "sf": sf,
                 "queries": times,
+                "cold_first_rep_sec": cold,
                 "construct_sec": construct,
                 "duckdb_queries": ddb,
                 "ratio_vs_duckdb": ratios,

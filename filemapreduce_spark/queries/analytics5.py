@@ -225,6 +225,12 @@ def _coord_col(which: str, key) -> F.Column:
 
 @register(
     "geo_radius_join_customers",
+    # CONTRACT NOTE (r11/r12): the Spark result is an unordered SET —
+    # the ORDER BY below is presentational in the oracle twin only.
+    # Equivalence relies on the harness comparing order-insensitively
+    # (driver_sim/check_oracle sort rows before hashing); an
+    # order-sensitive consumer must sort on read or use the
+    # range-clustered sink.
     f"""
     WITH pts AS (
       SELECT c_custkey AS id,

@@ -87,6 +87,12 @@ def gaps_islands_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @register(
     "proration_largest_remainder",
+    # CONTRACT NOTE (r11/r12): the Spark result is an unordered SET —
+    # the ORDER BY below is presentational in the oracle twin only.
+    # Equivalence relies on the harness comparing order-insensitively
+    # (driver_sim/check_oracle sort rows before hashing); an
+    # order-sensitive consumer must sort on read or use the
+    # range-clustered sink.
     """
     WITH li AS (
       -- proration is over lines with KNOWN quantity against a KNOWN

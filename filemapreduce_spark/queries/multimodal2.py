@@ -118,30 +118,71 @@ def audio_frame_energy_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield synth_wav_pdf(pdf)
 
     def frame_energy(batches):
+        # r12 (guide §4.2): per-container header walk stays per doc
+        # (the parser IS the operator); all PCM math — channel-0
+        # extraction, squared-sample frame sums, top-2 selection —
+        # runs ONCE per batch on concatenated arrays. Frame energies
+        # are exact (integer weights ≤ 16·32768² ≈ 1.7e10 < 2^53, so
+        # the float64 bincount accumulates them exactly).
         for pdf in batches:
-            out = {k: [] for k in
-                   ("doc_id", "frame_idx", "n_samples", "energy", "rk")}
+            if not len(pdf):
+                continue
+            ids_l, chs_l, chunks = [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 doc_id = int(doc_id)
                 ch, _rate, data = parse_wav(doc_id, bytes(b))
-                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
-                ch0 = samples[0::ch]
-                n = len(ch0)
-                frames = np.arange(n) // _FRAME
-                sq = ch0 * ch0
-                n_frames = int(frames[-1]) + 1 if n else 0
-                energy = np.bincount(frames, weights=sq, minlength=n_frames)
-                counts = np.bincount(frames, minlength=n_frames)
-                # top-2 by (energy desc, frame asc): lexsort on
-                # (-energy, frame)
-                order = np.lexsort((np.arange(n_frames), -energy))[:2]
-                for rk, fi in enumerate(order, start=1):
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(int(fi))
-                    out["n_samples"].append(int(counts[fi]))
-                    out["energy"].append(int(energy[fi]))
-                    out["rk"].append(rk)
-            yield pd.DataFrame(out)
+                ids_l.append(doc_id)
+                chs_l.append(ch)
+                chunks.append(data)
+            ids = np.array(ids_l, dtype=np.int64)
+            chs = np.array(chs_l, dtype=np.int64)
+            samples = np.frombuffer(b"".join(chunks), dtype="<i2").astype(
+                np.int64
+            )
+            n_samp = np.array([len(c) // 2 for c in chunks], dtype=np.int64)
+            s_off = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(n_samp, out=s_off[1:])
+            # channel-0 sample positions: s_off[d] + k*ch_d
+            n0 = (n_samp + chs - 1) // chs
+            o0 = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(n0, out=o0[1:])
+            kk = np.arange(o0[-1], dtype=np.int64) - np.repeat(o0[:-1], n0)
+            ch0 = samples[np.repeat(s_off[:-1], n0) + kk * np.repeat(chs, n0)]
+            # global frame ids (frames never span docs)
+            f_local = kk // _FRAME
+            nf = (n0 + _FRAME - 1) // _FRAME
+            f_off = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(nf, out=f_off[1:])
+            gframe = np.repeat(f_off[:-1], n0) + f_local
+            energy = np.bincount(
+                gframe, weights=(ch0 * ch0).astype(np.float64),
+                minlength=f_off[-1],
+            ).astype(np.int64)
+            counts = np.bincount(gframe, minlength=f_off[-1])
+            doc_of_frame = np.repeat(np.arange(len(ids)), nf)
+            frame_local = (
+                np.arange(f_off[-1], dtype=np.int64)
+                - np.repeat(f_off[:-1], nf)
+            )
+            # per doc: energy desc, frame asc; take the first 2
+            order = np.lexsort((frame_local, -energy, doc_of_frame))
+            d_s = doc_of_frame[order]
+            first = np.empty(len(d_s), dtype=bool)
+            if len(d_s):
+                first[0] = True
+                first[1:] = d_s[1:] != d_s[:-1]
+            pos = np.arange(len(d_s))
+            rk = pos - np.maximum.accumulate(np.where(first, pos, 0)) + 1
+            keep = order[rk <= 2]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[doc_of_frame[keep]],
+                    "frame_idx": frame_local[keep],
+                    "n_samples": counts[keep],
+                    "energy": energy[keep],
+                    "rk": rk[rk <= 2],
+                }
+            )
 
     def synth_then_energy(batches):
         yield from frame_energy(synth(batches))
@@ -149,24 +190,54 @@ def audio_frame_energy_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, frame_idx long, n_samples long, energy long, rk long"
     )
-    return (
-        d.mapInPandas(synth_then_energy, schema=schema)
-        .orderBy("doc_id", "rk")
-    )
+    # no presentation orderBy (r12): with no shuffle between the Arrow
+    # stage and a global sort, the range-exchange boundary sampling
+    # job re-executes the ENTIRE synth+decode stage a second time
+    # (result SET unchanged; oracle twin keeps its ORDER BY; harness
+    # compares order-insensitively)
+    return d.mapInPandas(synth_then_energy, schema=schema)
 
 
 # --------------------------------------------------------------------
 # Image: real PPM (P6) decode + per-channel sums + 2×2 avg downsample.
 # --------------------------------------------------------------------
-def parse_ppm(doc_id, b):
-    """Token-walking PPM/P6 parse → (width, height, pixel ndarray).
-    Validates magic, maxval and payload length; raises on corruption."""
+def synth_ppm_pdf(pdf):
+    """Synthesize one Arrow batch of PPM/P6 payloads (header + RGB
+    bytes from the shared recurrence) — the image corpus the decode
+    queries parse. r12: one vectorized recurrence pass over the
+    batch's concatenated pixel index; per doc only the header format
+    + byte slice. Byte-identical payloads."""
     import numpy as np
+    import pandas as pd
 
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    w = 8 + ids % 9
+    h = 6 + ids % 7
+    n = w * h * 3
+    off = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n, out=off[1:])
+    q = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], n)
+    dd = np.repeat(ids, n)
+    buf = ((dd * _WAV_A + q * _WAV_B + _WAV_C) % 256).astype(
+        np.uint8
+    ).tobytes()
+    payloads = [
+        f"P6\n{w[i]} {h[i]}\n255\n".encode("ascii")
+        + buf[off[i] : off[i + 1]]
+        for i in range(len(ids))
+    ]
+    return pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def parse_ppm_header(doc_id, b):
+    """Token-walking PPM/P6 header parse → (width, height, raw pixel
+    bytes). Validates magic, maxval and payload length; raises on
+    corruption. The batch-vectorized decoders (r12) use this to keep
+    the real per-container parse while doing pixel math across the
+    whole Arrow batch."""
     if b[:2] != b"P6":
         raise ValueError(f"doc {doc_id}: not a P6 PPM payload")
     idx, vals = 2, []
-    ws = b" \t\r\n"
     while len(vals) < 3:
         while idx < len(b) and b[idx : idx + 1] in (b" ", b"\t", b"\r", b"\n"):
             idx += 1
@@ -178,7 +249,6 @@ def parse_ppm(doc_id, b):
         if start == idx:
             raise ValueError(f"doc {doc_id}: truncated PPM header")
         vals.append(int(b[start:idx]))
-    del ws
     idx += 1  # exactly one whitespace byte after maxval
     w, h, maxv = vals
     if maxv != 255:
@@ -188,6 +258,15 @@ def parse_ppm(doc_id, b):
         raise ValueError(
             f"doc {doc_id}: payload {len(data)} != {w}*{h}*3"
         )
+    return w, h, data
+
+
+def parse_ppm(doc_id, b):
+    """Token-walking PPM/P6 parse → (width, height, pixel ndarray).
+    Validates magic, maxval and payload length; raises on corruption."""
+    import numpy as np
+
+    w, h, data = parse_ppm_header(doc_id, b)
     arr = np.frombuffer(data, np.uint8).reshape(h, w, 3).astype(np.int64)
     return w, h, arr
 
@@ -278,59 +357,79 @@ def image_decode_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches):
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                w = 8 + doc_id % 9
-                h = 6 + doc_id % 7
-                q = np.arange(w * h * 3, dtype=np.int64)
-                px = ((doc_id * _WAV_A + q * _WAV_B + _WAV_C) % 256).astype(
-                    np.uint8
-                )
-                header = f"P6\n{w} {h}\n255\n".encode("ascii")
-                payloads.append(header + px.tobytes())
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
+            if not len(pdf):
+                continue
+            yield synth_ppm_pdf(pdf)
 
     def decode_pool(batches):
+        # r12 (guide §4.2): per-container header parse stays per doc;
+        # channel sums and the pooled checksum vectorize across the
+        # batch's concatenated pixel stream. The pooled gather uses
+        # index arithmetic identical to the per-doc slicing; all
+        # bincount weight magnitudes < 2^53, so the float64 partial
+        # sums are exact integers.
         for pdf in batches:
-            out = {
-                k: []
-                for k in (
-                    "doc_id", "width", "height",
-                    "r_sum", "g_sum", "b_sum", "down_checksum",
-                )
-            }
+            if not len(pdf):
+                continue
+            ids_l, ws_l, hs_l, chunks = [], [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 doc_id = int(doc_id)
-                w, h, arr = parse_ppm(doc_id, bytes(b))
-                h2, w2 = h - h % 2, w - w % 2
-                crop = arr[:h2, :w2, :]
-                pooled = (
-                    crop[0::2, 0::2]
-                    + crop[0::2, 1::2]
-                    + crop[1::2, 0::2]
-                    + crop[1::2, 1::2]
-                ) // 4
-                pi, pj = np.indices(pooled.shape[:2])
-                weight = (
-                    1
-                    + (
-                        pi[:, :, None] * 31
-                        + pj[:, :, None] * 17
-                        + np.arange(3)[None, None, :] * 7
-                    )
-                    % 97
-                )
-                out["doc_id"].append(doc_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["r_sum"].append(int(arr[:, :, 0].sum()))
-                out["g_sum"].append(int(arr[:, :, 1].sum()))
-                out["b_sum"].append(int(arr[:, :, 2].sum()))
-                out["down_checksum"].append(int((pooled * weight).sum()))
-            yield pd.DataFrame(out)
+                w, h, data = parse_ppm_header(doc_id, bytes(b))
+                ids_l.append(doc_id)
+                ws_l.append(w)
+                hs_l.append(h)
+                chunks.append(data)
+            ids = np.array(ids_l, dtype=np.int64)
+            w = np.array(ws_l, dtype=np.int64)
+            h = np.array(hs_l, dtype=np.int64)
+            vals = np.frombuffer(b"".join(chunks), np.uint8).astype(np.int64)
+            n = w * h * 3
+            off = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(n, out=off[1:])
+            q = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], n)
+            # per-(doc, channel) sums in one bincount
+            chan = np.bincount(
+                np.repeat(np.arange(len(ids)) * 3, n) + q % 3,
+                weights=vals.astype(np.float64),
+                minlength=3 * len(ids),
+            ).astype(np.int64).reshape(len(ids), 3)
+            # pooled 2x2 checksum: one flat index space over every
+            # (doc, i, j, c) pooled element, 4-point gather
+            pw = (w - w % 2) // 2
+            ph = (h - h % 2) // 2
+            np_el = ph * pw * 3
+            poff = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(np_el, out=poff[1:])
+            k = (
+                np.arange(poff[-1], dtype=np.int64)
+                - np.repeat(poff[:-1], np_el)
+            )
+            pwr = np.repeat(pw, np_el)
+            wr = np.repeat(w, np_el)
+            dsr = np.repeat(off[:-1], np_el)
+            i = k // (pwr * 3)
+            j = (k % (pwr * 3)) // 3
+            c = k % 3
+            p0 = dsr + ((2 * i) * wr + 2 * j) * 3 + c
+            p2 = dsr + ((2 * i + 1) * wr + 2 * j) * 3 + c
+            pooled = (vals[p0] + vals[p0 + 3] + vals[p2] + vals[p2 + 3]) // 4
+            weight = 1 + (i * 31 + j * 17 + c * 7) % 97
+            checksum = np.bincount(
+                np.repeat(np.arange(len(ids)), np_el),
+                weights=(pooled * weight).astype(np.float64),
+                minlength=len(ids),
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": w,
+                    "height": h,
+                    "r_sum": chan[:, 0],
+                    "g_sum": chan[:, 1],
+                    "b_sum": chan[:, 2],
+                    "down_checksum": checksum,
+                }
+            )
 
     def synth_then_pool(batches):
         yield from decode_pool(synth(batches))
@@ -339,10 +438,11 @@ def image_decode_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, r_sum long, g_sum long, "
         "b_sum long, down_checksum long"
     )
-    return (
-        d.mapInPandas(synth_then_pool, schema=schema)
-        .orderBy("doc_id")
-    )
+    # no presentation orderBy (r12): the global sort's boundary
+    # sampling re-executed the whole synth+decode Arrow stage (no
+    # shuffle in between); result SET unchanged, oracle twin keeps
+    # its ORDER BY, harness compares order-insensitively
+    return d.mapInPandas(synth_then_pool, schema=schema)
 
 
 # --------------------------------------------------------------------
@@ -399,33 +499,29 @@ def image_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches):
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                w = 8 + doc_id % 9
-                h = 6 + doc_id % 7
-                q = np.arange(w * h * 3, dtype=np.int64)
-                px = ((doc_id * _WAV_A + q * _WAV_B + _WAV_C) % 256).astype(
-                    np.uint8
-                )
-                header = f"P6\n{w} {h}\n255\n".encode("ascii")
-                payloads.append(header + px.tobytes())
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
+            if not len(pdf):
+                continue
+            yield synth_ppm_pdf(pdf)
 
     def hist_partial(batches):
         # per-TASK partial histogram: 24 rows leave Python per batch,
-        # never per image
+        # never per image. r12 (guide §4.2): per-container header
+        # parse stays per doc; the (channel, bin) histogram is ONE
+        # bincount over the batch's concatenated pixel stream.
         for pdf in batches:
-            acc = np.zeros((3, 8), dtype=np.int64)
+            if not len(pdf):
+                continue
+            chunks = []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                doc_id = int(doc_id)
-                _, _, arr = parse_ppm(doc_id, bytes(b))
-                for c in range(3):
-                    acc[c] += np.bincount(
-                        (arr[:, :, c] >> 5).ravel(), minlength=8
-                    )
+                _, _, data = parse_ppm_header(int(doc_id), bytes(b))
+                chunks.append(data)
+            vals = np.frombuffer(b"".join(chunks), np.uint8)
+            q = np.concatenate(
+                [np.arange(len(c), dtype=np.int64) for c in chunks]
+            ) if chunks else np.zeros(0, dtype=np.int64)
+            acc = np.bincount(
+                (q % 3) * 8 + (vals >> 5), minlength=24
+            ).astype(np.int64).reshape(3, 8)
             ch, bins = np.indices(acc.shape)
             yield pd.DataFrame(
                 {
@@ -506,29 +602,64 @@ def audio_decimate_2to1(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield synth_wav_pdf(pdf)
 
     def decimate(batches):
+        # r12 (guide §4.2): per-container chunk walk stays per doc;
+        # channel-0 extraction, pair sums, checksum and peak run once
+        # per batch on concatenated arrays (bincount weights < 2^53 —
+        # exact float64 integer sums)
         for pdf in batches:
-            out = {"doc_id": [], "n_out": [], "checksum": [], "peak": []}
+            if not len(pdf):
+                continue
+            ids_l, chs_l, chunks = [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 doc_id = int(doc_id)
                 ch, rate, data = parse_wav(doc_id, bytes(b))
-                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
-                ch0 = samples[::ch]
-                n_out = len(ch0) // 2
-                pairs = ch0[: 2 * n_out].reshape(n_out, 2)
-                y = pairs.sum(axis=1)
-                k = np.arange(n_out, dtype=np.int64)
-                out["doc_id"].append(doc_id)
-                out["n_out"].append(n_out)
-                out["checksum"].append(int((y * (1 + k % 97)).sum()))
-                out["peak"].append(int(np.abs(y).max()) if n_out else 0)
-            yield pd.DataFrame(out)
+                ids_l.append(doc_id)
+                chs_l.append(ch)
+                chunks.append(data)
+            ids = np.array(ids_l, dtype=np.int64)
+            chs = np.array(chs_l, dtype=np.int64)
+            samples = np.frombuffer(b"".join(chunks), dtype="<i2").astype(
+                np.int64
+            )
+            n_samp = np.array([len(c) // 2 for c in chunks], dtype=np.int64)
+            s_off = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(n_samp, out=s_off[1:])
+            n0 = (n_samp + chs - 1) // chs
+            n_out = n0 // 2
+            oo = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(n_out, out=oo[1:])
+            k = np.arange(oo[-1], dtype=np.int64) - np.repeat(oo[:-1], n_out)
+            base = np.repeat(s_off[:-1], n_out) + (2 * k) * np.repeat(
+                chs, n_out
+            )
+            y = samples[base] + samples[base + np.repeat(chs, n_out)]
+            docr = np.repeat(np.arange(len(ids)), n_out)
+            checksum = np.bincount(
+                docr,
+                weights=(y * (1 + k % 97)).astype(np.float64),
+                minlength=len(ids),
+            ).astype(np.int64)
+            ay = np.abs(y)
+            peak = np.zeros(len(ids), dtype=np.int64)
+            nz = n_out > 0
+            if nz.any():
+                peak[nz] = np.maximum.reduceat(ay, oo[:-1][nz])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_out": n_out,
+                    "checksum": checksum,
+                    "peak": peak,
+                }
+            )
 
-    return (
-        d.mapInPandas(
-            lambda batches: decimate(synth(batches)),
-            schema="doc_id long, n_out long, checksum long, peak long",
-        )
-        .orderBy("doc_id")
+    # no presentation orderBy (r12): the global sort's boundary
+    # sampling re-executed the whole synth+decode Arrow stage (no
+    # shuffle in between); result SET unchanged, oracle twin keeps
+    # its ORDER BY, harness compares order-insensitively
+    return d.mapInPandas(
+        lambda batches: decimate(synth(batches)),
+        schema="doc_id long, n_out long, checksum long, peak long",
     )
 
 
@@ -667,53 +798,76 @@ def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(batches):
+        # r12 (guide §4.2): every image is the fixed 18x16 size, so
+        # the whole batch synthesizes as ONE (docs x pixels) matrix
+        # expression; per doc only header + byte slice. Byte-identical
+        # payloads.
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                g, r = doc_id // 4, doc_id % 4
-                q = np.arange(_DH_W * _DH_H * 3, dtype=np.int64)
-                x = (q // 3) % _DH_W
-                y = (q // 3) // _DH_W
-                c = q % 3
-                px = (
-                    (g % 5 + 1) * (x - g % _DH_W) ** 2
-                    + (g * 3 % 5 + 1) * (y - g * 7 % _DH_H) ** 2
-                    + c * 9
-                    + g * _WAV_A
-                ) % 256
-                if r > 0:
-                    noisy = q % _DH_NOISE_MOD == r
-                    px = np.where(noisy, (px + 8 * r) % 256, px)
-                header = f"P6\n{_DH_W} {_DH_H}\n255\n".encode("ascii")
-                payloads.append(header + px.astype(np.uint8).tobytes())
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            g = (ids // 4)[:, None]
+            r = (ids % 4)[:, None]
+            q = np.arange(_DH_W * _DH_H * 3, dtype=np.int64)[None, :]
+            x = (q // 3) % _DH_W
+            y = (q // 3) // _DH_W
+            c = q % 3
+            px = (
+                (g % 5 + 1) * (x - g % _DH_W) ** 2
+                + (g * 3 % 5 + 1) * (y - g * 7 % _DH_H) ** 2
+                + c * 9
+                + g * _WAV_A
+            ) % 256
+            px = np.where(
+                (r > 0) & (q % _DH_NOISE_MOD == r), (px + 8 * r) % 256, px
+            )
+            buf = px.astype(np.uint8).tobytes()
+            header = f"P6\n{_DH_W} {_DH_H}\n255\n".encode("ascii")
+            row = _DH_W * _DH_H * 3
+            payloads = [
+                header + buf[i * row : (i + 1) * row]
+                for i in range(len(ids))
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
     def dhash(batches):
+        # r12 (guide §4.2): per-container header parse stays per doc;
+        # gray/pool/bits/bands stack as one (docs, H, W, 3) tensor
         for pdf in batches:
-            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            if not len(pdf):
+                continue
+            ids_l, chunks = [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 doc_id = int(doc_id)
-                w, h, arr = parse_ppm(doc_id, bytes(b))
-                gray = arr.sum(axis=2) // 3
-                pooled = (
-                    gray[0::2, 0::2]
-                    + gray[0::2, 1::2]
-                    + gray[1::2, 0::2]
-                    + gray[1::2, 1::2]
-                ) // 4  # (8, 9)
-                bits = (pooled[:, :-1] < pooled[:, 1:]).astype(np.int64)
-                flat = bits.ravel()  # k = i*8 + j
-                bands = [
-                    int((flat[16 * t : 16 * t + 16]
-                         << np.arange(16, dtype=np.int64)).sum())
-                    for t in range(4)
-                ]
-                out["doc_id"].append(doc_id)
-                for tband in range(4):
-                    out[f"b{tband}"].append(bands[tband])
+                w, h, data = parse_ppm_header(doc_id, bytes(b))
+                if (w, h) != (_DH_W, _DH_H):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected dims {w}x{h}"
+                    )
+                ids_l.append(doc_id)
+                chunks.append(data)
+            arr = (
+                np.frombuffer(b"".join(chunks), np.uint8)
+                .reshape(len(ids_l), _DH_H, _DH_W, 3)
+                .astype(np.int64)
+            )
+            gray = arr.sum(axis=3) // 3
+            pooled = (
+                gray[:, 0::2, 0::2]
+                + gray[:, 0::2, 1::2]
+                + gray[:, 1::2, 0::2]
+                + gray[:, 1::2, 1::2]
+            ) // 4  # (n, 8, 9)
+            bits = (pooled[:, :, :-1] < pooled[:, :, 1:]).astype(np.int64)
+            flat = bits.reshape(len(ids_l), 64)  # k = i*8 + j
+            shifts = np.arange(16, dtype=np.int64)
+            out = {"doc_id": np.array(ids_l, dtype=np.int64)}
+            for tband in range(4):
+                out[f"b{tband}"] = (
+                    flat[:, 16 * tband : 16 * tband + 16] << shifts
+                ).sum(axis=1)
             yield pd.DataFrame(out)
 
     sig = (
@@ -885,22 +1039,28 @@ def audio_neardup_energyprint(
     )
 
     def synth(batches):
+        # r12 (guide §4.2): fixed 512-sample mono clips — the whole
+        # batch synthesizes as ONE (docs x samples) matrix expression;
+        # per doc only the header pack + byte slice. Byte-identical
+        # payloads.
         for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            g = (ids // 4)[:, None]
+            r = (ids % 4)[:, None]
+            tt = np.arange(_AF_N, dtype=np.int64)[None, :]
+            p = 9 + (g * 11) % 29
+            q = 13 + (g * 7) % 61
+            s = (g % 9 + 1) * np.abs((tt + g) % p - p // 2) * 16 + (
+                np.abs((tt * 2 + g * 5) % q - q // 2) * 48
+            )
+            s = np.where((r > 0) & (tt % _AF_NOISE_MOD == r), s + 32 * r, s)
+            buf = s.astype("<i2").tobytes()
+            row = _AF_N * 2
             payloads = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                g, r = doc_id // 4, doc_id % 4
-                tt = np.arange(_AF_N, dtype=np.int64)
-                p = 9 + (g * 11) % 29
-                q = 13 + (g * 7) % 61
-                s = (g % 9 + 1) * np.abs((tt + g) % p - p // 2) * 16 + (
-                    np.abs((tt * 2 + g * 5) % q - q // 2) * 48
-                )
-                if r > 0:
-                    s = np.where(
-                        tt % _AF_NOISE_MOD == r, s + 32 * r, s
-                    )
-                pcm = s.astype("<i2").tobytes()
+            for i in range(len(ids)):
+                pcm = buf[i * row : (i + 1) * row]
                 header = struct.pack(
                     "<4sI4s4sIHHIIHH4sI",
                     b"RIFF", 36 + len(pcm), b"WAVE",
@@ -913,24 +1073,33 @@ def audio_neardup_energyprint(
             )
 
     def fingerprint(batches):
+        # r12 (guide §4.2): per-container chunk walk stays per doc;
+        # frame energies / delta bits / bands stack as (docs, frames)
         for pdf in batches:
-            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            if not len(pdf):
+                continue
+            ids_l, chunks = [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 doc_id = int(doc_id)
                 ch, rate, data = parse_wav(doc_id, bytes(b))
-                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
-                e = (s * s).reshape(-1, _AF_FRAME).sum(axis=1)
-                bits = (e[:-1] < e[1:]).astype(np.int64)  # 63 bits
-                out["doc_id"].append(doc_id)
-                for tband in range(4):
-                    chunk = bits[16 * tband : 16 * tband + 16]
-                    out[f"b{tband}"].append(
-                        int(
-                            (chunk << np.arange(
-                                len(chunk), dtype=np.int64
-                            )).sum()
-                        )
+                if len(data) != _AF_N * 2:
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected clip length"
                     )
+                ids_l.append(doc_id)
+                chunks.append(data)
+            s = (
+                np.frombuffer(b"".join(chunks), dtype="<i2")
+                .astype(np.int64)
+                .reshape(len(ids_l), _AF_N)
+            )
+            e = (s * s).reshape(len(ids_l), -1, _AF_FRAME).sum(axis=2)
+            bits = (e[:, :-1] < e[:, 1:]).astype(np.int64)  # (n, 63)
+            out = {"doc_id": np.array(ids_l, dtype=np.int64)}
+            for tband in range(4):
+                chunk = bits[:, 16 * tband : 16 * tband + 16]
+                shifts = np.arange(chunk.shape[1], dtype=np.int64)
+                out[f"b{tband}"] = (chunk << shifts).sum(axis=1)
             yield pd.DataFrame(out)
 
     sig = (

@@ -63,15 +63,18 @@ def sort_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     if df.empty:
         return df.reset_index(drop=True)
-    # vectorized row key: str.cat beats apply(axis=1) by ~100x — the
-    # extreme-date fixture's 350-year interp spine (639k rows) took
-    # >30 min under the old per-row lambda and seconds under this
+    # vectorized row sort, one key per column (lexsort, last key is
+    # primary). The previous canon concatenated the stringified
+    # columns with a '\x00' separator — pandas str.cat silently DROPS
+    # the NUL, so rows like (1, 414) and (14, 14) collided to the key
+    # '1414' and the stable sort fell back to INPUT order, false-
+    # flagging value-identical frames whenever the two engines emit
+    # rows in different orders (exposed in r12 when presentation
+    # sorts were removed from set-valued outputs). Per-column keys
+    # cannot collide across column boundaries.
     s = df.astype(str)
     cols = list(s.columns)
-    key = s[cols[0]]
-    if len(cols) > 1:
-        key = key.str.cat([s[c] for c in cols[1:]], sep="\x00")
-    order = np.argsort(key.to_numpy(), kind="stable")
+    order = np.lexsort([s[c].to_numpy() for c in reversed(cols)])
     return df.iloc[order].reset_index(drop=True)
 
 

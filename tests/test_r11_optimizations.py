@@ -18,8 +18,13 @@ def spark():
     from filemapreduce_spark.session import get_spark
 
     s = get_spark(app_name="test_r11_opts")
+    # get_spark getOrCreate-shares one session across test modules:
+    # capture and restore the prior value so the override cannot leak
+    # into later modules' plan shapes (r11 ADVICE)
+    prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     yield s
+    s.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _rows(df, cols):
