@@ -204,6 +204,23 @@ def main():
         "- `conformal_interval_coverage` (4 scans): train/cal/test"
         " day-window splits each scanned once + the calibration"
         " mean — disjoint subsets, not re-scans.",
+        "- BNLJ sites (r12 standing note — r11 verdict items 7/9): the"
+        " remaining BroadcastNestedLoopJoin counts are inequality-only"
+        " joins whose broadcast side is config- or domain-bounded,"
+        " never corpus-sized — `hard_negative_mining` /"
+        " `matryoshka_truncation_recall` / `similarity_bruteforce_topk`"
+        " (fixed query-vector sets), decile/edge-grid crosses"
+        " (`psi_value_drift`, `woe_iv_price_deciles`, digit/bucket"
+        " grids), and 1-row total/threshold broadcasts. Intentional:"
+        " the corpus-scale ANN route is IVF/SRP (banded equi-joins)."
+        " A NEW BNLJ over a corpus table is still a defect — the"
+        " no-unreviewed-broadcast test in tests/test_plans.py enforces"
+        " the reviewed list.",
+        "- Multimodal decode family (r12): the mapInPandas stages are"
+        " batch-VECTORIZED inside (numpy over the whole Arrow batch);"
+        " `semdedup_cluster_prune` now carries 2 Python-eval nodes by"
+        " design (bounded-centroid assignment + per-cluster gram) —"
+        " reviewed, exact-integer arithmetic, see OPTIMIZATION_r12.md.",
         "",
     ]
 
